@@ -1,0 +1,180 @@
+package graft
+
+import graft.core.{Analysis, WebCorpus}
+import graft.query.Engine
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Full-text operator queries (SURVEY.md §2.3) over the documents table,
+  * each paired with DuckDB oracle SQL in [[Oracles]]. Column names, types
+  * (BIGINT/DOUBLE), rounding (4 dp) and row sets match the oracle exactly;
+  * ordering is made total (score desc, id asc) so LIMIT k is deterministic
+  * in both engines.
+  */
+object FtQueries {
+
+  def corpus(spark: SparkSession, sfDir: String): DataFrame =
+    WebCorpus.fromDocuments(spark, sfDir)
+
+  /** term -> total occurrences across the corpus. */
+  def termCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Analysis.postings(corpus(spark, sfDir))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+
+  /** Dense lexicographic term dictionary with df/cf (Vocabulary analog). */
+  def dictionary(spark: SparkSession, sfDir: String): DataFrame =
+    Analysis.dictionary(Analysis.docTerms(corpus(spark, sfDir)))
+
+  /** The full posting relation (words-file shape). */
+  def postings(spark: SparkSession, sfDir: String): DataFrame =
+    Analysis.postings(corpus(spark, sfDir))
+      .select(col("doc_id"), col("term"), col("pos").cast("long").as("pos"))
+
+  /** Corpus stats (MetaInfo analog). */
+  def stats(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = Analysis.stats(corpus(spark, sfDir))
+    val spark2 = spark
+    import spark2.implicits._
+    val avgdl6 = BigDecimal(st.avgdl)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((st.n_docs, st.n_postings, avgdl6)).toDF("n_docs", "n_postings", "avgdl")
+  }
+
+  def bm25Single(spark: SparkSession, sfDir: String): DataFrame =
+    Engine.topKSingle(corpus(spark, sfDir), "spark", 10)
+
+  def bm25And(spark: SparkSession, sfDir: String): DataFrame =
+    Engine.topKAnd(corpus(spark, sfDir), Seq("spark", "join"), 10)
+
+  def bm25Or(spark: SparkSession, sfDir: String): DataFrame =
+    Engine.topKOr(corpus(spark, sfDir), Seq("spark", "hash"), 10)
+
+  def bm25Not(spark: SparkSession, sfDir: String): DataFrame =
+    Engine.topKNot(corpus(spark, sfDir), "spark", Seq("join"), 10)
+
+  def prefixDocs(spark: SparkSession, sfDir: String): DataFrame =
+    Engine.topKPrefix(corpus(spark, sfDir), "st", 10)
+
+  def completions(spark: SparkSession, sfDir: String): DataFrame =
+    Engine.topKCompletions(corpus(spark, sfDir), "s", 10)
+
+  def phrase(spark: SparkSession, sfDir: String): DataFrame =
+    Engine.phraseDocs(corpus(spark, sfDir), "batch", "batch")
+
+  def proximity(spark: SparkSession, sfDir: String): DataFrame =
+    Engine.proximityDocs(corpus(spark, sfDir), "spark", "join", -10, 10)
+
+  def wordRange(spark: SparkSession, sfDir: String): DataFrame =
+    Engine.topKWordRange(corpus(spark, sfDir), "batch", "filter", 10)
+
+  def joinBlock(spark: SparkSession, sfDir: String): DataFrame =
+    Engine.joinBlockTerms(corpus(spark, sfDir), "s", "window", "hash")
+}
+
+/** DuckDB oracle SQL mirroring each FtQueries entry. Shared CTE `toks`
+  * replicates graft.core.Tokenizer for ASCII input; BM25 text comes from
+  * Analysis.bm25Sql so both engines evaluate the identical expression.
+  */
+object Oracles {
+
+  /** RE2/Java-regex class for the reference separator set, as a SQL string
+    * literal body (single quotes doubled).
+    */
+  val SepClass: String = """[!"#$%&''()*+,\-./@\[\\\]^{|}~:;<=>? ]"""
+
+  /** Tokenization + per-doc/per-term stats CTEs over `documents`. */
+  val BaseCtes: String =
+    s"""WITH raw AS (
+       |  SELECT doc_id,
+       |         unnest(regexp_split_to_array(lower(text), '$SepClass')) AS term,
+       |         generate_subscripts(regexp_split_to_array(lower(text), '$SepClass'), 1) AS ord
+       |  FROM documents
+       |), toks AS (
+       |  SELECT doc_id, term,
+       |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS BIGINT) AS pos
+       |  FROM raw WHERE term <> ''
+       |), dt AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+       |), dls AS (
+       |  SELECT d.doc_id, CAST(COALESCE(t.c, 0) AS BIGINT) AS dl
+       |  FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)
+       |), st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+       |  FROM dls
+       |), dfs AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1
+       |), scored AS (
+       |  SELECT dt.doc_id, dt.term, dt.tf,
+       |         ${Analysis.bm25Sql("dt.tf", "dfs.df", "dls.dl", "st.n", "st.avgdl")} AS score
+       |  FROM dt JOIN dfs USING (term) JOIN dls USING (doc_id) CROSS JOIN st
+       |)""".stripMargin
+
+  def topDocs(where: String, group: String = ""): String =
+    s"""$BaseCtes
+       |SELECT doc_id, round(sum(score), 4) AS score
+       |FROM scored WHERE $where GROUP BY doc_id $group
+       |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
+
+  val all: Map[String, String] = Map(
+    "ft_termcounts" ->
+      s"$BaseCtes SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY term",
+    "ft_dictionary" ->
+      s"""$BaseCtes
+         |SELECT CAST(row_number() OVER (ORDER BY term) - 1 AS BIGINT) AS term_id,
+         |       term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+         |FROM dt GROUP BY term""".stripMargin,
+    "ft_postings" ->
+      s"$BaseCtes SELECT doc_id, term, pos FROM toks",
+    "ft_stats" ->
+      s"""$BaseCtes
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM toks) AS n_postings,
+         |       round((SELECT avgdl FROM st), 6) AS avgdl""".stripMargin,
+    "ft_bm25_single" -> topDocs("term = 'spark'"),
+    "ft_bm25_and" ->
+      s"""$BaseCtes
+         |SELECT doc_id, round(sum(score), 4) AS score
+         |FROM scored WHERE term IN ('spark', 'join')
+         |GROUP BY doc_id HAVING count(*) = 2
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "ft_bm25_or" -> topDocs("term IN ('spark', 'hash')"),
+    "ft_bm25_not" ->
+      s"""$BaseCtes
+         |SELECT doc_id, round(sum(score), 4) AS score
+         |FROM scored WHERE term = 'spark'
+         |  AND doc_id NOT IN (SELECT doc_id FROM dt WHERE term = 'join')
+         |GROUP BY doc_id
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "ft_prefix_docs" -> topDocs("term LIKE 'st%'"),
+    "ft_completions" ->
+      s"""$BaseCtes
+         |SELECT term, round(sum(score), 4) AS score,
+         |       CAST(count(*) AS BIGINT) AS dc, CAST(sum(tf) AS BIGINT) AS oc
+         |FROM scored WHERE term LIKE 's%'
+         |GROUP BY term ORDER BY score DESC, term ASC LIMIT 10""".stripMargin,
+    "ft_phrase" ->
+      s"""$BaseCtes
+         |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+         |FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+         |WHERE a.term = 'batch' AND b.term = 'batch' AND b.pos - a.pos = 1
+         |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
+    "ft_proximity" ->
+      s"""$BaseCtes
+         |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+         |FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+         |WHERE a.term = 'spark' AND b.term = 'join' AND b.pos - a.pos BETWEEN -10 AND 10
+         |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
+    "ft_wordrange" -> topDocs("term >= 'batch' AND term <= 'filter'"),
+    "ft_joinblock" ->
+      s"""$BaseCtes
+         |SELECT DISTINCT t.term FROM dt t
+         |WHERE t.term LIKE 's%'
+         |  AND t.doc_id IN (SELECT doc_id FROM dt WHERE term = 'window')
+         |  AND t.term IN (
+         |    SELECT DISTINCT t2.term FROM dt t2
+         |    WHERE t2.term LIKE 's%'
+         |      AND t2.doc_id IN (SELECT doc_id FROM dt WHERE term = 'hash'))
+         |ORDER BY term""".stripMargin
+  )
+}

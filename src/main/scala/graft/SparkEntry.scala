@@ -1,13 +1,43 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Every operator claimed done in SURVEY.md §2 has a `queries` entry here;
+  * SQL-expressible ones also have a DuckDB oracle in `oracleSql`.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * BM25 top-10 for a keyword over the web corpus.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    FtQueries.bm25Single(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+    }),
+    "ft_termcounts" -> FtQueries.termCounts _,
+    "ft_dictionary" -> FtQueries.dictionary _,
+    "ft_postings" -> FtQueries.postings _,
+    "ft_stats" -> FtQueries.stats _,
+    "ft_bm25_single" -> FtQueries.bm25Single _,
+    "ft_bm25_and" -> FtQueries.bm25And _,
+    "ft_bm25_or" -> FtQueries.bm25Or _,
+    "ft_bm25_not" -> FtQueries.bm25Not _,
+    "ft_prefix_docs" -> FtQueries.prefixDocs _,
+    "ft_completions" -> FtQueries.completions _,
+    "ft_phrase" -> FtQueries.phrase _,
+    "ft_proximity" -> FtQueries.proximity _,
+    "ft_wordrange" -> FtQueries.wordRange _,
+    "ft_joinblock" -> FtQueries.joinBlock _
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" -> "SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1"
+  ) ++ Oracles.all
 }

@@ -1,0 +1,129 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One posting: term occurrence at a position in a document.
+  * Reference analog: the 4-parallel-vector posting (QueryResult.h:22-27),
+  * with the on-disk static score replaced by query-time BM25.
+  */
+case class Posting(doc_id: Long, term: String, pos: Int)
+
+/** Per-(doc, term) row with local term frequency, the term's positions in
+  * the doc, and the doc length. Produced by a single narrow pass over the
+  * corpus -- tf and dl are per-document facts, so they are aggregated
+  * inside the tokenizing flatMap with NO shuffle. At 10^12 docs this is the
+  * difference between a free map stage and a corpus-sized groupBy.
+  */
+case class DocTerm(doc_id: Long, term: String, tf: Long, positions: Array[Int], dl: Long)
+
+/** Corpus-level statistics (reference analog: MetaInfo.h:8-104 --
+  * nofDocs, nofWordInDocPairs; plus avgdl which BM25 needs).
+  */
+case class CorpusStats(n_docs: Long, n_postings: Long, avgdl: Double)
+
+/** Logical analysis layer: corpus -> postings / doc-term rows / stats.
+  * Everything is a lazily-planned Dataset; Catalyst prunes the `text`
+  * column scan down to (doc_id, text) automatically.
+  */
+object Analysis {
+
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Tokenize each document once, aggregating tf/positions/dl locally.
+    * Narrow (no shuffle). Input must have (doc_id: long, text: string).
+    */
+  def docTerms(corpus: DataFrame): Dataset[DocTerm] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (docId, text) =>
+        val toks = Tokenizer.tokenize(text)
+        val dl = toks.length.toLong
+        val byTerm = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+        var i = 0
+        while (i < toks.length) {
+          byTerm.getOrElseUpdate(toks(i), scala.collection.mutable.ArrayBuffer.empty[Int]) += i
+          i += 1
+        }
+        byTerm.iterator.map { case (t, ps) => DocTerm(docId, t, ps.length.toLong, ps.toArray, dl) }
+      }
+  }
+
+  /** Fully exploded posting relation (doc_id, term, pos) -- the reference's
+    * words-file shape (WordsFile.h:30-45). Used by position-sensitive
+    * operators (phrase, proximity) and by the oracle-gated posting dump.
+    */
+  def postings(corpus: DataFrame): Dataset[Posting] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (docId, text) =>
+        Tokenizer.tokenize(text).iterator.zipWithIndex.map { case (t, i) => Posting(docId, t, i) }
+      }
+  }
+
+  /** Term dictionary with dense lexicographic termIds (reference: sorted
+    * vocabulary, wordId = index; Vocabulary.h:17-33). The global sort is a
+    * range-partitioned shuffle of the *distinct term* relation (vocab-sized,
+    * not corpus-sized); row_number over it is one extra pass.
+    */
+  def dictionary(docTerms: Dataset[DocTerm]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docTerms.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+      .withColumn("term_id", (row_number().over(Window.orderBy(col("term"))) - 1).cast("long"))
+      .select(col("term_id"), col("term"), col("df"), col("cf"))
+  }
+
+  /** Corpus stats: one tokenizing pass, map-side partial agg only. */
+  def stats(corpus: DataFrame): CorpusStats = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dls = corpus.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .map { case (_, text) => Tokenizer.tokenize(text).length.toLong }
+    val row = dls.agg(count(lit(1)).as("n"), sum(col("value")).as("p")).head()
+    val n = row.getLong(0)
+    val p = if (row.isNullAt(1)) 0L else row.getLong(1)
+    CorpusStats(n, p, if (n == 0) 0.0 else p.toDouble / n)
+  }
+
+  /** Okapi BM25 per (doc, term) as a Catalyst column expression.
+    * idf = ln((N - df + 0.5)/(df + 0.5) + 1)   (Lucene-style,
+    * non-negative); tf-part = tf*(k1+1)/(tf + k1*(1 - b + b*dl/avgdl)).
+    * Pure `functions._` -- stays inside whole-stage codegen.
+    */
+  def bm25Col(nDocs: Long, avgdl: Double,
+              tf: org.apache.spark.sql.Column, df: org.apache.spark.sql.Column,
+              dl: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val idf = log((lit(nDocs.toDouble) - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
+    val tfPart = (tf * lit(K1 + 1.0)) /
+      (tf + lit(K1) * (lit(1.0 - B) + lit(B) * dl / lit(avgdl)))
+    idf * tfPart
+  }
+
+  /** Scored doc-term relation for a set of query terms:
+    * (doc_id, term, score). df lookup is a broadcast join (the per-term df
+    * relation filtered to the query terms is tiny by construction).
+    */
+  def scoredForTerms(corpus: DataFrame, terms: Seq[String]): DataFrame = {
+    val dt = docTerms(corpus)
+    val st = stats(corpus)
+    val dfTbl = dt.filter(col("term").isin(terms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    dt.filter(col("term").isin(terms: _*))
+      .join(broadcast(dfTbl), "term")
+      .select(col("doc_id"), col("term"),
+        bm25Col(st.n_docs, st.avgdl, col("tf"), col("df"), col("dl")).as("score"))
+  }
+
+  /** SQL text of the BM25 score for the DuckDB oracle -- mirrors bm25Col
+    * exactly (same operand order, same constants) so double results agree.
+    */
+  def bm25Sql(tf: String, df: String, dl: String, nExpr: String, avgdlExpr: String): String =
+    s"ln(($nExpr - $df + 0.5) / ($df + 0.5) + 1.0) * " +
+      s"($tf * ${K1 + 1.0}) / ($tf + $K1 * ((1.0 - $B) + $B * $dl / $avgdlExpr))"
+}
