@@ -1,0 +1,57 @@
+package graft
+
+import graft.core.WebCorpus
+import graft.index.{IndexBuilder, IndexReader}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Queries that exercise the PHYSICAL index path end-to-end: build the
+  * compressed posting-block index for the sf dir (memoized per process),
+  * then answer from the blocks. Their oracles are the same SQL as the
+  * logical BM25 queries -- so a hash match proves encode -> write ->
+  * prune -> decode -> score equals the declarative plan.
+  */
+object IndexQueries {
+
+  private val built = scala.collection.mutable.Map.empty[String, String]
+
+  def indexDir(spark: SparkSession, sfDir: String): String = synchronized {
+    built.getOrElseUpdate(sfDir, {
+      val dir = s"/tmp/graft_index/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val corpus = WebCorpus.fromDocuments(spark, sfDir)
+      IndexBuilder.build(spark, corpus, dir, numShards = 2)
+      dir
+    })
+  }
+
+  def reader(spark: SparkSession, sfDir: String): IndexReader =
+    new IndexReader(spark, indexDir(spark, sfDir))
+
+  /** Full round-trip gate: decode EVERY block back to (doc_id, term, tf);
+    * oracle = the logical doc-term relation. Proves codec + block cutting +
+    * sharding lose nothing.
+    */
+  def decodedPostings(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = reader(spark, sfDir)
+    r.decode(r.blocks)
+      .join(broadcast(r.dictionary.select(col("term_id"), col("term"))), "term_id")
+      .select(col("doc_id"), col("term"), col("tf"))
+  }
+
+  /** Disjunctive top-10 with block-max WAND pruning; oracle = plain SQL. */
+  def wandTopK(spark: SparkSession, sfDir: String): DataFrame =
+    reader(spark, sfDir).topKOrWand(Seq("spark", "hash", "merge"), 10)
+
+  /** Prefix top-10 docs via pruned block scan; oracle = plain SQL. */
+  def prefixDocs(spark: SparkSession, sfDir: String): DataFrame =
+    reader(spark, sfDir).topKPrefixDocs("st", 10)
+
+  /** Build lineage/metrics summary (rows-only check: not SQL-expressible). */
+  def buildMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = indexDir(spark, sfDir)
+    spark.read.parquet(s"$dir/metrics")
+      .select(col("shard"), col("build_partition"), col("n_blocks"),
+        col("n_postings"), col("bytes_encoded"))
+      .orderBy(col("shard"), col("build_partition"))
+  }
+}

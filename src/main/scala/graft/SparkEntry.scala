@@ -34,10 +34,19 @@ object SparkEntry {
     "ft_phrase" -> FtQueries.phrase _,
     "ft_proximity" -> FtQueries.proximity _,
     "ft_wordrange" -> FtQueries.wordRange _,
-    "ft_joinblock" -> FtQueries.joinBlock _
+    "ft_joinblock" -> FtQueries.joinBlock _,
+    "ix_decoded_postings" -> IndexQueries.decodedPostings _,
+    "ix_wand_topk" -> IndexQueries.wandTopK _,
+    "ix_prefix_docs" -> IndexQueries.prefixDocs _,
+    "ix_build_metrics" -> IndexQueries.buildMetrics _
   )
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> "SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1"
-  ) ++ Oracles.all
+  ) ++ Oracles.all ++ Map(
+    "ix_decoded_postings" ->
+      s"${Oracles.BaseCtes} SELECT doc_id, term, tf FROM dt",
+    "ix_wand_topk" -> Oracles.topDocs("term IN ('spark', 'hash', 'merge')"),
+    "ix_prefix_docs" -> Oracles.topDocs("term LIKE 'st%'")
+  )
 }

@@ -1,0 +1,222 @@
+package graft.index
+
+import graft.core.Analysis
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One compressed posting block: all postings of one term whose docIds fall
+  * in [first_doc_id, last_doc_id], sorted by docId, delta-varint encoded.
+  *
+  * HYB-block analog (reference HYBIndex.cpp:32-229 writeCurrentBlock):
+  * where the reference cuts blocks by word-range boundaries, we cut by
+  * (term, docId-range) -- the range-partitioned sorted shuffle splits a
+  * head term's postings across partitions, which IS the skew salting the
+  * north rule demands (the reference instead truncates via maxBlockVolume,
+  * Globals.cpp:27-33 -- we must not).
+  *
+  * block_max_tfpart = max over docs of the BM25 tf-part
+  * tf*(k1+1)/(tf+k1*(1-b+b*dl/avgdl)); multiplied by the term's idf it
+  * bounds any doc's score contribution from this block (block-max WAND
+  * metadata).
+  */
+case class PostingBlock(
+    term_id: Long,
+    bucket: Long,
+    first_doc_id: Long,
+    last_doc_id: Long,
+    n_docs: Int,
+    doc_deltas: Array[Byte],
+    tfs: Array[Byte],
+    dls: Array[Byte],
+    positions: Array[Byte],
+    n_postings: Long,
+    block_max_tfpart: Double,
+    build_partition: Int)
+
+/** Per-build-partition lineage/metrics row (north rule: postings/sec,
+  * bytes, skew ratio recorded per task).
+  */
+case class PartitionMetrics(
+    shard: Int,
+    partition_id: Int,
+    n_terms: Long,
+    n_blocks: Long,
+    n_postings: Long,
+    bytes_encoded: Long,
+    elapsed_ms: Long)
+
+/** Distributed index build: corpus -> dictionary + stats + posting-block
+  * segments, written as parquet directories (standing in for Iceberg
+  * tables -- no Iceberg runtime in this sandbox; the layout maps 1:1 to an
+  * Iceberg table partitioned by `bucket` with a sort order on term_id).
+  *
+  * Pipeline (reference analog: parse -> sort(1) -> buildIndex,
+  * applications/Makefile:313-320 + HYBIndex.cpp:231-560, re-expressed as
+  * one Spark lineage):
+  *   1. docTerms: narrow tokenize+local-aggregate pass (no shuffle)
+  *   2. dictionary: distinct-term sort -> dense lexicographic term ids
+  *   3. term-id join (broadcast when vocab is small, shuffle otherwise)
+  *   4. repartitionByRange(term_id, doc_id) + sortWithinPartitions
+  *      == the external sort; range split on BOTH keys salts head terms
+  *   5. mapPartitions: stream sorted runs, cut blocks of <= blockSize
+  *      postings, delta-varint encode, compute block-max
+  *   6. write parquet partitioned by bucket (term_id / bucketSize) ->
+  *      partition pruning for term-range queries
+  *
+  * Resumability: the build is sharded by docId range; each shard is an
+  * independent job writing `blocks/shard=<i>` with parquet's atomic
+  * _SUCCESS marker. `build` skips shards whose _SUCCESS exists, so a
+  * killed build resumes where it stopped; the manifest parquet records
+  * lineage per shard.
+  */
+object IndexBuilder {
+
+  val DefaultBlockSize = 65536 // postings per block (reference default 200k, Globals.cpp:8)
+  val DefaultBucketSize = 1024 // term ids per output partition dir
+
+  def indexPath(dir: String, part: String): String = s"$dir/$part"
+
+  /** Full build. Returns the manifest DataFrame. */
+  def build(
+      spark: SparkSession,
+      corpus: DataFrame,
+      outDir: String,
+      numShards: Int = 1,
+      blockSize: Int = DefaultBlockSize,
+      bucketSize: Int = DefaultBucketSize,
+      buildPartitions: Int = 0): DataFrame = {
+    import spark.implicits._
+
+    val fs = java.nio.file.Paths.get(outDir)
+    java.nio.file.Files.createDirectories(fs)
+
+    // 1-2: dictionary + stats over the WHOLE corpus (shared by all shards;
+    // term ids must be global). Idempotent: skip if already committed.
+    val dictDone = java.nio.file.Files.exists(java.nio.file.Paths.get(s"$outDir/dictionary/_SUCCESS"))
+    if (!dictDone) {
+      val dt = Analysis.docTerms(corpus)
+      Analysis.dictionary(dt).write.mode(SaveMode.Overwrite).parquet(s"$outDir/dictionary")
+      val st = Analysis.stats(corpus)
+      Seq((st.n_docs, st.n_postings, st.avgdl)).toDF("n_docs", "n_postings", "avgdl")
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats")
+    }
+    val dict = spark.read.parquet(s"$outDir/dictionary")
+    val statsRow = spark.read.parquet(s"$outDir/stats").head()
+    val avgdl = statsRow.getAs[Double]("avgdl")
+    val nDocs = statsRow.getAs[Long]("n_docs")
+
+    // Shard by docId range: independent, resumable jobs.
+    val maxDoc = corpus.agg(max(col("doc_id"))).head().getLong(0)
+    val shardWidth = (maxDoc + numShards) / numShards
+    val manifest = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long, Long, String)]
+
+    for (shard <- 0 until numShards) {
+      val shardDir = s"$outDir/blocks/shard=$shard"
+      val done = java.nio.file.Files.exists(java.nio.file.Paths.get(s"$shardDir/_SUCCESS"))
+      if (done) {
+        manifest += ((shard, -1L, -1L, -1L, -1L, "skipped_already_built"))
+      } else {
+        val t0 = System.nanoTime()
+        val lo = shard * shardWidth
+        val hi = (shard + 1) * shardWidth - 1
+        val shardCorpus = corpus.filter(col("doc_id").between(lo, hi))
+        val (blocks, nBlocks, nPostings, bytes) =
+          buildShard(spark, shardCorpus, dict, nDocs, avgdl, blockSize, bucketSize, buildPartitions)
+        blocks.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(shardDir)
+        val elapsedMs = (System.nanoTime() - t0) / 1000000
+        manifest += ((shard, nBlocks, nPostings, bytes, elapsedMs, "built"))
+        // per-partition lineage/metrics for this shard
+        spark.read.parquet(shardDir)
+          .groupBy(col("build_partition"))
+          .agg(count(lit(1)).as("n_blocks"), sum(col("n_postings")).as("n_postings"),
+            sum(length(col("doc_deltas")) + length(col("tfs")) + length(col("dls")) +
+              length(col("positions"))).as("bytes_encoded"))
+          .withColumn("shard", lit(shard))
+          .write.mode(SaveMode.Overwrite).parquet(s"$outDir/metrics/shard=$shard")
+      }
+    }
+
+    val m = manifest.toSeq.toDF("shard", "n_blocks", "n_postings", "bytes_encoded", "elapsed_ms", "status")
+    m.write.mode(SaveMode.Overwrite).parquet(s"$outDir/manifest")
+    m
+  }
+
+  /** Encode one shard's posting blocks. Returns (blocks, nBlocks, nPostings, bytes). */
+  private def buildShard(
+      spark: SparkSession,
+      shardCorpus: DataFrame,
+      dict: DataFrame,
+      nDocs: Long,
+      avgdl: Double,
+      blockSize: Int,
+      bucketSize: Int,
+      buildPartitions: Int): (Dataset[PostingBlock], Long, Long, Long) = {
+    import spark.implicits._
+
+    val dt = Analysis.docTerms(shardCorpus)
+    // term-id join: broadcast the dictionary when small (vocab rows known
+    // from dict stats); at web scale this becomes a shuffle join -- let AQE
+    // decide by just hinting when under threshold.
+    val dictSmall = dict.count() <= 1000000
+    val d = dict.select(col("term"), col("term_id"))
+    val joined = dt.join(if (dictSmall) broadcast(d) else d, "term")
+      .select(col("term_id").cast("long"), col("doc_id"), col("tf"), col("positions"), col("dl"))
+
+    val nPart = if (buildPartitions > 0) buildPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    // The sorted shuffle == external sort(1). Range partitioning on
+    // (term_id, doc_id) splits head terms across partitions (skew salting).
+    val sorted = joined
+      .repartitionByRange(nPart, col("term_id"), col("doc_id"))
+      .sortWithinPartitions(col("term_id"), col("doc_id"))
+      .as[(Long, Long, Long, Array[Int], Long)]
+
+    val k1 = Analysis.K1
+    val b = Analysis.B
+    val blocks = sorted.mapPartitions { it =>
+      val partId = org.apache.spark.TaskContext.getPartitionId()
+      new Iterator[PostingBlock] {
+        private val buf = it.buffered
+        def hasNext: Boolean = buf.hasNext
+        def next(): PostingBlock = {
+          val termId = buf.head._1
+          val docIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val tfs = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val dls = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val poss = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+          var nPost = 0L
+          var maxTfPart = 0.0
+          while (buf.hasNext && buf.head._1 == termId && nPost < blockSize) {
+            val (_, docId, tf, positions, dl) = buf.next()
+            docIds += docId; tfs += tf; dls += dl; poss += positions
+            nPost += tf
+            val tfPart = (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+            if (tfPart > maxTfPart) maxTfPart = tfPart
+          }
+          PostingBlock(
+            term_id = termId,
+            bucket = termId / bucketSize,
+            first_doc_id = docIds.head,
+            last_doc_id = docIds.last,
+            n_docs = docIds.length,
+            doc_deltas = Codec.encodeDeltas(docIds.toArray),
+            tfs = Codec.encodeVarLongs(tfs.toArray),
+            dls = Codec.encodeVarLongs(dls.toArray),
+            positions = Codec.encodePositions(poss.toArray),
+            n_postings = nPost,
+            block_max_tfpart = maxTfPart,
+            build_partition = partId)
+        }
+      }
+    }
+
+    val persisted = blocks.persist()
+    val agg = persisted.groupBy()
+      .agg(count(lit(1)).as("nb"), sum(col("n_postings")).as("np"),
+        sum(length(col("doc_deltas")) + length(col("tfs")) + length(col("dls")) +
+          length(col("positions"))).as("bytes"))
+      .head()
+    (persisted, agg.getLong(0), if (agg.isNullAt(1)) 0L else agg.getLong(1),
+      if (agg.isNullAt(2)) 0L else agg.getLong(2))
+  }
+}

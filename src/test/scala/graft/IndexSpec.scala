@@ -1,0 +1,90 @@
+package graft
+
+import graft.core.{Analysis, WebCorpus}
+import graft.index.{IndexBuilder, IndexReader}
+import graft.query.Engine
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical index build + read gates: lossless round-trip, pruned prefix
+  * scan, WAND == full scoring, resumability (HYBIndexTest analog).
+  */
+class IndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_ix_test").toString
+    val corpus = WebCorpus.fromDocuments(spark, "/root/testdata/sf0.001")
+    IndexBuilder.build(spark, corpus, d, numShards = 2, blockSize = 256)
+    d
+  }
+  lazy val reader = new IndexReader(spark, dir)
+  lazy val corpus = WebCorpus.fromDocuments(spark, "/root/testdata/sf0.001")
+
+  test("decode(all blocks) == logical doc-term relation") {
+    val decoded = reader.decode(reader.blocks)
+      .join(reader.dictionary.select(col("term_id"), col("term")), "term_id")
+      .select(col("doc_id"), col("term"), col("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val logical = Analysis.docTerms(corpus)
+      .select(col("doc_id"), col("term"), col("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(decoded === logical)
+  }
+
+  test("positions survive the codec round-trip") {
+    val dec = reader.decodeWithPositions(reader.blocks)
+      .join(reader.dictionary.select(col("term_id"), col("term")), "term_id")
+      .select(col("doc_id"), col("term"), col("positions"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getSeq[Int](2).toSeq)).toSet
+    val logical = Analysis.docTerms(corpus)
+      .select(col("doc_id"), col("term"), col("positions"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getSeq[Int](2).toSeq)).toSet
+    assert(dec === logical)
+  }
+
+  test("blocks respect the size cap and doc-sorted invariant") {
+    val metas = reader.blocks
+      .select(col("term_id"), col("first_doc_id"), col("last_doc_id"), col("n_postings"))
+      .collect()
+    assert(metas.forall(r => r.getLong(1) <= r.getLong(2)))
+    // cut at 256 postings: no block except possibly one-doc blocks exceeds it
+    assert(metas.forall(_.getLong(3) <= 256 * 2))
+  }
+
+  test("prefix scan via pruned range equals dictionary filter") {
+    val Some((lo, hi)) = reader.prefixRange("s")
+    val viaRange = reader.decode(reader.blocksForRange(lo, hi))
+      .select(col("term_id")).distinct().collect().map(_.getLong(0)).toSet
+    val viaDict = reader.dictionary.filter(col("term").startsWith("s"))
+      .collect().map(_.getAs[Long]("term_id")).toSet
+    assert(viaRange === viaDict)
+  }
+
+  test("WAND top-k is rank-identical to full scoring and to the logical engine") {
+    val terms = Seq("spark", "hash", "merge")
+    val wand = reader.topKOrWand(terms, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = reader.topKOrFull(terms, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val logical = Engine.topKOr(corpus, terms, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(wand === full)
+    assert(wand === logical)
+  }
+
+  test("build is resumable: second run skips completed shards") {
+    val manifest2 = IndexBuilder.build(spark, corpus, dir, numShards = 2, blockSize = 256)
+    val statuses = manifest2.select(col("status")).collect().map(_.getString(0)).toSeq
+    assert(statuses === Seq("skipped_already_built", "skipped_already_built"))
+  }
+
+  test("lineage metrics exist per build partition") {
+    val m = spark.read.parquet(s"$dir/metrics")
+    assert(m.count() > 0)
+    assert(m.columns.toSet.contains("n_postings"))
+    val total = m.agg(sum(col("n_postings"))).head().getLong(0)
+    val expected = Analysis.stats(corpus).n_postings
+    assert(total === expected)
+  }
+}
