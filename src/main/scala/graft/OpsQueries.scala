@@ -1,0 +1,227 @@
+package graft
+
+import graft.core.WebCorpus
+import graft.ops.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline queries (dedup / similarity / text analysis /
+  * multimodal / streaming) + DuckDB oracles.
+  */
+object OpsQueries {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+  private def embs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact" -> ((s, d) => Dedup.exactGroups(docs(s, d))),
+    "dd_jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(docs(s, d), n = 5, threshold = 0.5)),
+    "dd_lsh_pairs" -> ((s, d) => Dedup.lshCandidatePairs(docs(s, d), n = 5, nHashes = 8, bands = 4)),
+    "dd_simhash" -> ((s, d) => Dedup.simhash(docs(s, d), bits = 16)),
+    "sim_cosine_topk" -> ((s, d) => Similarity.cosineTopK(embs(s, d), queryId = 0L, k = 10)),
+    "sim_lsh_buckets" -> ((s, d) => Similarity.lshBuckets(embs(s, d), planes = 8)),
+    "sim_lsh_pairs" -> ((s, d) => Similarity.lshPairs(embs(s, d), planes = 8, tau = 0.3)),
+    "ta_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
+    "ta_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d))),
+    "ta_tokcount" -> ((s, d) => TextAnalysis.tokenCounts(docs(s, d))),
+    "ta_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
+    "mm_decode_meta" -> ((s, d) =>
+      Multimodal.decodeMeta(WebCorpus.fromDocuments(s, d)).toDF()
+        .select(col("url"), col("n_bytes"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("n_frames").cast("long").as("n_frames"),
+          col("format"))),
+    "mm_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(Multimodal.decodeMeta(WebCorpus.fromDocuments(s, d)), stride = 2)
+        .select(col("url"), col("n_frames").cast("long").as("n_frames"),
+          col("frame_idx").cast("long").as("frame_idx"))),
+    "st_window_agg" -> ((s, d) => Events.streamWindowAgg(s, d)),
+    "st_sessions" -> ((s, d) => Events.sessionize(s.read.parquet(s"$d/events.parquet")))
+  )
+
+  // ---- oracle SQL ----
+
+  /** doc -> ordered token list CTEs (shared with Oracles.BaseCtes shape). */
+  private val ShinglesCtes: String =
+    s"""${Oracles.BaseCtes}, doc_toks AS (
+       |  SELECT doc_id, list(term ORDER BY pos) AS toks FROM toks GROUP BY 1
+       |), sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4] AS shingle
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i FROM doc_toks)
+       |)""".stripMargin
+
+  private def simhashSql: String = {
+    val sums = (0 until 16).map { j =>
+      val bit = s"((CAST('0x' || substr(md5(term), ${j / 4 + 1}, 1) AS INT) >> ${3 - j % 4}) & 1)"
+      s"sum(tf * ($bit * 2 - 1)) AS s$j"
+    }.mkString(", ")
+    val combine = (0 until 16).map { j =>
+      s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString(" + ")
+    s"""${Oracles.BaseCtes}, sums AS (
+       |  SELECT doc_id, $sums FROM dt GROUP BY doc_id
+       |) SELECT doc_id, CAST($combine AS BIGINT) AS simhash FROM sums""".stripMargin
+  }
+
+  private val EmbExpCtes: String =
+    """WITH exp AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |         CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings
+      |), norms AS (
+      |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM exp GROUP BY 1
+      |)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "dd_exact" ->
+      """SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(min(doc_id) AS BIGINT) AS min_doc_id, CAST(max(doc_id) AS BIGINT) AS max_doc_id
+        |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    "dd_jaccard_pairs" ->
+      s"""$ShinglesCtes, sizes AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS ns FROM sh GROUP BY 1
+         |), common AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS common
+         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT c.a, c.b, round(CAST(c.common AS DOUBLE) / (sa.ns + sb.ns - c.common), 4) AS jaccard
+         |FROM common c JOIN sizes sa ON sa.doc_id = c.a JOIN sizes sb ON sb.doc_id = c.b
+         |WHERE CAST(c.common AS DOUBLE) / (sa.ns + sb.ns - c.common) >= 0.5
+         |ORDER BY a, b""".stripMargin,
+    "dd_lsh_pairs" ->
+      s"""$ShinglesCtes, mh AS (
+         |  SELECT doc_id, gi.i,
+         |         min(md5(CAST(gi.i AS VARCHAR) || ':' || shingle)) AS mh
+         |  FROM sh, (SELECT unnest(range(0, 8)) AS i) gi GROUP BY 1, 2
+         |), bandsig AS (
+         |  SELECT doc_id, CAST(i // 2 AS INT) AS band,
+         |         md5(string_agg(mh, ',' ORDER BY i)) AS bsig
+         |  FROM mh GROUP BY 1, 2
+         |)
+         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |FROM bandsig x JOIN bandsig y ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id
+         |ORDER BY a, b""".stripMargin,
+    "dd_simhash" -> simhashSql,
+    "sim_cosine_topk" ->
+      s"""$EmbExpCtes, q AS (SELECT i, x AS y FROM exp WHERE vec_id = 0),
+         |dots AS (
+         |  SELECT e.vec_id, sum(e.x * q.y) AS dot
+         |  FROM exp e JOIN q USING (i) WHERE e.vec_id <> 0 GROUP BY 1
+         |)
+         |SELECT d.vec_id, round(d.dot / (n.nrm * (SELECT nrm FROM norms WHERE vec_id = 0)), 4) AS cos
+         |FROM dots d JOIN norms n USING (vec_id)
+         |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "sim_lsh_buckets" ->
+      ("SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(" +
+        (0 until 8).map(j => s"(CASE WHEN embedding[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END)")
+          .mkString(" + ") +
+        " AS BIGINT) AS bucket FROM embeddings"),
+    "sim_lsh_pairs" ->
+      s"""$EmbExpCtes, b AS (
+         |  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(${
+        (0 until 8).map(j => s"(CASE WHEN embedding[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      } AS BIGINT) AS bucket FROM embeddings
+         |), pairs AS (
+         |  SELECT x.vec_id AS a, y.vec_id AS b FROM b x JOIN b y USING (bucket) WHERE x.vec_id < y.vec_id
+         |), dots AS (
+         |  SELECT p.a, p.b, sum(ea.x * eb.x) AS dot
+         |  FROM pairs p JOIN exp ea ON ea.vec_id = p.a JOIN exp eb ON eb.vec_id = p.b AND ea.i = eb.i
+         |  GROUP BY 1, 2
+         |)
+         |SELECT d.a, d.b, round(d.dot / (na.nrm * nb.nrm), 4) AS cos
+         |FROM dots d JOIN norms na ON na.vec_id = d.a JOIN norms nb ON nb.vec_id = d.b
+         |WHERE round(d.dot / (na.nrm * nb.nrm), 4) >= 0.3
+         |ORDER BY a, b""".stripMargin,
+    "ta_langid" -> {
+      val langs = TextAnalysis.LangMarkers.toSeq.sortBy(_._1)
+      val scoreCols = langs.map { case (l, toks) =>
+        toks.map(t => s"len(regexp_extract_all(lower(text), '\\b$t\\b'))").mkString(" + ") +
+          s" AS score_$l"
+      }.mkString(", ")
+      // argmax, first-lexicographic lang wins ties (== the Scala fold where
+      // only a strictly greater score replaces the incumbent)
+      val m = "greatest(" + langs.map(l => s"score_${l._1}").mkString(", ") + ")"
+      val pick = langs.map(_._1).map(l => s"WHEN score_$l = m THEN '$l'").mkString(" ")
+      s"""WITH s AS (SELECT doc_id, $scoreCols FROM documents),
+         |b AS (SELECT doc_id, $m AS m, * FROM s)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |       CASE WHEN m = 0 THEN 'und' $pick END AS lang_pred,
+         |       CAST(m AS BIGINT) AS n_markers
+         |FROM b""".stripMargin
+    },
+    "ta_quality" -> {
+      val sep = Oracles.SepClass
+      val stop = Seq("the", "a", "of")
+        .map(t => s"len(regexp_extract_all(lower(text), '\\b$t\\b'))").mkString(" + ")
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    len(list_filter(regexp_split_to_array(text, '$sep'), t -> t <> '')) AS n_tokens,
+         |    length(text) AS n_chars,
+         |    ($stop) AS n_stop,
+         |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
+         |  FROM documents)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens, CAST(n_chars AS BIGINT) AS n_chars,
+         |  round(CAST(n_chars AS DOUBLE) / greatest(n_tokens, 1), 4) AS mean_tok_len,
+         |  round(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 4) AS stopword_ratio,
+         |  round(CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1), 4) AS alpha_ratio,
+         |  round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+         |      + (1.0 - least(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 1.0)) * 0.25
+         |      + (CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1)) * 0.25, 4) AS quality
+         |FROM m""".stripMargin
+    },
+    "ta_tokcount" -> {
+      val sep = Oracles.SepClass
+      s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  CAST(len(list_filter(regexp_split_to_array(text, ' +'), t -> t <> '')) AS BIGINT) AS n_ws,
+         |  CAST(len(list_filter(regexp_split_to_array(text, '$sep+'), t -> t <> '')) AS BIGINT) AS n_ref,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe
+         |FROM documents""".stripMargin
+    },
+    "ta_fingerprint" ->
+      s"""${Oracles.BaseCtes}
+         |SELECT doc_id,
+         |  CAST(sum((pos + 1) * CAST('0x' || substr(md5(term), 1, 8) AS BIGINT)) % 1000000007 AS BIGINT) AS fingerprint
+         |FROM toks GROUP BY doc_id""".stripMargin,
+    "mm_decode_meta" ->
+      """WITH m AS (
+        |  SELECT 'https://example.org/' || source || '/doc/' || doc_id AS url,
+        |         33 + octet_length(encode(text)) AS n
+        |  FROM documents)
+        |SELECT url, CAST(n AS BIGINT) AS n_bytes,
+        |  CAST(n % 64 + 1 AS BIGINT) AS width,
+        |  CAST((n // 64) % 64 + 1 AS BIGINT) AS height,
+        |  CAST(60 % 7 + 1 AS BIGINT) AS n_frames,
+        |  CASE WHEN n % 2 = 0 THEN 'img' ELSE 'vid' END AS format
+        |FROM m""".stripMargin,
+    "mm_frames" ->
+      """WITH m AS (
+        |  SELECT 'https://example.org/' || source || '/doc/' || doc_id AS url,
+        |         60 % 7 + 1 AS nf
+        |  FROM documents)
+        |SELECT url, CAST(nf AS BIGINT) AS n_frames, CAST(unnest(range(0, nf, 2)) AS BIGINT) AS frame_idx
+        |FROM m ORDER BY url, frame_idx""".stripMargin,
+    "st_window_agg" ->
+      """SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS win_start, event_type,
+        |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "st_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM o)
+        |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       min(ts) AS session_start, max(ts) AS session_end
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,120 @@
+package graft.ops
+
+import graft.core.Tokenizer
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data deduplication operators over the documents
+  * table. All hashing is md5-based so the DuckDB oracle can reproduce
+  * every value bit-for-bit (no engine-private hash functions).
+  *
+  * Scale notes: shingle join size is bounded by sum(df^2) over shingles;
+  * 5-token shingles keep df tiny on natural text. At 100 TB you'd add a
+  * df-cap filter on shingles before the self-join (standard head-shingle
+  * guard) -- the plan shape is unchanged.
+  */
+object Dedup {
+
+  /** Distinct n-token shingles per doc: (doc_id, shingle). Narrow flatMap. */
+  def shingles(docs: DataFrame, n: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = Tokenizer.tokenize(text)
+        if (toks.length < n) Iterator.empty
+        else toks.sliding(n).map(w => (id, w.mkString(" "))).toSet.iterator
+      }
+      .toDF("doc_id", "shingle")
+  }
+
+  /** Exact duplicate groups by content hash. */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).cast("long").as("min_doc_id"),
+        max(col("doc_id")).cast("long").as("max_doc_id"))
+      .filter(col("n_docs") > 1)
+
+  /** Near-duplicate pairs by n-gram Jaccard >= threshold.
+    * Inverted-index self-join on shingle -> common counts; set sizes
+    * joined back; jaccard = common / (|A| + |B| - common).
+    */
+  def jaccardPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, n).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val a = sh.toDF("a", "shingle")
+    val b = sh.toDF("b", "shingle")
+    val common = a.join(b, "shingle")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.toDF("a", "na"), "a")
+      .join(sizes.toDF("b", "nb"), "b")
+      .withColumn("jaccard",
+        round(col("common") / (col("na") + col("nb") - col("common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** MinHash signatures: for hash function i, sig = min over shingles of
+    * md5(i || ':' || shingle) -- the 32-hex-char string compares
+    * lexicographically exactly like the 128-bit value, in any engine.
+    */
+  def minhashSignatures(docs: DataFrame, n: Int = 5, nHashes: Int = 8): DataFrame = {
+    val sh = shingles(docs, n)
+    sh.select(col("doc_id"), col("shingle"),
+        explode(sequence(lit(0), lit(nHashes - 1))).as("i"))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("shingle")))).as("mh"))
+  }
+
+  /** MinHash-LSH candidate pairs: nHashes signatures split into `bands`
+    * bands of r = nHashes/bands rows; docs sharing any band bucket are
+    * candidates. Banding is the scale path: the pair join runs per
+    * (band, bucket), never across the whole corpus.
+    */
+  def lshCandidatePairs(docs: DataFrame, n: Int = 5, nHashes: Int = 8, bands: Int = 4): DataFrame = {
+    val r = nHashes / bands
+    val sigs = minhashSignatures(docs, n, nHashes)
+      .withColumn("band", (col("i") / r).cast("int"))
+    val bandSig = sigs
+      .groupBy(col("doc_id"), col("band"))
+      // order inside the band by i: array_sort of (i, mh) structs
+      .agg(md5(array_join(transform(
+        array_sort(collect_list(struct(col("i"), col("mh")))),
+        x => x.getField("mh")), ",")).as("bsig"))
+    val l = bandSig.select(col("band"), col("bsig"), col("doc_id").as("a"))
+    val rt = bandSig.select(col("band"), col("bsig"), col("doc_id").as("b"))
+    l.join(rt, Seq("band", "bsig"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** 16-bit SimHash over terms weighted by tf: bit j of md5(term) votes
+    * +tf / -tf; simhash bit j = (sum > 0). Pure integer arithmetic ->
+    * bit-exact across engines.
+    */
+  def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        Tokenizer.tokenize(text).groupBy(identity).map { case (t, g) => (id, t, g.size.toLong) }
+      }
+      .toDF("doc_id", "term", "tf")
+    val bitCols = (0 until bits).map { j =>
+      val hexDigit = substring(md5(col("term")), j / 4 + 1, 1)
+      val bit = shiftright(conv(hexDigit, 16, 10).cast("int"), 3 - j % 4) % 2
+      sum(col("tf") * (bit * 2 - 1)).as(s"s$j")
+    }
+    val sums = terms.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+    val sh = (0 until bits).map { j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    sums.select(col("doc_id"), sh.as("simhash"))
+  }
+}

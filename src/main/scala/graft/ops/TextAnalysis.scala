@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * Catalyst expressions (whole-stage codegen, no UDFs) and all
+  * reproducible in ANSI SQL for the oracle.
+  */
+object TextAnalysis {
+
+  /** Marker stopwords per language for the n-gram/stopword language-ID
+    * heuristic. Deterministic: score = marker hits; argmax with
+    * lexicographic tie-break; 'und' (undetermined) when zero hits.
+    */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "los", "y", "es", "una"),
+    "fr" -> Seq("le", "la", "et", "est", "une"))
+
+  private def countToken(token: String): Column =
+    // whole-word occurrences; \b matches DuckDB RE2 and Java regex alike
+    size(expr(s"regexp_extract_all(lower(text), '\\\\b$token\\\\b', 0)"))
+
+  /** (doc_id, lang_pred, n_markers): heuristic language identification. */
+  def langId(docs: DataFrame): DataFrame = {
+    val scores = LangMarkers.toSeq.sortBy(_._1).map { case (lang, toks) =>
+      toks.map(countToken).reduce(_ + _).cast("long").as(s"score_$lang")
+    }
+    val withScores = docs.select((col("doc_id").cast("long") +: scores): _*)
+    val langs = LangMarkers.keys.toSeq.sorted
+    val best = langs.map(l => struct(col(s"score_$l").as("s"), lit(l).as("l")))
+      .reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    withScores.select(col("doc_id"),
+      when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und")).as("lang_pred"),
+      best.getField("s").as("n_markers"))
+  }
+
+  /** Quality metrics per doc: token count, char count, mean token length,
+    * stopword ratio, alpha ratio, and a composite quality score in [0,1].
+    */
+  def quality(docs: DataFrame, stopwords: Seq[String] = Seq("the", "a", "of")): DataFrame = {
+    val toks = split(col("text"), "[!\"#$%&'()*+,\\-./@\\[\\\\\\]^{|}~:;<=>? ]+")
+    val nTokens = size(filter(toks, t => t =!= ""))
+    val nStop = stopwords.map(countToken).reduce(_ + _)
+    val nChars = length(col("text"))
+    val alphaChars = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+    docs.select(
+      col("doc_id").cast("long").as("doc_id"),
+      nTokens.cast("long").as("n_tokens"),
+      nChars.cast("long").as("n_chars"),
+      round(nChars.cast("double") / greatest(nTokens, lit(1)), 4).as("mean_tok_len"),
+      round(nStop.cast("double") / greatest(nTokens, lit(1)), 4).as("stopword_ratio"),
+      round(alphaChars.cast("double") / greatest(nChars, lit(1)), 4).as("alpha_ratio"),
+      round(
+        least(nTokens.cast("double") / 100.0, lit(1.0)) * lit(0.5)
+          + (lit(1.0) - least(nStop.cast("double") / greatest(nTokens, lit(1)), lit(1.0))) * lit(0.25)
+          + (alphaChars.cast("double") / greatest(nChars, lit(1))) * lit(0.25),
+        4).as("quality"))
+  }
+
+  /** Token counts three ways: whitespace split, reference tokenizer
+    * (separator class), and a BPE-ish regex (letter runs / digit runs /
+    * single other chars).
+    */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val ws = size(filter(split(col("text"), " +"), t => t =!= ""))
+    val ref = size(filter(split(col("text"), "[!\"#$%&'()*+,\\-./@\\[\\\\\\]^{|}~:;<=>? ]+"), t => t =!= ""))
+    val bpe = size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+      ws.cast("long").as("n_ws"), ref.cast("long").as("n_ref"), bpe.cast("long").as("n_bpe"))
+  }
+
+  /** Positional document fingerprint: sum over tokens of
+    * (pos+1) * (md5-derived 32-bit token hash), mod 1e9+7. Order-sensitive,
+    * pure integer arithmetic -> bit-exact in any engine.
+    */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[!\"#$%&'()*+,\\-./@\\[\\\\\\]^{|}~:;<=>? ]+"), t => t =!= "")
+    val P = 1000000007L
+    val fp = aggregate(
+      zip_with(toks, sequence(lit(1), greatest(size(toks), lit(1))),
+        (t, i) => i.cast("long") * conv(substring(md5(t), 1, 8), 16, 10).cast("long")),
+      lit(0L), (acc, x) => (acc + x) % P) % P
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+      when(size(toks) === 0, lit(0L)).otherwise(fp).as("fingerprint"))
+  }
+}

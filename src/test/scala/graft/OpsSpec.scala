@@ -1,0 +1,99 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog tail"), // near dup
+    (4L, "completely different content about spark engines and indexes here"),
+    (5L, "der hund und die katze das ist gut und schoen ist es")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup finds identical docs only") {
+    val g = Dedup.exactGroups(docs).collect()
+    assert(g.length === 1)
+    assert(g.head.getAs[Long]("n_docs") === 2)
+    assert(g.head.getAs[Long]("min_doc_id") === 1 && g.head.getAs[Long]("max_doc_id") === 2)
+  }
+
+  test("jaccard pairs rank near-dups above unrelated docs") {
+    val p = Dedup.jaccardPairs(docs, n = 3, threshold = 0.3).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Double]("jaccard")))
+    assert(p.exists { case (a, b, j) => a == 1 && b == 2 && j == 1.0 })
+    assert(p.exists { case (a, b, _) => a == 1 && b == 3 })
+    assert(!p.exists { case (a, b, _) => b == 4 || a == 4 })
+  }
+
+  test("minhash LSH surfaces exact dups as candidates") {
+    val c = Dedup.lshCandidatePairs(docs, n = 3, nHashes = 8, bands = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(c.contains((1L, 2L)))
+    assert(!c.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash: identical docs equal; near-dups within small hamming distance") {
+    val sh = Dedup.simhash(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sh(1L) === sh(2L))
+    val hammingNear = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    val hammingFar = java.lang.Long.bitCount(sh(1L) ^ sh(4L))
+    assert(hammingNear <= hammingFar)
+  }
+
+  test("cosine top-k: identical vector scores 1, orthogonal scores 0") {
+    val embs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (1L, Array(1f, 0f, 0f, 0f), 0),
+      (2L, Array(0f, 1f, 0f, 0f), 0),
+      (3L, Array(0.5f, 0.5f, 0f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.cosineTopK(embs, 0L, 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(r(1L) === 1.0)
+    assert(r(2L) === 0.0)
+    assert(math.abs(r(3L) - 0.7071) < 1e-9)
+  }
+
+  test("langid picks the language with most marker hits") {
+    val r = TextAnalysis.langId(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("lang_pred")).toMap
+    assert(r(5L) === "de")
+    assert(r(1L) === "en")
+    assert(r(4L) === "en") // 'and' marker
+  }
+
+  test("fingerprint is order-sensitive") {
+    val d2 = Seq((1L, "alpha beta"), (2L, "beta alpha")).toDF("doc_id", "text")
+    val f = TextAnalysis.fingerprint(d2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(f(1L) !== f(2L))
+  }
+
+  test("multimodal stub decode is deterministic and batched") {
+    val corpus = Seq(("u1", "hello".getBytes("UTF-8")), ("u2", "worlds!".getBytes("UTF-8")))
+      .toDF("url", "html")
+    val m = Multimodal.decodeMeta(corpus, batchSize = 1).collect()
+      .map(x => x.url -> x).toMap
+    assert(m("u1").n_bytes === 5 && m("u1").width === 6 && m("u1").format === "vid")
+    assert(m("u2").n_bytes === 7)
+  }
+
+  test("sessionize splits on >30min gaps") {
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 10L),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 10L),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 10L), // 50min gap
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 01:29:00"), 10L)
+    ).toDF("event_id", "ts", "user_id")
+    val s = Events.sessionize(ev).collect()
+    assert(s.length === 2)
+    assert(s.map(_.getAs[Long]("n_events")).toSeq === Seq(2L, 2L))
+  }
+}
