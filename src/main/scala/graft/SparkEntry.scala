@@ -39,7 +39,7 @@ object SparkEntry {
     "ix_wand_topk" -> IndexQueries.wandTopK _,
     "ix_prefix_docs" -> IndexQueries.prefixDocs _,
     "ix_build_metrics" -> IndexQueries.buildMetrics _
-  ) ++ OpsQueries.queries
+  ) ++ OpsQueries.queries ++ QpQueries.queries
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> "SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1"
@@ -48,5 +48,5 @@ object SparkEntry {
       s"${Oracles.BaseCtes} SELECT doc_id, term, tf FROM dt",
     "ix_wand_topk" -> Oracles.topDocs("term IN ('spark', 'hash', 'merge')"),
     "ix_prefix_docs" -> Oracles.topDocs("term LIKE 'st%'")
-  ) ++ OpsQueries.oracleSql
+  ) ++ OpsQueries.oracleSql ++ QpQueries.oracleSql
 }

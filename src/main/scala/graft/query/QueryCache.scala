@@ -1,0 +1,65 @@
+package graft.query
+
+import graft.core.Analysis
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Result cache / history (reference: History.h:25-110 -- byte-budgeted
+  * LRU of query -> QueryResult, plus the prefix-filtering fast path
+  * copyAndFilter, CompleterBase.cpp:2435-2504: answer `schedul*` by
+  * filtering the cached postings of `schedu*` instead of touching the
+  * index).
+  *
+  * Spark translation: an LRU of query string -> persisted Dataset. The
+  * filtering fast path re-filters the cached matched doc-term relation by
+  * the narrower term range -- no re-scan, no re-tokenize; Catalyst plans a
+  * filter over the in-memory relation.
+  */
+class QueryCache(maxEntries: Int = 200) {
+
+  private case class Entry(prefix: String, matched: DataFrame)
+  private val lru = new java.util.LinkedHashMap[String, Entry](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, Entry]): Boolean = {
+      val evict = size() > maxEntries
+      if (evict) e.getValue.matched.unpersist()
+      evict
+    }
+  }
+
+  var hits = 0L
+  var filteredHits = 0L
+  var misses = 0L
+
+  /** Matched doc-term relation for a prefix query, via cache:
+    * exact hit, or filter of any cached shorter prefix, or compute+persist.
+    */
+  def matchedForPrefix(corpus: DataFrame, prefix: String): DataFrame = synchronized {
+    val exact = lru.get(prefix)
+    if (exact != null) { hits += 1; return exact.matched }
+    // copyAndFilter fast path: longest cached proper prefix of `prefix`
+    val candidates = lru.entrySet().iterator()
+    var best: Entry = null
+    while (candidates.hasNext) {
+      val e = candidates.next().getValue
+      if (prefix.startsWith(e.prefix) && (best == null || e.prefix.length > best.prefix.length))
+        best = e
+    }
+    val matched =
+      if (best != null) {
+        filteredHits += 1
+        best.matched.filter(col("term").startsWith(prefix))
+      } else {
+        misses += 1
+        Analysis.docTerms(corpus).toDF().filter(col("term").startsWith(prefix))
+      }
+    val persisted = matched.persist()
+    lru.put(prefix, Entry(prefix, persisted))
+    persisted
+  }
+
+  def clear(): Unit = synchronized {
+    lru.values().forEach(_.matched.unpersist())
+    lru.clear()
+    hits = 0; filteredHits = 0; misses = 0
+  }
+}

@@ -1,0 +1,129 @@
+package graft
+
+import graft.query.{Executor, QueryCache, QueryParser}
+import graft.query.QueryParser._
+import org.scalatest.funsuite.AnyFunSuite
+
+class QueryParserSpec extends AnyFunSuite {
+
+  test("splitAtLastSeparator analog: parts and separators") {
+    val q = QueryParser.parse("sched* alg*")
+    assert(q.parts.length === 2)
+    assert(q.parts(0).atom === Word("sched", prefix = true))
+    assert(q.parts(1).sep === Some(SameDoc))
+  }
+
+  test("phrase, near, same-pos separators") {
+    assert(QueryParser.parse("a.b").parts(1).sep === Some(Phrase))
+    assert(QueryParser.parse("a..b").parts(1).sep === Some(Near))
+    assert(QueryParser.parse("a=b").parts(1).sep === Some(SamePos))
+  }
+
+  test("word modifiers: NOT, exact, fuzzy, synonym") {
+    assert(QueryParser.parse("x -y").parts(1).atom === Word("y", not = true))
+    assert(QueryParser.parse("y$").parts(0).atom === Word("y", exact = true))
+    assert(QueryParser.parse("y~").parts(0).atom === Word("y", fuzzy = true))
+    assert(QueryParser.parse("y^").parts(0).atom === Word("y", synonym = true))
+  }
+
+  test("OR alternatives and word ranges") {
+    assert(QueryParser.parse("a|b|c*").parts(0).atom ===
+      OrAtoms(Seq(Word("a"), Word("b"), Word("c", prefix = true))))
+    assert(QueryParser.parse("year:1997--year:2005").parts(0).atom ===
+      WordRange("year:1997", "year:2005"))
+  }
+
+  test("join blocks nest full queries") {
+    val q = QueryParser.parse("[a b*#c]")
+    q.parts(0).atom match {
+      case JoinBlock(l, r) =>
+        assert(l.parts.length === 2 && r.parts.length === 1)
+        assert(l.parts(1).atom === Word("b", prefix = true))
+      case other => fail(s"expected JoinBlock, got $other")
+    }
+  }
+
+  test("queries are lowercased like the indexed terms") {
+    assert(QueryParser.parse("SPARK").parts(0).atom === Word("spark"))
+  }
+}
+
+class ExecutorSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  lazy val corpus = Seq(
+    (1L, "aachen aal aalglatt aargau"),
+    (2L, "aachen aalglatt aal"),
+    (3L, "babbeln baby babyboom babylonisch"),
+    (4L, "babbeln baby babyboom")
+  ).toDF("doc_id", "text")
+
+  private def docsOf(q: String): Set[Long] =
+    Executor.topK(corpus, q, 10).collect().map(_.getLong(0)).toSet
+
+  test("single word, AND, NOT, OR through the grammar") {
+    assert(docsOf("aachen") === Set(1L, 2L))
+    assert(docsOf("aachen aargau") === Set(1L))
+    assert(docsOf("aachen -aargau") === Set(2L))
+    assert(docsOf("aargau|babylonisch") === Set(1L, 3L))
+  }
+
+  test("prefix and range atoms") {
+    assert(docsOf("bab*") === Set(3L, 4L))
+    assert(docsOf("aal--aargau") === Set(1L, 2L))
+  }
+
+  test("phrase vs near windows") {
+    assert(docsOf("aal.aalglatt") === Set(1L))
+    assert(docsOf("aal..aalglatt") === Set(1L, 2L))
+  }
+
+  test("fuzzy matches within edit distance") {
+    assert(docsOf("aachen~") === Set(1L, 2L)) // exact term matches too
+    assert(docsOf("aachan~") === Set(1L, 2L)) // 1 edit
+  }
+
+  test("chained three-part query stays left-deep") {
+    assert(docsOf("babbeln baby babyboom") === Set(3L, 4L))
+    assert(docsOf("babbeln.baby.babyboom") === Set(3L, 4L)) // chained phrases
+  }
+
+  test("completions restricted to result docs") {
+    val comps = Executor.completions(corpus, "babylonisch ba*", 10).collect()
+      .map(_.getString(0)).toSet
+    assert(comps === Set("babbeln", "baby", "babyboom", "babylonisch"))
+  }
+}
+
+class QueryCacheSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("prefix filtering fast path reuses cached relation") {
+    val corpus = Seq((1L, "schedule scheduling scheme"), (2L, "scheduling talk"))
+      .toDF("doc_id", "text")
+    val cache = new QueryCache(maxEntries = 10)
+    val a = cache.matchedForPrefix(corpus, "sch")
+    assert(a.count() === 4)
+    assert(cache.misses === 1)
+    val b = cache.matchedForPrefix(corpus, "schedul")
+    assert(b.count() === 3)
+    assert(cache.filteredHits === 1) // derived from cached "sch", no rescan
+    val c = cache.matchedForPrefix(corpus, "schedul")
+    assert(c.count() === 3)
+    assert(cache.hits === 1)
+    cache.clear()
+  }
+
+  test("LRU evicts beyond capacity") {
+    val corpus = Seq((1L, "aa ab ac ad")).toDF("doc_id", "text")
+    val cache = new QueryCache(maxEntries = 2)
+    cache.matchedForPrefix(corpus, "aa")
+    cache.matchedForPrefix(corpus, "ab")
+    cache.matchedForPrefix(corpus, "ac")
+    cache.matchedForPrefix(corpus, "aa") // evicted -> recompute
+    assert(cache.misses === 4)
+    cache.clear()
+  }
+}
