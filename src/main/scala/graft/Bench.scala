@@ -1,24 +1,98 @@
 package graft
+
+import graft.core.WebCorpus
+import graft.index.{IndexBuilder, IndexReader}
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark driver (answerQueries analog, reference answerQueries.cpp):
+  * prints ONE JSON line with
+  *   - total/per-query seconds for every gated query (driver contract),
+  *   - index-build throughput (docs/sec) over the web corpus,
+  *   - warm BM25 top-10 latency p50/p95 over a keyword/prefix query mix.
+  */
 object Bench {
+
+  def percentile(xs: Seq[Double], p: Double): Double = {
+    val s = xs.sorted
+    s(math.min(s.length - 1, math.max(0, (p * s.length).toInt)))
+  }
+
+  /** The benchmark query mix: keyword, AND, OR, prefix -- the reference
+    * query-set shapes (end2end.py templates, FIXTURES.md §4).
+    */
+  val QuerySet: Seq[(String, IndexReader => org.apache.spark.sql.DataFrame)] = Seq(
+    "kw:spark" -> ((r: IndexReader) => r.topKOrFull(Seq("spark"), 10)),
+    "kw:merge" -> ((r: IndexReader) => r.topKOrFull(Seq("merge"), 10)),
+    "or3" -> ((r: IndexReader) => r.topKOrWand(Seq("spark", "hash", "merge"), 10)),
+    "or4" -> ((r: IndexReader) => r.topKOrWand(Seq("batch", "stream", "vector", "window"), 10)),
+    "prefix:st" -> ((r: IndexReader) => r.topKPrefixDocs("st", 10)),
+    "prefix:s" -> ((r: IndexReader) => r.topKPrefixDocs("s", 10)),
+    "prefix:b" -> ((r: IndexReader) => r.topKPrefixDocs("b", 10)))
+
+  /** Deterministic corpus expansion for throughput measurement: replicate
+    * the documents table k times with shifted doc ids (identical content,
+    * so rankings stay deterministic up to the id shift). Amortizes fixed
+    * job overhead so docs/sec reflects pipeline throughput.
+    */
+  def replicatedCorpus(spark: SparkSession, sfDir: String, k: Int) = {
+    import org.apache.spark.sql.functions._
+    val base = WebCorpus.fromDocuments(spark, sfDir)
+    val maxDoc = base.agg(max(col("doc_id"))).head().getLong(0) + 1
+    base.crossJoin(spark.range(k).toDF("rep"))
+      .withColumn("doc_id", col("doc_id") + col("rep") * maxDoc)
+      .withColumn("url", concat(col("url"), lit("?rep="), col("rep")))
+      .drop("rep")
+  }
+
+  def buildAndMeasure(spark: SparkSession, sfDir: String, reps: Int = 3,
+                      replDefault: Int = 10): (Double, Double, Double, Long, String) = {
+    val repl = sys.env.getOrElse("SPARK_GRAFT_REPL", replDefault.toString).toInt
+    val corpus = replicatedCorpus(spark, sfDir, repl).cache()
+    val nDocs = corpus.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_ix").toString
+    val t0 = System.nanoTime()
+    IndexBuilder.build(spark, corpus, dir, numShards = 1)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+
+    val reader = new IndexReader(spark, dir)
+    reader.dictionary.count() // warm dictionary cache
+    QuerySet.foreach { case (_, q) => q(reader).collect() } // untimed warm pass
+    val lat = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var sig = 0L // determinism signature over all top-k results
+    for (_ <- 1 to reps; (_, q) <- QuerySet) {
+      val s = System.nanoTime()
+      val rows = q(reader).collect()
+      lat += (System.nanoTime() - s) / 1e9
+      sig = rows.foldLeft(sig)((a, r) => 31 * a + r.mkString(",").hashCode)
+    }
+    (nDocs / buildSec, percentile(lat.toSeq, 0.5) * 1000,
+      percentile(lat.toSeq, 0.95) * 1000, nDocs, java.lang.Long.toHexString(sig))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    val (docsPerSec, p50Ms, p95Ms, nDocs, _) = buildAndMeasure(spark, sfDir)
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""build_docs_per_sec":$docsPerSec,"n_docs":$nDocs,""" +
+      s""""bm25_top10_p50_ms":$p50Ms,"bm25_top10_p95_ms":$p95Ms}""")
     spark.stop()
   }
 }

@@ -23,7 +23,7 @@ object FtQueries {
 
   /** Dense lexicographic term dictionary with df/cf (Vocabulary analog). */
   def dictionary(spark: SparkSession, sfDir: String): DataFrame =
-    Analysis.dictionary(Analysis.docTerms(corpus(spark, sfDir)))
+    Analysis.dictionary(Analysis.docTermsCached(corpus(spark, sfDir)))
 
   /** The full posting relation (words-file shape). */
   def postings(spark: SparkSession, sfDir: String): DataFrame =
@@ -32,7 +32,7 @@ object FtQueries {
 
   /** Corpus stats (MetaInfo analog). */
   def stats(spark: SparkSession, sfDir: String): DataFrame = {
-    val st = Analysis.stats(corpus(spark, sfDir))
+    val st = Analysis.statsCached(corpus(spark, sfDir))
     val spark2 = spark
     import spark2.implicits._
     val avgdl6 = BigDecimal(st.avgdl)
@@ -69,6 +69,21 @@ object FtQueries {
 
   def joinBlock(spark: SparkSession, sfDir: String): DataFrame =
     Engine.joinBlockTerms(corpus(spark, sfDir), "s", "window", "hash")
+
+  def bm25OrMax(spark: SparkSession, sfDir: String): DataFrame =
+    Engine.topKOrAgg(corpus(spark, sfDir), Seq("spark", "hash"), 10, "max")
+
+  def completionsByDc(spark: SparkSession, sfDir: String): DataFrame =
+    Engine.topKCompletionsBy(corpus(spark, sfDir), "s", 10, "dc")
+
+  def facetCounts(spark: SparkSession, sfDir: String): DataFrame =
+    graft.core.Facets.facetCounts(corpus(spark, sfDir), "lang")
+
+  def facetCountsFiltered(spark: SparkSession, sfDir: String): DataFrame =
+    graft.core.Facets.facetCountsFiltered(corpus(spark, sfDir)
+      .join(spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("source")), "doc_id"),
+      "source", "spark")
 }
 
 /** DuckDB oracle SQL mirroring each FtQueries entry. Shared CTE `toks`
@@ -166,6 +181,26 @@ object Oracles {
          |WHERE a.term = 'spark' AND b.term = 'join' AND b.pos - a.pos BETWEEN -10 AND 10
          |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
     "ft_wordrange" -> topDocs("term >= 'batch' AND term <= 'filter'"),
+    "ft_or_max" ->
+      s"""$BaseCtes
+         |SELECT doc_id, round(max(score), 4) AS score
+         |FROM scored WHERE term IN ('spark', 'hash') GROUP BY doc_id
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "ft_completions_dc" ->
+      s"""$BaseCtes
+         |SELECT term, round(sum(score), 4) AS score,
+         |       CAST(count(*) AS BIGINT) AS dc, CAST(sum(tf) AS BIGINT) AS oc
+         |FROM scored WHERE term LIKE 's%'
+         |GROUP BY term ORDER BY dc DESC, term ASC LIMIT 10""".stripMargin,
+    "fc_counts" ->
+      """SELECT lang AS value, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY n_docs DESC, value ASC""".stripMargin,
+    "fc_filtered" ->
+      s"""$BaseCtes
+         |SELECT d.source AS value, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM documents d
+         |WHERE d.doc_id IN (SELECT doc_id FROM dt WHERE term = 'spark')
+         |GROUP BY 1 ORDER BY n_docs DESC, value ASC""".stripMargin,
     "ft_joinblock" ->
       s"""$BaseCtes
          |SELECT DISTINCT t.term FROM dt t

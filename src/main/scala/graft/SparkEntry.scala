@@ -35,6 +35,10 @@ object SparkEntry {
     "ft_proximity" -> FtQueries.proximity _,
     "ft_wordrange" -> FtQueries.wordRange _,
     "ft_joinblock" -> FtQueries.joinBlock _,
+    "ft_or_max" -> FtQueries.bm25OrMax _,
+    "ft_completions_dc" -> FtQueries.completionsByDc _,
+    "fc_counts" -> FtQueries.facetCounts _,
+    "fc_filtered" -> FtQueries.facetCountsFiltered _,
     "ix_decoded_postings" -> IndexQueries.decodedPostings _,
     "ix_wand_topk" -> IndexQueries.wandTopK _,
     "ix_prefix_docs" -> IndexQueries.prefixDocs _,

@@ -31,6 +31,30 @@ object Analysis {
   val K1 = 1.2
   val B = 0.75
 
+  // Process-level caches keyed by the corpus plan's semantic hash: repeated
+  // queries over the same corpus (one Verify/Bench run, a query server)
+  // share one tokenized, persisted doc-term relation and one stats row
+  // instead of re-tokenizing per query. Semantically a no-op.
+  private val dtCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Dataset[DocTerm]]()
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), CorpusStats]()
+
+  // key by (session identity, plan semantic hash): a new SparkSession (e.g.
+  // ScalingBench restarting at another parallelism) must not see Datasets
+  // bound to a stopped context
+  private def corpusKey(corpus: DataFrame): (Int, Int) =
+    (System.identityHashCode(corpus.sparkSession),
+      corpus.queryExecution.analyzed.semanticHash())
+
+  /** Cached variant of [[docTerms]]: persisted once per distinct corpus. */
+  def docTermsCached(corpus: DataFrame): Dataset[DocTerm] =
+    dtCache.computeIfAbsent(corpusKey(corpus), _ => docTerms(corpus).persist())
+
+  /** Cached variant of [[stats]]. */
+  def statsCached(corpus: DataFrame): CorpusStats =
+    statsCache.computeIfAbsent(corpusKey(corpus), _ => stats(corpus))
+
   /** Tokenize each document once, aggregating tf/positions/dl locally.
     * Narrow (no shuffle). Input must have (doc_id: long, text: string).
     */
@@ -110,8 +134,8 @@ object Analysis {
     * relation filtered to the query terms is tiny by construction).
     */
   def scoredForTerms(corpus: DataFrame, terms: Seq[String]): DataFrame = {
-    val dt = docTerms(corpus)
-    val st = stats(corpus)
+    val dt = docTermsCached(corpus)
+    val st = statsCached(corpus)
     val dfTbl = dt.filter(col("term").isin(terms: _*))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     dt.filter(col("term").isin(terms: _*))

@@ -1,0 +1,66 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Facet / filter / ordering ingestion -- the reference's key unification
+  * trick (CsvParser.h:107-154, CsvParser.cpp:293-312): metadata fields are
+  * emitted as *artificial words* in reserved namespaces inside the SAME
+  * posting relation:
+  *
+  *   :facet:<field>:<value>     one per doc per facet field
+  *   :filter:<field>:<word>     one per word of a filterable field
+  *   :ordering:<field>:<key>    sortable key encoding
+  *
+  * All metadata querying then reduces to prefix search over (term, doc):
+  * facet counts = completions of `:facet:<field>:`, filtering = AND with a
+  * `:filter:` term. In Spark these are extra rows union'd into the
+  * doc-term relation -- same partitioning, same pruning, zero new operators.
+  */
+object Facets {
+
+  def facetTerm(field: String, value: Column): Column =
+    concat(lit(s":facet:$field:"), value)
+
+  /** Emit facet rows (doc_id, term, tf=1, positions=[], dl=0) for the given
+    * metadata fields of a corpus-shaped frame.
+    */
+  def facetRows(corpus: DataFrame, fields: Seq[String]): DataFrame = {
+    fields.map { f =>
+      corpus.select(
+        col("doc_id").cast("long").as("doc_id"),
+        facetTerm(f, col(f).cast("string")).as("term"),
+        lit(1L).as("tf"),
+        array().cast("array<int>").as("positions"),
+        lit(0L).as("dl"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Doc-term relation extended with facet rows. */
+  def withFacets(corpus: DataFrame, fields: Seq[String]): DataFrame =
+    Analysis.docTermsCached(corpus).toDF().unionByName(facetRows(corpus, fields))
+
+  /** Facet value counts for a field: completions of `:facet:<field>:`
+    * (reference: faceted search = prefix query over facet words).
+    */
+  def facetCounts(corpus: DataFrame, field: String): DataFrame =
+    withFacets(corpus, Seq(field))
+      .filter(col("term").startsWith(s":facet:$field:"))
+      .groupBy(substring_index(col("term"), ":", -1).as("value"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("value").asc)
+
+  /** Facet counts restricted to docs matching a keyword -- the classic
+    * faceted-search drill-down: AND of a word posting list with the facet
+    * posting list (one docId semi-join).
+    */
+  def facetCountsFiltered(corpus: DataFrame, field: String, word: String): DataFrame = {
+    val dt = Analysis.docTermsCached(corpus)
+    val matching = dt.filter(col("term") === word).select(col("doc_id")).distinct()
+    facetRows(corpus, Seq(field))
+      .join(matching, Seq("doc_id"), "left_semi")
+      .groupBy(substring_index(col("term"), ":", -1).as("value"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("value").asc)
+  }
+}

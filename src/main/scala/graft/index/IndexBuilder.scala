@@ -90,20 +90,29 @@ object IndexBuilder {
     val fs = java.nio.file.Paths.get(outDir)
     java.nio.file.Files.createDirectories(fs)
 
+    // One tokenizing pass, shared (persisted) across dictionary, stats and
+    // every shard's encode stage.
+    val dt = Analysis.docTermsCached(corpus)
+
     // 1-2: dictionary + stats over the WHOLE corpus (shared by all shards;
     // term ids must be global). Idempotent: skip if already committed.
     val dictDone = java.nio.file.Files.exists(java.nio.file.Paths.get(s"$outDir/dictionary/_SUCCESS"))
     if (!dictDone) {
-      val dt = Analysis.docTerms(corpus)
       Analysis.dictionary(dt).write.mode(SaveMode.Overwrite).parquet(s"$outDir/dictionary")
-      val st = Analysis.stats(corpus)
-      Seq((st.n_docs, st.n_postings, st.avgdl)).toDF("n_docs", "n_postings", "avgdl")
+      // stats from the doc-term relation: n_docs over the corpus (counts
+      // empty docs too), postings = sum(tf), avgdl = postings / n_docs
+      val nd = corpus.count()
+      val npRow = dt.agg(sum(col("tf"))).head()
+      val np = if (npRow.isNullAt(0)) 0L else npRow.getLong(0)
+      Seq((nd, np, if (nd == 0) 0.0 else np.toDouble / nd))
+        .toDF("n_docs", "n_postings", "avgdl")
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats")
     }
     val dict = spark.read.parquet(s"$outDir/dictionary")
     val statsRow = spark.read.parquet(s"$outDir/stats").head()
     val avgdl = statsRow.getAs[Double]("avgdl")
     val nDocs = statsRow.getAs[Long]("n_docs")
+    val vocabSize = dict.count()
 
     // Shard by docId range: independent, resumable jobs.
     val maxDoc = corpus.agg(max(col("doc_id"))).head().getLong(0)
@@ -119,20 +128,24 @@ object IndexBuilder {
         val t0 = System.nanoTime()
         val lo = shard * shardWidth
         val hi = (shard + 1) * shardWidth - 1
-        val shardCorpus = corpus.filter(col("doc_id").between(lo, hi))
-        val (blocks, nBlocks, nPostings, bytes) =
-          buildShard(spark, shardCorpus, dict, nDocs, avgdl, blockSize, bucketSize, buildPartitions)
+        val shardDt = dt.toDF().filter(col("doc_id").between(lo, hi))
+        val blocks = buildShard(spark, shardDt, dict, vocabSize, avgdl,
+          blockSize, bucketSize, buildPartitions).persist()
         blocks.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(shardDir)
-        val elapsedMs = (System.nanoTime() - t0) / 1000000
-        manifest += ((shard, nBlocks, nPostings, bytes, elapsedMs, "built"))
-        // per-partition lineage/metrics for this shard
-        spark.read.parquet(shardDir)
-          .groupBy(col("build_partition"))
+        // per-partition lineage/metrics from the persisted blocks (no
+        // re-read of what we just wrote)
+        val metrics = blocks.groupBy(col("build_partition"))
           .agg(count(lit(1)).as("n_blocks"), sum(col("n_postings")).as("n_postings"),
             sum(length(col("doc_deltas")) + length(col("tfs")) + length(col("dls")) +
               length(col("positions"))).as("bytes_encoded"))
           .withColumn("shard", lit(shard))
-          .write.mode(SaveMode.Overwrite).parquet(s"$outDir/metrics/shard=$shard")
+        metrics.write.mode(SaveMode.Overwrite).parquet(s"$outDir/metrics/shard=$shard")
+        val agg = metrics.agg(sum(col("n_blocks")), sum(col("n_postings")),
+          sum(col("bytes_encoded"))).head()
+        blocks.unpersist()
+        val elapsedMs = (System.nanoTime() - t0) / 1000000
+        def g(i: Int) = if (agg.isNullAt(i)) 0L else agg.getLong(i)
+        manifest += ((shard, g(0), g(1), g(2), elapsedMs, "built"))
       }
     }
 
@@ -141,25 +154,25 @@ object IndexBuilder {
     m
   }
 
-  /** Encode one shard's posting blocks. Returns (blocks, nBlocks, nPostings, bytes). */
+  /** Encode one shard's posting blocks from the (already tokenized)
+    * doc-term relation.
+    */
   private def buildShard(
       spark: SparkSession,
-      shardCorpus: DataFrame,
+      shardDt: DataFrame,
       dict: DataFrame,
-      nDocs: Long,
+      vocabSize: Long,
       avgdl: Double,
       blockSize: Int,
       bucketSize: Int,
-      buildPartitions: Int): (Dataset[PostingBlock], Long, Long, Long) = {
+      buildPartitions: Int): Dataset[PostingBlock] = {
     import spark.implicits._
 
-    val dt = Analysis.docTerms(shardCorpus)
-    // term-id join: broadcast the dictionary when small (vocab rows known
-    // from dict stats); at web scale this becomes a shuffle join -- let AQE
-    // decide by just hinting when under threshold.
-    val dictSmall = dict.count() <= 1000000
+    // term-id join: broadcast the dictionary when small; at web scale
+    // (vocab >> 1M) this becomes a shuffle join and AQE sizes it.
+    val dictSmall = vocabSize <= 1000000
     val d = dict.select(col("term"), col("term_id"))
-    val joined = dt.join(if (dictSmall) broadcast(d) else d, "term")
+    val joined = shardDt.join(if (dictSmall) broadcast(d) else d, "term")
       .select(col("term_id").cast("long"), col("doc_id"), col("tf"), col("positions"), col("dl"))
 
     val nPart = if (buildPartitions > 0) buildPartitions
@@ -210,13 +223,6 @@ object IndexBuilder {
       }
     }
 
-    val persisted = blocks.persist()
-    val agg = persisted.groupBy()
-      .agg(count(lit(1)).as("nb"), sum(col("n_postings")).as("np"),
-        sum(length(col("doc_deltas")) + length(col("tfs")) + length(col("dls")) +
-          length(col("positions"))).as("bytes"))
-      .head()
-    (persisted, agg.getLong(0), if (agg.isNullAt(1)) 0L else agg.getLong(1),
-      if (agg.isNullAt(2)) 0L else agg.getLong(2))
+    blocks
   }
 }

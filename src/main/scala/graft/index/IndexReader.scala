@@ -23,14 +23,22 @@ import org.apache.spark.sql.functions._
   * scoring the densest block per term (phase 1). This is the
   * Spark-idiomatic, exact equivalent of cursor-based BM-WAND.
   */
-class IndexReader(val spark: SparkSession, val dir: String) extends Serializable {
+class IndexReader(val spark: SparkSession, val dir: String,
+                  cacheBlocks: Boolean = true) extends Serializable {
   import spark.implicits._
 
   lazy val dictionary: DataFrame = spark.read.parquet(s"$dir/dictionary").cache()
   private lazy val statsRow = spark.read.parquet(s"$dir/stats").head()
   lazy val nDocs: Long = statsRow.getAs[Long]("n_docs")
   lazy val avgdl: Double = statsRow.getAs[Double]("avgdl")
-  lazy val blocks: DataFrame = spark.read.parquet(s"$dir/blocks")
+  /** Block segments. Cached by default for a query-serving session (the
+    * in-memory relation still skips batches via min/max stats); pass
+    * cacheBlocks=false for one-shot scans of indexes larger than memory.
+    */
+  lazy val blocks: DataFrame = {
+    val b = spark.read.parquet(s"$dir/blocks")
+    if (cacheBlocks) b.cache() else b
+  }
 
   def idf(df: Long): Double = math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
 
@@ -129,6 +137,9 @@ class IndexReader(val spark: SparkSession, val dir: String) extends Serializable
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2) * idfByTermId(r.getLong(0))))
 
     if (meta.isEmpty) return topKOrFull(terms, k)
+    // tiny candidate set: the two-phase pruning costs more driver round
+    // trips than it saves -- scan directly
+    if (meta.length <= 64) return topKOrFull(terms, k)
 
     // Phase 1: exactly score the single highest-ub block per term -> theta
     // (a valid lower bound on the final k-th score: partial sums only grow).

@@ -36,8 +36,8 @@ object Engine {
 
   /** (doc_id, term, score) for all terms with the given prefix. */
   def scoredForPrefix(corpus: DataFrame, prefix: String): DataFrame = {
-    val dt = Analysis.docTerms(corpus)
-    val st = Analysis.stats(corpus)
+    val dt = Analysis.docTermsCached(corpus)
+    val st = Analysis.statsCached(corpus)
     val matching = dt.filter(col("term").startsWith(prefix))
     val dfTbl = matching.groupBy(col("term")).agg(count(lit(1)).as("df"))
     matching.join(broadcast(dfTbl), "term")
@@ -69,18 +69,31 @@ object Engine {
 
   /** Disjunctive (OR) top-k: docs containing ANY term, summed BM25. */
   def topKOr(corpus: DataFrame, terms: Seq[String], k: Int): DataFrame =
+    topKOrAgg(corpus, terms, k, "sum")
+
+  /** Score-aggregation algebra knob (reference: ScoreAggregators.h:6-125,
+    * the `s=SSSS` parameter -- each aggregation position is Sum or Max).
+    * agg applies across a doc's matching query terms.
+    */
+  def topKOrAgg(corpus: DataFrame, terms: Seq[String], k: Int, agg: String): DataFrame = {
+    val aggCol = agg match {
+      case "sum" => sum(col("score"))
+      case "max" => max(col("score"))
+      case other => throw new IllegalArgumentException(s"unknown agg: $other")
+    }
     scored(corpus, terms.distinct)
       .groupBy(col("doc_id"))
-      .agg(round(sum(col("score")), 4).as("score"))
+      .agg(round(aggCol, 4).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
+  }
 
   /** NOT: docs matching `term`, minus docs matching any `negTerms`
     * (reference: OUTPUT_NON_MATCHES / leading '-'). left_anti on doc_id.
     */
   def topKNot(corpus: DataFrame, term: String, negTerms: Seq[String], k: Int): DataFrame = {
     val pos = scored(corpus, Seq(term))
-    val neg = Analysis.docTerms(corpus).filter(col("term").isin(negTerms: _*))
+    val neg = Analysis.docTermsCached(corpus).filter(col("term").isin(negTerms: _*))
       .select(col("doc_id")).distinct()
     pos.join(neg, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), round(col("score"), 4).as("score"))
@@ -104,21 +117,34 @@ object Engine {
     * Rank: score desc, term asc (total order).
     */
   def topKCompletions(corpus: DataFrame, prefix: String, k: Int): DataFrame =
-    scoredForPrefix(corpus, prefix)
+    topKCompletionsBy(corpus, prefix, k, "score")
+
+  /** Completion rank-mode knob (reference: rank modes score/dc/oc/word,
+    * QueryParameters.h:94-103, `rw=` URL parameter).
+    */
+  def topKCompletionsBy(corpus: DataFrame, prefix: String, k: Int, rankBy: String): DataFrame = {
+    val base = scoredForPrefix(corpus, prefix)
       .groupBy(col("term"))
       .agg(round(sum(col("score")), 4).as("score"),
         count(lit(1)).as("dc"),
         sum(col("tf")).as("oc"))
-      .orderBy(col("score").desc, col("term").asc)
-      .limit(k)
+    val ordered = rankBy match {
+      case "score" => base.orderBy(col("score").desc, col("term").asc)
+      case "dc" => base.orderBy(col("dc").desc, col("term").asc)
+      case "oc" => base.orderBy(col("oc").desc, col("term").asc)
+      case "word" => base.orderBy(col("term").asc)
+      case other => throw new IllegalArgumentException(s"unknown rank mode: $other")
+    }
+    ordered.limit(k)
+  }
 
   /** Lexicographic word-range query `lo--hi` (reference:
     * CompleterBase.cpp:2543-2565): docs containing any term in [lo, hi],
     * summed BM25. The BETWEEN predicate prunes index partitions.
     */
   def topKWordRange(corpus: DataFrame, lo: String, hi: String, k: Int): DataFrame = {
-    val dt = Analysis.docTerms(corpus)
-    val st = Analysis.stats(corpus)
+    val dt = Analysis.docTermsCached(corpus)
+    val st = Analysis.statsCached(corpus)
     val matching = dt.filter(col("term") >= lo && col("term") <= hi)
     val dfTbl = matching.groupBy(col("term")).agg(count(lit(1)).as("df"))
     matching.join(broadcast(dfTbl), "term")
@@ -141,7 +167,7 @@ object Engine {
     * (".." = [-10, 10], NEIGHBORHOOD_SIZE; Globals.h:113).
     */
   def proximityDocs(corpus: DataFrame, t1: String, t2: String, lo: Int, hi: Int): DataFrame = {
-    val dt = Analysis.docTerms(corpus)
+    val dt = Analysis.docTermsCached(corpus)
     val p1 = dt.filter(col("term") === t1)
       .select(col("doc_id"), explode(col("positions")).as("p1"))
     val p2 = dt.filter(col("term") === t2)
@@ -159,7 +185,7 @@ object Engine {
     * term; Catalyst picks broadcast/hash.
     */
   def joinBlockTerms(corpus: DataFrame, prefix: String, t1: String, t2: String): DataFrame = {
-    val dt = Analysis.docTerms(corpus)
+    val dt = Analysis.docTermsCached(corpus)
     def side(t: String): DataFrame = {
       val docs = dt.filter(col("term") === t).select(col("doc_id")).distinct()
       dt.filter(col("term").startsWith(prefix))

@@ -42,8 +42,8 @@ object Executor {
     * -- distributed, prunable, no driver round-trip.
     */
   private def atomScored(corpus: DataFrame, atom: Atom): DataFrame = {
-    val dt = Analysis.docTerms(corpus)
-    val st = Analysis.stats(corpus)
+    val dt = Analysis.docTermsCached(corpus)
+    val st = Analysis.statsCached(corpus)
     val pred: Column = atomPredicate(atom)
     val matching = dt.filter(pred)
     val dfTbl = matching.groupBy(col("term")).agg(count(lit(1)).as("df"))
