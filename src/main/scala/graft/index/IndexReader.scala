@@ -67,34 +67,19 @@ class IndexReader(val spark: SparkSession, val dir: String,
       col("term_id").between(lo, hi))
   }
 
-  /** Decode blocks to (term_id, doc_id, tf, dl). Narrow flatMap. */
-  def decode(blockDf: DataFrame): DataFrame = {
-    blockDf
-      .select(col("term_id"), col("n_docs"), col("doc_deltas"), col("tfs"), col("dls"))
-      .as[(Long, Int, Array[Byte], Array[Byte], Array[Byte])]
-      .flatMap { case (termId, nDocsB, dd, tfB, dlB) =>
-        val docIds = Codec.decodeDeltas(dd, nDocsB)
-        val tfs = Codec.decodeVarLongs(tfB, nDocsB)
-        val dls = Codec.decodeVarLongs(dlB, nDocsB)
-        Iterator.tabulate(nDocsB)(i => (termId, docIds(i), tfs(i), dls(i)))
-      }
-      .toDF("term_id", "doc_id", "tf", "dl")
-  }
+  /** Decode blocks to (term_id, doc_id, tf, dl) via the custom Catalyst
+    * Generator (GenerateExec, no object-encoder boundary).
+    */
+  def decode(blockDf: DataFrame): DataFrame =
+    blockDf.select(col("term_id"),
+      PostingsDecode.postingsDecode(col("n_docs"), col("doc_deltas"),
+        col("tfs"), col("dls")))
 
   /** Decode including per-doc positions: (term_id, doc_id, tf, dl, positions). */
-  def decodeWithPositions(blockDf: DataFrame): DataFrame = {
-    blockDf
-      .select(col("term_id"), col("n_docs"), col("doc_deltas"), col("tfs"), col("dls"), col("positions"))
-      .as[(Long, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte])]
-      .flatMap { case (termId, nDocsB, dd, tfB, dlB, posB) =>
-        val docIds = Codec.decodeDeltas(dd, nDocsB)
-        val tfs = Codec.decodeVarLongs(tfB, nDocsB)
-        val dls = Codec.decodeVarLongs(dlB, nDocsB)
-        val poss = Codec.decodePositions(posB, tfs)
-        Iterator.tabulate(nDocsB)(i => (termId, docIds(i), tfs(i), dls(i), poss(i)))
-      }
-      .toDF("term_id", "doc_id", "tf", "dl", "positions")
-  }
+  def decodeWithPositions(blockDf: DataFrame): DataFrame =
+    blockDf.select(col("term_id"),
+      PostingsDecode.postingsDecodeWithPositions(col("n_docs"), col("doc_deltas"),
+        col("tfs"), col("dls"), col("positions")))
 
   /** BM25 score column over decoded postings joined with per-term df. */
   private def scoreDecoded(decoded: DataFrame, dfByTermId: Map[Long, Long]): DataFrame = {

