@@ -22,6 +22,7 @@ object QpQueries {
     "qp_synonym" -> ((s, d) => Executor.topK(corpus(s, d), "merge^", 10)),
     "qp_range" -> ((s, d) => Executor.topK(corpus(s, d), "batch--filter", 10)),
     "qp_completions" -> ((s, d) => Executor.completions(corpus(s, d), "spark st*", 10)),
+    "qp_phrase_bonus" -> ((s, d) => Executor.topK(corpus(s, d), "batch.batch", 10, bonuses = true)),
     "qp_excerpts" -> ((s, d) => {
       val c = corpus(s, d)
       val hits = Executor.topK(c, "spark st*", 10)
@@ -47,6 +48,15 @@ object QpQueries {
          |  AND b.pos - a.pos = 1
          |)
          |SELECT s.doc_id, round(2 * sum(s.score), 4) AS score
+         |FROM scored s JOIN adj USING (doc_id) WHERE s.term = 'batch'
+         |GROUP BY s.doc_id ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "qp_phrase_bonus" ->
+      s"""${Oracles.BaseCtes}, adj AS (
+         |  SELECT DISTINCT a.doc_id FROM toks a JOIN toks b
+         |  ON a.doc_id = b.doc_id AND a.term = 'batch' AND b.term = 'batch'
+         |  AND b.pos - a.pos = 1
+         |)
+         |SELECT s.doc_id, round(2 * sum(s.score) + 16.0, 4) AS score
          |FROM scored s JOIN adj USING (doc_id) WHERE s.term = 'batch'
          |GROUP BY s.doc_id ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
     "qp_near" ->

@@ -70,6 +70,12 @@ object FtQueries {
   def joinBlock(spark: SparkSession, sfDir: String): DataFrame =
     Engine.joinBlockTerms(corpus(spark, sfDir), "s", "window", "hash")
 
+  def outputAll(spark: SparkSession, sfDir: String): DataFrame =
+    Engine.outputAll(corpus(spark, sfDir), "spark", "st", 10)
+
+  def bm25ByDoc(spark: SparkSession, sfDir: String): DataFrame =
+    Engine.topKSingleBy(corpus(spark, sfDir), "spark", 10, "doc")
+
   def bm25OrMax(spark: SparkSession, sfDir: String): DataFrame =
     Engine.topKOrAgg(corpus(spark, sfDir), Seq("spark", "hash"), 10, "max")
 
@@ -181,6 +187,20 @@ object Oracles {
          |WHERE a.term = 'spark' AND b.term = 'join' AND b.pos - a.pos BETWEEN -10 AND 10
          |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
     "ft_wordrange" -> topDocs("term >= 'batch' AND term <= 'filter'"),
+    "ft_output_all" ->
+      s"""$BaseCtes, prior AS (
+         |  SELECT doc_id, sum(score) AS s1 FROM scored WHERE term = 'spark' GROUP BY 1
+         |), cur AS (
+         |  SELECT doc_id, sum(score) AS s2 FROM scored WHERE term LIKE 'st%' GROUP BY 1
+         |)
+         |SELECT c.doc_id, round(c.s2 + COALESCE(p.s1, 0.0), 4) AS score
+         |FROM cur c LEFT JOIN prior p USING (doc_id)
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "ft_bm25_bydoc" ->
+      s"""$BaseCtes
+         |SELECT doc_id, round(sum(score), 4) AS score
+         |FROM scored WHERE term = 'spark' GROUP BY doc_id
+         |ORDER BY doc_id ASC LIMIT 10""".stripMargin,
     "ft_or_max" ->
       s"""$BaseCtes
          |SELECT doc_id, round(max(score), 4) AS score

@@ -36,6 +36,8 @@ object SparkEntry {
     "ft_wordrange" -> FtQueries.wordRange _,
     "ft_joinblock" -> FtQueries.joinBlock _,
     "ft_or_max" -> FtQueries.bm25OrMax _,
+    "ft_output_all" -> FtQueries.outputAll _,
+    "ft_bm25_bydoc" -> FtQueries.bm25ByDoc _,
     "ft_completions_dc" -> FtQueries.completionsByDc _,
     "fc_counts" -> FtQueries.facetCounts _,
     "fc_filtered" -> FtQueries.facetCountsFiltered _,

@@ -1,0 +1,92 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Role of one CSV/TSV column (reference: CsvParserOptions.h:33-60 --
+  * --full-text, --show, --excerpts, --filter, --facets, --ordering,
+  * per-field --score).
+  */
+case class CsvField(
+    name: String,
+    fulltext: Boolean = false,
+    show: Boolean = false,
+    facet: Boolean = false,
+    filter: Boolean = false,
+    ordering: Boolean = false,
+    score: Int = 1,
+    withinFieldSep: Option[String] = None)
+
+/** CSV/TSV ingest with reference field-role semantics (CsvParser.cpp):
+  * one record per line, TAB-separated, header names fields; docId = line
+  * number. Emits the words-file relation (term, doc_id, score, pos)
+  * including the artificial facet/filter/ordering words, plus the docs
+  * relation for excerpt/show fields.
+  */
+object CsvIngest {
+
+  /** Parse a delimited file into (words, docs).
+    * words: (doc_id, term, score, pos) -- pos = -1 for artificial words.
+    * docs: (doc_id, <show fields...>).
+    */
+  def parse(spark: SparkSession, path: String, fields: Seq[CsvField],
+            delimiter: String = "\t"): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    // docId = line number (reference semantics) -> zipWithIndex over the
+    // text file; deterministic for file sources. One of the few genuinely
+    // RDD-shaped needs (stable line numbering).
+    val lines = spark.sparkContext.textFile(path).zipWithIndex()
+    val header = lines.filter(_._2 == 0L).map(_._1).collect().head
+      .split(java.util.regex.Pattern.quote(delimiter), -1)
+    val colIdx = fields.map(f => f -> header.indexOf(f.name))
+    colIdx.find(_._2 < 0).foreach { case (f, _) =>
+      throw new IllegalArgumentException(s"field ${f.name} not in header: ${header.mkString(",")}")
+    }
+    val delim = delimiter
+    val fieldSpecs = colIdx.map { case (f, i) => (f, i) }
+
+    val rows = lines.filter(_._2 > 0L).map { case (line, ln) =>
+      (ln, line.split(java.util.regex.Pattern.quote(delim), -1))
+    }.toDS()
+
+    val words = rows.flatMap { case (docId, cells) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Int, Int)]
+      var pos = 0
+      fieldSpecs.foreach { case (f, i) =>
+        val raw = if (i < cells.length) cells(i) else ""
+        val values = f.withinFieldSep match {
+          case Some(s) => raw.split(java.util.regex.Pattern.quote(s), -1).toSeq
+          case None => Seq(raw)
+        }
+        values.filter(_.nonEmpty).foreach { v =>
+          if (f.fulltext) {
+            Tokenizer.tokenize(v).foreach { t =>
+              out += ((docId, t, f.score, pos)); pos += 1
+            }
+          }
+          if (f.facet) out += ((docId, s":facet:${f.name}:$v", f.score, -1))
+          if (f.filter) Tokenizer.tokenize(v).foreach { t =>
+            out += ((docId, s":filter:${f.name}:$t", f.score, -1))
+          }
+          if (f.ordering) out += ((docId,
+            s":ordering:${f.name}:${Tokenizer.toLowerAscii(v)}", f.score, -1))
+        }
+      }
+      out.iterator
+    }.toDF("doc_id", "term", "score", "pos")
+
+    val showFields = fields.filter(_.show)
+    val docs = rows.map { case (docId, cells) =>
+      val shown = fieldSpecs.filter(_._1.show).map { case (_, i) =>
+        if (i < cells.length) cells(i) else ""
+      }
+      (docId, shown)
+    }.toDF("doc_id", "shown")
+      .select(col("doc_id") +:
+        showFields.zipWithIndex.map { case (f, j) =>
+          element_at(col("shown"), j + 1).as(f.name)
+        }: _*)
+
+    (words, docs)
+  }
+}

@@ -138,6 +138,38 @@ object Engine {
     ordered.limit(k)
   }
 
+  /** OUTPUT_ALL mode (reference: Separator.h:33-47, Intersect.cpp:244-292):
+    * keep ALL docs matching the current part (here: a prefix), carrying the
+    * aggregated score of the prior part where the doc matched it --
+    * a left join with coalesced scores.
+    */
+  def outputAll(corpus: DataFrame, priorTerm: String, prefix: String, k: Int): DataFrame = {
+    val prior = scored(corpus, Seq(priorTerm))
+      .groupBy(col("doc_id")).agg(sum(col("score")).as("s1"))
+    scoredForPrefix(corpus, prefix)
+      .groupBy(col("doc_id")).agg(sum(col("score")).as("s2"))
+      .join(prior, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        round(col("s2") + coalesce(col("s1"), lit(0.0)), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Hit rank-mode knob (reference: rank by score / docId,
+    * QueryParameters.h:94-103, `rd=` URL parameter).
+    */
+  def topKSingleBy(corpus: DataFrame, term: String, k: Int, rankBy: String): DataFrame = {
+    val base = scored(corpus, Seq(term))
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+    val ordered = rankBy match {
+      case "score" => base.orderBy(col("score").desc, col("doc_id").asc)
+      case "doc" => base.orderBy(col("doc_id").asc)
+      case "doc_desc" => base.orderBy(col("doc_id").desc)
+      case other => throw new IllegalArgumentException(s"unknown rank mode: $other")
+    }
+    ordered.limit(k)
+  }
+
   /** Lexicographic word-range query `lo--hi` (reference:
     * CompleterBase.cpp:2543-2565): docs containing any term in [lo, hi],
     * summed BM25. The BETWEEN predicate prunes index partitions.

@@ -72,8 +72,25 @@ object Executor {
     case _ => false
   }
 
-  /** Evaluate to (doc_id, score), score rounded to 4dp, unordered. */
-  def evalDocs(corpus: DataFrame, q: ParsedQuery): DataFrame = {
+  /** Proximity bonuses (reference: SumWithBonus aggregation,
+    * Globals.h:266-301 -- PHRASE_MATCH_BONUS=16, NEAR_MATCH_BONUS=8,
+    * EXACT_MATCH_BONUS=4).
+    */
+  def bonusFor(sep: Sep): Double = sep match {
+    case Phrase => 16.0
+    case Near => 8.0
+    case SamePos => 4.0
+    case SameDoc => 0.0
+  }
+
+  def evalDocs(corpus: DataFrame, q: ParsedQuery): DataFrame =
+    evalDocs(corpus, q, bonuses = false)
+
+  /** Evaluate to (doc_id, score), score rounded to 4dp, unordered.
+    * With bonuses=true, windowed matches add the reference's SumWithBonus
+    * constants to the doc score.
+    */
+  def evalDocs(corpus: DataFrame, q: ParsedQuery, bonuses: Boolean): DataFrame = {
     case class State(scores: DataFrame, positions: DataFrame)
 
     def partDocScores(a: Atom): DataFrame = a match {
@@ -115,10 +132,11 @@ object Executor {
             (col("p2") - col("p1")).between(lo, hi))
           .select(col("doc_id")).distinct()
         val cur = curScored.groupBy(col("doc_id")).agg(sum(col("score")).as("s2"))
+        val bonus = if (bonuses) bonusFor(part.sep.get) else 0.0
         val joined = state.scores.toDF("doc_id", "s1")
           .join(cur, "doc_id")
           .join(matchedDocs, "doc_id")
-          .select(col("doc_id"), (col("s1") + col("s2")).as("score"))
+          .select(col("doc_id"), (col("s1") + col("s2") + lit(bonus)).as("score"))
         // next window chains from this part's positions (in surviving docs)
         val newPos = curPos.toDF("doc_id", "pos").join(matchedDocs, "doc_id")
         state = State(joined, newPos)
@@ -128,8 +146,8 @@ object Executor {
   }
 
   /** Top-k hits: total order (score desc, doc_id asc). */
-  def topK(corpus: DataFrame, query: String, k: Int): DataFrame =
-    evalDocs(corpus, QueryParser.parse(query))
+  def topK(corpus: DataFrame, query: String, k: Int, bonuses: Boolean = false): DataFrame =
+    evalDocs(corpus, QueryParser.parse(query), bonuses)
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
 

@@ -1,0 +1,75 @@
+package graft.tools
+
+import graft.core.WebCorpus
+import graft.index.{IndexBuilder, IndexReader}
+import org.apache.spark.sql.SparkSession
+
+/** spark-submit entry points mirroring the reference CLI surface
+  * (buildIndex.cpp, answerQueries.cpp).
+  */
+object Cli {
+  /** Session builder that respects spark-submit's master but falls back to
+    * local[] when launched directly (dev / sbt runMain).
+    */
+  def session(app: String): SparkSession = {
+    val b = SparkSession.builder().appName(app)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+    val withMaster =
+      if (sys.props.contains("spark.master")) b
+      else b.master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+        .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    val s = withMaster.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+object BuildIndexMain {
+  /** args: <sfDir|corpusParquetDir> <indexDir> [numShards] [blockSize] */
+  def main(args: Array[String]): Unit = {
+    val Array(src, outDir, rest @ _*) = args: @unchecked
+    val shards = rest.headOption.map(_.toInt).getOrElse(4)
+    val blockSize = rest.lift(1).map(_.toInt).getOrElse(IndexBuilder.DefaultBlockSize)
+    val spark = Cli.session("graft-buildIndex")
+    val corpus =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$src/documents.parquet")))
+        WebCorpus.fromDocuments(spark, src)
+      else spark.read.parquet(src)
+    val manifest = IndexBuilder.build(spark, corpus, outDir,
+      numShards = shards, blockSize = blockSize)
+    manifest.show(100, truncate = false)
+    spark.stop()
+  }
+}
+
+/** Batch query driver (answerQueries analog): reads one query per line
+  * (reference grammar for the logical engine, or comma-separated keyword
+  * lists prefixed `or:` for the physical WAND path), repeats -r times,
+  * prints per-query latency stats.
+  */
+object AnswerQueriesMain {
+  def main(args: Array[String]): Unit = {
+    val Array(indexDir, queriesFile, rest @ _*) = args: @unchecked
+    val k = rest.headOption.map(_.toInt).getOrElse(10)
+    val reps = rest.lift(1).map(_.toInt).getOrElse(1)
+    val spark = Cli.session("graft-answerQueries")
+    val reader = new IndexReader(spark, indexDir)
+    reader.dictionary.count()
+    val queries = scala.io.Source.fromFile(queriesFile).getLines().filter(_.nonEmpty).toSeq
+    val stats = queries.map { q =>
+      val lat = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val n =
+          if (q.startsWith("or:")) reader.topKOrWand(q.drop(3).split(',').toSeq, k).count()
+          else if (q.startsWith("prefix:")) reader.topKPrefixDocs(q.drop(7), k).count()
+          else reader.topKOrFull(Seq(q), k).count()
+        (n, (System.nanoTime() - t0) / 1e6)
+      }
+      (q, lat.head._1, lat.map(_._2).min, lat.map(_._2).sum / lat.size)
+    }
+    println(f"${"query"}%-30s ${"hits"}%6s ${"best_ms"}%10s ${"avg_ms"}%10s")
+    stats.foreach { case (q, n, best, avg) => println(f"$q%-30s $n%6d $best%10.1f $avg%10.1f") }
+    spark.stop()
+  }
+}
