@@ -117,13 +117,13 @@ object IndexBuilder {
     // Shard by docId range: independent, resumable jobs.
     val maxDoc = corpus.agg(max(col("doc_id"))).head().getLong(0)
     val shardWidth = (maxDoc + numShards) / numShards
-    val manifest = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long, Long, String)]
+    val manifest = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long, Long, Double, String)]
 
     for (shard <- 0 until numShards) {
       val shardDir = s"$outDir/blocks/shard=$shard"
       val done = java.nio.file.Files.exists(java.nio.file.Paths.get(s"$shardDir/_SUCCESS"))
       if (done) {
-        manifest += ((shard, -1L, -1L, -1L, -1L, "skipped_already_built"))
+        manifest += ((shard, -1L, -1L, -1L, -1L, 0.0, "skipped_already_built"))
       } else {
         val t0 = System.nanoTime()
         val lo = shard * shardWidth
@@ -140,16 +140,22 @@ object IndexBuilder {
               length(col("positions"))).as("bytes_encoded"))
           .withColumn("shard", lit(shard))
         metrics.write.mode(SaveMode.Overwrite).parquet(s"$outDir/metrics/shard=$shard")
+        // skew ratio (north rule lineage metric): max/mean postings per
+        // build partition -- 1.0 = perfectly balanced shuffle
         val agg = metrics.agg(sum(col("n_blocks")), sum(col("n_postings")),
-          sum(col("bytes_encoded"))).head()
+          sum(col("bytes_encoded")),
+          max(col("n_postings")).cast("double") /
+            avg(col("n_postings"))).head()
         blocks.unpersist()
         val elapsedMs = (System.nanoTime() - t0) / 1000000
         def g(i: Int) = if (agg.isNullAt(i)) 0L else agg.getLong(i)
-        manifest += ((shard, g(0), g(1), g(2), elapsedMs, "built"))
+        val skew = if (agg.isNullAt(3)) 0.0 else agg.getDouble(3)
+        manifest += ((shard, g(0), g(1), g(2), elapsedMs, skew, "built"))
       }
     }
 
-    val m = manifest.toSeq.toDF("shard", "n_blocks", "n_postings", "bytes_encoded", "elapsed_ms", "status")
+    val m = manifest.toSeq.toDF("shard", "n_blocks", "n_postings", "bytes_encoded",
+      "elapsed_ms", "skew_ratio", "status")
     m.write.mode(SaveMode.Overwrite).parquet(s"$outDir/manifest")
     m
   }
