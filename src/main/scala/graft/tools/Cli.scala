@@ -54,6 +54,9 @@ object AnswerQueriesMain {
     val k = rest.headOption.map(_.toInt).getOrElse(10)
     val reps = rest.lift(1).map(_.toInt).getOrElse(1)
     val spark = Cli.session("graft-answerQueries")
+    // query-only workload: AQE re-optimization overhead not worth it
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val reader = new IndexReader(spark, indexDir)
     reader.dictionary.count()
     val queries = scala.io.Source.fromFile(queriesFile).getLines().filter(_.nonEmpty).toSeq
