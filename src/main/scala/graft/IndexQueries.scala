@@ -46,6 +46,18 @@ object IndexQueries {
   def prefixDocs(spark: SparkSession, sfDir: String): DataFrame =
     reader(spark, sfDir).topKPrefixDocs("st", 10)
 
+  /** Conjunctive top-10 from blocks; oracle = the logical AND SQL. */
+  def andTopK(spark: SparkSession, sfDir: String): DataFrame =
+    reader(spark, sfDir).topKAnd(Seq("spark", "join"), 10)
+
+  /** Phrase matching from block-encoded positions; oracle = position SQL. */
+  def phraseDocs(spark: SparkSession, sfDir: String): DataFrame =
+    reader(spark, sfDir).proximityDocs("batch", "batch", 1, 1)
+
+  /** Completions from blocks; oracle = the completions SQL. */
+  def completions(spark: SparkSession, sfDir: String): DataFrame =
+    reader(spark, sfDir).topKCompletions("s", 10)
+
   /** Build lineage/metrics summary (rows-only check: not SQL-expressible). */
   def buildMetrics(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = indexDir(spark, sfDir)
