@@ -104,8 +104,8 @@ object IndexBuilder {
       val nd = corpus.count()
       val npRow = dt.agg(sum(col("tf"))).head()
       val np = if (npRow.isNullAt(0)) 0L else npRow.getLong(0)
-      Seq((nd, np, if (nd == 0) 0.0 else np.toDouble / nd))
-        .toDF("n_docs", "n_postings", "avgdl")
+      Seq((nd, np, if (nd == 0) 0.0 else np.toDouble / nd, bucketSize.toLong))
+        .toDF("n_docs", "n_postings", "avgdl", "bucket_size")
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats")
     }
     val dict = spark.read.parquet(s"$outDir/dictionary")

@@ -45,13 +45,17 @@ object StreamingIndexer {
     import spark.implicits._
     if (batch.isEmpty) return
     val dict = spark.read.parquet(s"$indexDir/dictionary")
-    val avgdl = spark.read.parquet(s"$indexDir/stats").head().getAs[Double]("avgdl")
+    val statsRow = spark.read.parquet(s"$indexDir/stats").head()
+    val avgdl = statsRow.getAs[Double]("avgdl")
+    val bucketSize =
+      if (statsRow.schema.fieldNames.contains("bucket_size"))
+        statsRow.getAs[Long]("bucket_size")
+      else IndexBuilder.DefaultBucketSize.toLong
 
     val dt = Analysis.docTerms(batch).toDF()
     val joined = dt.join(broadcast(dict.select(col("term"), col("term_id"))), "term")
       .select(col("term_id").cast("long"), col("doc_id"), col("tf"), col("positions"), col("dl"))
 
-    val bucketSize = IndexBuilder.DefaultBucketSize
     val k1 = Analysis.K1
     val b = Analysis.B
     val blocks = joined

@@ -79,6 +79,19 @@ class IndexSpec extends AnyFunSuite {
     assert(statuses === Seq("skipped_already_built", "skipped_already_built"))
   }
 
+  test("custom bucketSize round-trips through stats (queries stay correct)") {
+    val d = java.nio.file.Files.createTempDirectory("graft_ix_bsz").toString
+    IndexBuilder.build(spark, corpus, d, numShards = 1, bucketSize = 7)
+    val r = new IndexReader(spark, d, cacheBlocks = false)
+    assert(r.bucketSize === 7L)
+    // pruned scans must use the persisted width, not the default
+    val viaRange = r.decode(r.blocksForRange(0L, 1000L)).count()
+    val all = r.decode(r.blocks).count()
+    assert(viaRange === all)
+    val hits = r.topKAnd(Seq("spark", "join"), 10).count()
+    assert(hits > 0)
+  }
+
   test("lineage metrics exist per build partition") {
     val m = spark.read.parquet(s"$dir/metrics")
     assert(m.count() > 0)

@@ -11,20 +11,23 @@ class WandSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("pruning fires on low-upper-bound blocks and stays exact") {
-    // 10 short docs rich in the rare term "gold"; 100 short filler docs;
+    // 10 short docs rich in the rare term "gold"; 100 medium filler docs;
     // 900 long filler docs whose tf-part (and so block-max) is tiny.
+    // The gold docs are the SHORTEST, so the filler block containing them
+    // has the strictly highest block_max_tfpart -- phase 1 deterministically
+    // picks it, regardless of block metadata collect order.
     val pad = (1 to 200).map(i => s"pad$i").mkString(" ")
     val docs = (
       (0L until 10L).map(i => (i, "gold gold gold gold filler")) ++
-      (10L until 110L).map(i => (i, "filler quick note")) ++
+      (10L until 110L).map(i => (i, "filler quick note extra word")) ++
       (110L until 1000L).map(i => (i, s"filler $pad"))
     ).toDF("doc_id", "text")
 
     val dir = java.nio.file.Files.createTempDirectory("graft_wand").toString
     IndexBuilder.build(spark, docs, dir, numShards = 1, blockSize = 64,
       buildPartitions = 8)
-    val reader = new IndexReader(spark, dir, cacheBlocks = false)
-    reader.wandMinBlocks = 1 // force the two-phase path for this test
+    // wandMinBlocks = 1 forces the two-phase path for this test
+    val reader = new IndexReader(spark, dir, cacheBlocks = false, wandMinBlocks = 1)
 
     val (wandDf, total, scanned) = reader.topKOrWandStats(Seq("gold", "filler"), 5)
     val wand = wandDf.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
