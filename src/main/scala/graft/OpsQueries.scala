@@ -23,6 +23,8 @@ object OpsQueries {
     "sim_cosine_topk" -> ((s, d) => Similarity.cosineTopK(embs(s, d), queryId = 0L, k = 10)),
     "sim_lsh_buckets" -> ((s, d) => Similarity.lshBuckets(embs(s, d), planes = 8)),
     "sim_lsh_pairs" -> ((s, d) => Similarity.lshPairs(embs(s, d), planes = 8, tau = 0.3)),
+    "sim_ivf_cells" -> ((s, d) => Similarity.ivfAssign(embs(s, d), nCells = 16)),
+    "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(embs(s, d), queryId = 42L, k = 10)),
     "ta_langid" -> ((s, d) => TextAnalysis.langId(docs(s, d))),
     "ta_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d))),
     "ta_tokcount" -> ((s, d) => TextAnalysis.tokenCounts(docs(s, d))),
@@ -135,6 +137,53 @@ object OpsQueries {
          |FROM dots d JOIN norms na ON na.vec_id = d.a JOIN norms nb ON nb.vec_id = d.b
          |WHERE round(d.dot / (na.nrm * nb.nrm), 4) >= 0.3
          |ORDER BY a, b""".stripMargin,
+    "sim_ivf_cells" ->
+      s"""$EmbExpCtes, cexp AS (
+         |  SELECT vec_id AS cid, i, x AS y FROM exp WHERE vec_id < 16
+         |), cnorms AS (
+         |  SELECT vec_id AS cid, nrm AS cnrm FROM norms WHERE vec_id < 16
+         |), cos AS (
+         |  SELECT e.vec_id, c.cid,
+         |         round(sum(e.x * c.y) / (n.nrm * cn.cnrm), 6) AS cos
+         |  FROM exp e JOIN cexp c USING (i)
+         |  JOIN norms n ON n.vec_id = e.vec_id JOIN cnorms cn ON cn.cid = c.cid
+         |  GROUP BY e.vec_id, c.cid, n.nrm, cn.cnrm
+         |), rk AS (
+         |  SELECT vec_id, cid,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rk
+         |  FROM cos)
+         |SELECT vec_id, CAST(cid AS BIGINT) AS cell FROM rk WHERE rk = 1""".stripMargin,
+    "sim_ivf_topk" ->
+      s"""$EmbExpCtes, cexp AS (
+         |  SELECT vec_id AS cid, i, x AS y FROM exp WHERE vec_id < 16
+         |), cnorms AS (
+         |  SELECT vec_id AS cid, nrm AS cnrm FROM norms WHERE vec_id < 16
+         |), cos AS (
+         |  SELECT e.vec_id, c.cid,
+         |         round(sum(e.x * c.y) / (n.nrm * cn.cnrm), 6) AS cos
+         |  FROM exp e JOIN cexp c USING (i)
+         |  JOIN norms n ON n.vec_id = e.vec_id JOIN cnorms cn ON cn.cid = c.cid
+         |  GROUP BY e.vec_id, c.cid, n.nrm, cn.cnrm
+         |), assign AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rk
+         |    FROM cos) WHERE rk = 1
+         |), qexp AS (SELECT i, x AS qx FROM exp WHERE vec_id = 42),
+         |qnrm AS (SELECT nrm AS qnrm FROM norms WHERE vec_id = 42),
+         |probed AS (
+         |  SELECT c.cid AS cell FROM cexp c JOIN qexp USING (i)
+         |  JOIN cnorms cn ON cn.cid = c.cid CROSS JOIN qnrm
+         |  GROUP BY c.cid, cn.cnrm, qnrm
+         |  ORDER BY round(sum(c.y * qx) / (cn.cnrm * qnrm), 6) DESC, c.cid ASC LIMIT 4
+         |), cand AS (
+         |  SELECT a.vec_id FROM assign a JOIN probed USING (cell) WHERE a.vec_id <> 42
+         |)
+         |SELECT e.vec_id, round(sum(e.x * q.qx) / (n.nrm * (SELECT qnrm FROM qnrm)), 4) AS cos
+         |FROM exp e JOIN cand USING (vec_id) JOIN qexp q USING (i)
+         |JOIN norms n ON n.vec_id = e.vec_id
+         |GROUP BY e.vec_id, n.nrm
+         |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
     "ta_langid" -> {
       val langs = TextAnalysis.LangMarkers.toSeq.sortBy(_._1)
       val scoreCols = langs.map { case (l, toks) =>

@@ -71,4 +71,78 @@ object Similarity {
     */
   def embeddingNearDups(embeddings: DataFrame, tau: Double = 0.95): DataFrame =
     lshPairs(embeddings, planes = 8, tau = tau)
+
+  // ---- IVF (inverted-file) ANN: the second scale path besides sign-LSH ----
+
+  /** Exploded (vec_id, i, x) relation with per-vec norms -- the shared
+    * shape for engine-neutral cosine math.
+    */
+  private def exploded(embeddings: DataFrame): (DataFrame, DataFrame) = {
+    val exp = embeddings.select(col("vec_id").cast("long").as("vec_id"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"), col("x").cast("double").as("x"))
+    val norms = exp.groupBy(col("vec_id")).agg(sqrt(sum(col("x") * col("x"))).as("nrm"))
+    (exp, norms)
+  }
+
+  /** IVF cell assignment with a DETERMINISTIC coarse quantizer: the
+    * centroids are the first `nCells` vectors by vec_id (engine-neutral, no
+    * iterative k-means -- swap in trained centroids at production scale;
+    * the plan shape is identical). Assignment = argmax cosine, ties by
+    * centroid id; cosine rounded to 6dp so float-sum ordering can't flip
+    * the argmax across engines.
+    */
+  def ivfAssign(embeddings: DataFrame, nCells: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (exp, norms) = exploded(embeddings)
+    val cexp = exp.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), col("i"), col("x").as("y"))
+    val cnorms = norms.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), col("nrm").as("cnrm"))
+    val cos = exp.join(cexp, "i")
+      .groupBy(col("vec_id"), col("cid")).agg(sum(col("x") * col("y")).as("dot"))
+      .join(norms, "vec_id").join(cnorms, "cid")
+      .select(col("vec_id"), col("cid"),
+        round(col("dot") / (col("nrm") * col("cnrm")), 6).as("cos"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    cos.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+  }
+
+  /** IVF top-k: probe the `nProbe` cells nearest to the query vector and
+    * brute-force only their members. Approximate by construction; the gate
+    * checks the exact IVF semantics, not equality with exhaustive search.
+    */
+  def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val assign = ivfAssign(embeddings, nCells)
+    val queryCell = assign.filter(col("vec_id") === queryId)
+    // cells to probe: by the query's cosine to each centroid
+    val (exp, norms) = exploded(embeddings)
+    val qexp = exp.filter(col("vec_id") === queryId).select(col("i"), col("x").as("qx"))
+    val qnrm = norms.filter(col("vec_id") === queryId).select(col("nrm").as("qnrm"))
+    val cexp = exp.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), col("i"), col("x").as("y"))
+    val cnorms = norms.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), col("nrm").as("cnrm"))
+    val probed = cexp.join(qexp, "i")
+      .groupBy(col("cid")).agg(sum(col("y") * col("qx")).as("dot"))
+      .join(cnorms, "cid").crossJoin(qnrm)
+      .select(col("cid"), round(col("dot") / (col("cnrm") * col("qnrm")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("cid").asc)
+      .limit(nProbe)
+      .select(col("cid").as("cell"))
+    val candidates = assign.join(broadcast(probed), "cell")
+      .filter(col("vec_id") =!= queryId)
+    // exact cosine on the candidates only
+    exp.join(candidates.select(col("vec_id")), "vec_id")
+      .join(qexp, "i")
+      .groupBy(col("vec_id")).agg(sum(col("x") * col("qx")).as("dot"))
+      .join(norms, "vec_id").crossJoin(qnrm)
+      .select(col("vec_id"), round(col("dot") / (col("nrm") * col("qnrm")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
 }

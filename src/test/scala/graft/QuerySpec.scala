@@ -89,6 +89,14 @@ class ExecutorSpec extends AnyFunSuite {
     assert(docsOf("babbeln.baby.babyboom") === Set(3L, 4L)) // chained phrases
   }
 
+  test("join block [q1#q2] executes through the grammar") {
+    // completions of ba* common to babylonisch-docs and babbeln-docs:
+    // doc 3 carries all four; docs matching via common terms re-aggregate
+    val r = Executor.topK(corpus, "[babylonisch ba*#babbeln ba*]", 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(r === Set(3L, 4L)) // both sides' docs carrying common ba-terms
+  }
+
   test("completions restricted to result docs") {
     val comps = Executor.completions(corpus, "babylonisch ba*", 10).collect()
       .map(_.getString(0)).toSet
