@@ -24,9 +24,12 @@ object ExplainPlans {
 
     show("ft_bm25_single (logical path)", FtQueries.bm25Single(spark, sfDir))
     val r = IndexQueries.reader(spark, sfDir)
-    show("index: pruned block scan for prefix range", {
-      val Some((lo, hi)) = r.prefixRange("st")
-      r.blocksForRange(lo, hi)
+    // uncached reader: shows parquet PartitionFilters / PushedFilters
+    val rCold = new graft.index.IndexReader(spark, IndexQueries.indexDir(spark, sfDir),
+      cacheBlocks = false)
+    show("index: pruned block scan for prefix range (parquet, uncached)", {
+      val Some((lo, hi)) = rCold.prefixRange("st")
+      rCold.blocksForRange(lo, hi)
     })
     show("index: wand/full top-k", r.topKOrFull(Seq("spark", "hash"), 10))
     show("corpus scan column pruning", {
