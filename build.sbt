@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// optional GC experiment knob (e.g. SPARK_GRAFT_GC=UseParallelGC)
+// Throughput GC by default: G1 showed multi-second stalls in 32-thread
+// benchmark runs; override with SPARK_GRAFT_GC=UseG1GC etc.
+javaOptions += s"-XX:+${sys.env.getOrElse("SPARK_GRAFT_GC", "UseParallelGC")}"

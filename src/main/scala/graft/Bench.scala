@@ -42,6 +42,10 @@ object Bench {
       .withColumn("doc_id", col("doc_id") + col("rep") * maxDoc)
       .withColumn("url", concat(col("url"), lit("?rep="), col("rep")))
       .drop("rep")
+      // the single source parquet file reads as 1-4 splits; without this
+      // the tokenize stage runs 1-4 tasks regardless of cores and the
+      // N-vs-4N comparison measures nothing
+      .repartition(spark.sparkContext.defaultParallelism * 2)
   }
 
   def buildAndMeasure(spark: SparkSession, sfDir: String, reps: Int = 3,
@@ -49,7 +53,12 @@ object Bench {
     val repl = sys.env.getOrElse("SPARK_GRAFT_REPL", replDefault.toString).toInt
     val corpus = replicatedCorpus(spark, sfDir, repl).cache()
     val nDocs = corpus.count()
-    val dir = java.nio.file.Files.createTempDirectory("graft_bench_ix").toString
+    // index scratch on tmpfs when available: the shared disk is a serial
+    // resource that distorts throughput comparisons (see BENCH.md)
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val dir = (if (java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, "graft_bench_ix")
+    else java.nio.file.Files.createTempDirectory("graft_bench_ix")).toString
     val t0 = System.nanoTime()
     IndexBuilder.build(spark, corpus, dir, numShards = 1)
     val buildSec = (System.nanoTime() - t0) / 1e9
@@ -71,6 +80,8 @@ object Bench {
       sig = rows.foldLeft(sig)((a, r) => 31 * a + r.mkString(",").hashCode)
     }
     spark.conf.set("spark.sql.adaptive.enabled", "true") // restore for callers
+    corpus.unpersist()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     (nDocs / buildSec, percentile(lat.toSeq, 0.5) * 1000,
       percentile(lat.toSeq, 0.95) * 1000, nDocs, java.lang.Long.toHexString(sig))
   }
@@ -78,13 +89,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = (if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
+      builder.config("spark.local.dir", s"/dev/shm/graft-bench-local")
+    else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val (docsPerSec, p50Ms, p95Ms, nDocs, _) = buildAndMeasure(spark, sfDir)

@@ -51,6 +51,17 @@ object Analysis {
   def docTermsCached(corpus: DataFrame): Dataset[DocTerm] =
     dtCache.computeIfAbsent(corpusKey(corpus), _ => docTerms(corpus).persist())
 
+  /** Drop process-level caches (bench/test hook). Entries bound to
+    * already-stopped sessions are just forgotten (unpersist would NPE).
+    */
+  def clearProcessCaches(): Unit = {
+    dtCache.values().forEach { ds =>
+      if (!ds.sparkSession.sparkContext.isStopped)
+        scala.util.Try(ds.unpersist())
+    }
+    dtCache.clear(); statsCache.clear()
+  }
+
   /** Cached variant of [[stats]]. */
   def statsCached(corpus: DataFrame): CorpusStats =
     statsCache.computeIfAbsent(corpusKey(corpus), _ => stats(corpus))

@@ -99,10 +99,12 @@ object IndexBuilder {
     val dictDone = java.nio.file.Files.exists(java.nio.file.Paths.get(s"$outDir/dictionary/_SUCCESS"))
     if (!dictDone) {
       Analysis.dictionary(dt).write.mode(SaveMode.Overwrite).parquet(s"$outDir/dictionary")
-      // stats from the doc-term relation: n_docs over the corpus (counts
-      // empty docs too), postings = sum(tf), avgdl = postings / n_docs
+      // stats: n_docs over the corpus (counts empty docs too); postings =
+      // sum(cf) over the freshly written dictionary -- a vocab-sized agg,
+      // not a corpus-sized one
       val nd = corpus.count()
-      val npRow = dt.agg(sum(col("tf"))).head()
+      val npRow = spark.read.parquet(s"$outDir/dictionary")
+        .agg(sum(col("cf"))).head()
       val np = if (npRow.isNullAt(0)) 0L else npRow.getLong(0)
       Seq((nd, np, if (nd == 0) 0.0 else np.toDouble / nd, bucketSize.toLong))
         .toDF("n_docs", "n_postings", "avgdl", "bucket_size")
@@ -112,10 +114,12 @@ object IndexBuilder {
     val statsRow = spark.read.parquet(s"$outDir/stats").head()
     val avgdl = statsRow.getAs[Double]("avgdl")
     val nDocs = statsRow.getAs[Long]("n_docs")
-    val vocabSize = dict.count()
+    val vocabSize = dict.count() // vocab-sized, cheap
 
-    // Shard by docId range: independent, resumable jobs.
-    val maxDoc = corpus.agg(max(col("doc_id"))).head().getLong(0)
+    // Shard by docId range: independent, resumable jobs. Single-shard
+    // builds skip the max-doc-id scan entirely.
+    val maxDoc = if (numShards == 1) Long.MaxValue - numShards
+      else corpus.agg(max(col("doc_id"))).head().getLong(0)
     val shardWidth = (maxDoc + numShards) / numShards
     val manifest = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long, Long, Double, String)]
 
@@ -134,23 +138,28 @@ object IndexBuilder {
         blocks.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(shardDir)
         // per-partition lineage/metrics from the persisted blocks (no
         // re-read of what we just wrote)
-        val metrics = blocks.groupBy(col("build_partition"))
+        // per-partition lineage rows collected once (<= nPart rows), then
+        // written from the driver -- one tiny job instead of agg + write
+        val metricRows = blocks.groupBy(col("build_partition"))
           .agg(count(lit(1)).as("n_blocks"), sum(col("n_postings")).as("n_postings"),
             sum(length(col("doc_deltas")) + length(col("tfs")) + length(col("dls")) +
               length(col("positions"))).as("bytes_encoded"))
-          .withColumn("shard", lit(shard))
-        metrics.write.mode(SaveMode.Overwrite).parquet(s"$outDir/metrics/shard=$shard")
-        // skew ratio (north rule lineage metric): max/mean postings per
-        // build partition -- 1.0 = perfectly balanced shuffle
-        val agg = metrics.agg(sum(col("n_blocks")), sum(col("n_postings")),
-          sum(col("bytes_encoded")),
-          max(col("n_postings")).cast("double") /
-            avg(col("n_postings"))).head()
+          .collect()
+          .map(r => (shard, r.getAs[Int]("build_partition"), r.getAs[Long]("n_blocks"),
+            r.getAs[Long]("n_postings"), r.getAs[Long]("bytes_encoded")))
+        metricRows.toSeq
+          .toDF("shard", "build_partition", "n_blocks", "n_postings", "bytes_encoded")
+          .write.mode(SaveMode.Overwrite).parquet(s"$outDir/metrics/shard=$shard")
         blocks.unpersist()
         val elapsedMs = (System.nanoTime() - t0) / 1000000
-        def g(i: Int) = if (agg.isNullAt(i)) 0L else agg.getLong(i)
-        val skew = if (agg.isNullAt(3)) 0.0 else agg.getDouble(3)
-        manifest += ((shard, g(0), g(1), g(2), elapsedMs, skew, "built"))
+        val nb = metricRows.map(_._3).sum
+        val np = metricRows.map(_._4).sum
+        val bytes = metricRows.map(_._5).sum
+        // skew ratio (north rule lineage metric): max/mean postings per
+        // build partition -- 1.0 = perfectly balanced shuffle
+        val skew = if (metricRows.isEmpty) 0.0
+          else metricRows.map(_._4).max.toDouble / (np.toDouble / metricRows.length)
+        manifest += ((shard, nb, np, bytes, elapsedMs, skew, "built"))
       }
     }
 

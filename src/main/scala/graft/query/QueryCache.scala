@@ -57,6 +57,12 @@ class QueryCache(maxEntries: Int = 200) {
     persisted
   }
 
+  /** Warm list (reference: --warm-history-queries, src/README.md:40-47):
+    * pre-materialize the hot prefixes so first user queries hit the cache.
+    */
+  def warm(corpus: DataFrame, prefixes: Seq[String]): Unit =
+    prefixes.foreach { p => matchedForPrefix(corpus, p).count() }
+
   def clear(): Unit = synchronized {
     lru.values().forEach(_.matched.unpersist())
     lru.clear()

@@ -124,6 +124,16 @@ class QueryCacheSpec extends AnyFunSuite {
     cache.clear()
   }
 
+  test("warm list pre-materializes hot prefixes") {
+    val corpus = Seq((1L, "alpha alphabet beta")).toDF("doc_id", "text")
+    val cache = new QueryCache(maxEntries = 10)
+    cache.warm(corpus, Seq("al", "be"))
+    assert(cache.misses === 2)
+    cache.matchedForPrefix(corpus, "al")
+    assert(cache.hits === 1) // served from the warm list
+    cache.clear()
+  }
+
   test("LRU evicts beyond capacity") {
     val corpus = Seq((1L, "aa ab ac ad")).toDF("doc_id", "text")
     val cache = new QueryCache(maxEntries = 2)
