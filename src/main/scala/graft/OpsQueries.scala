@@ -138,10 +138,12 @@ object OpsQueries {
          |WHERE round(d.dot / (na.nrm * nb.nrm), 4) >= 0.3
          |ORDER BY a, b""".stripMargin,
     "sim_ivf_cells" ->
-      s"""$EmbExpCtes, cexp AS (
-         |  SELECT vec_id AS cid, i, x AS y FROM exp WHERE vec_id < 16
+      s"""$EmbExpCtes, cids AS (
+         |  SELECT DISTINCT vec_id FROM exp ORDER BY vec_id ASC LIMIT 16
+         |), cexp AS (
+         |  SELECT vec_id AS cid, i, x AS y FROM exp WHERE vec_id IN (SELECT vec_id FROM cids)
          |), cnorms AS (
-         |  SELECT vec_id AS cid, nrm AS cnrm FROM norms WHERE vec_id < 16
+         |  SELECT vec_id AS cid, nrm AS cnrm FROM norms WHERE vec_id IN (SELECT vec_id FROM cids)
          |), cos AS (
          |  SELECT e.vec_id, c.cid,
          |         round(sum(e.x * c.y) / (n.nrm * cn.cnrm), 6) AS cos
@@ -154,10 +156,12 @@ object OpsQueries {
          |  FROM cos)
          |SELECT vec_id, CAST(cid AS BIGINT) AS cell FROM rk WHERE rk = 1""".stripMargin,
     "sim_ivf_topk" ->
-      s"""$EmbExpCtes, cexp AS (
-         |  SELECT vec_id AS cid, i, x AS y FROM exp WHERE vec_id < 16
+      s"""$EmbExpCtes, cids AS (
+         |  SELECT DISTINCT vec_id FROM exp ORDER BY vec_id ASC LIMIT 16
+         |), cexp AS (
+         |  SELECT vec_id AS cid, i, x AS y FROM exp WHERE vec_id IN (SELECT vec_id FROM cids)
          |), cnorms AS (
-         |  SELECT vec_id AS cid, nrm AS cnrm FROM norms WHERE vec_id < 16
+         |  SELECT vec_id AS cid, nrm AS cnrm FROM norms WHERE vec_id IN (SELECT vec_id FROM cids)
          |), cos AS (
          |  SELECT e.vec_id, c.cid,
          |         round(sum(e.x * c.y) / (n.nrm * cn.cnrm), 6) AS cos

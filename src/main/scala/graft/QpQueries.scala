@@ -23,6 +23,9 @@ object QpQueries {
     "qp_range" -> ((s, d) => Executor.topK(corpus(s, d), "batch--filter", 10)),
     "qp_completions" -> ((s, d) => Executor.completions(corpus(s, d), "spark st*", 10)),
     "qp_phrase_bonus" -> ((s, d) => Executor.topK(corpus(s, d), "batch.batch", 10, bonuses = true)),
+    // 3-part windowed chain: positions must be CONTIGUOUS across all three
+    // parts (gates the matched-position carry, not just pairwise windows)
+    "qp_chain3" -> ((s, d) => Executor.topK(corpus(s, d), "stream.table.hash", 10)),
     "qp_excerpts" -> ((s, d) => {
       val c = corpus(s, d)
       val hits = Executor.topK(c, "spark st*", 10)
@@ -58,6 +61,17 @@ object QpQueries {
          |)
          |SELECT s.doc_id, round(2 * sum(s.score) + 16.0, 4) AS score
          |FROM scored s JOIN adj USING (doc_id) WHERE s.term = 'batch'
+         |GROUP BY s.doc_id ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "qp_chain3" ->
+      s"""${Oracles.BaseCtes}, chain AS (
+         |  SELECT DISTINCT a.doc_id FROM toks a
+         |  JOIN toks b ON a.doc_id = b.doc_id AND b.pos - a.pos = 1
+         |  JOIN toks c ON b.doc_id = c.doc_id AND c.pos - b.pos = 1
+         |  WHERE a.term = 'stream' AND b.term = 'table' AND c.term = 'hash'
+         |)
+         |SELECT s.doc_id, round(sum(s.score), 4) AS score
+         |FROM scored s JOIN chain USING (doc_id)
+         |WHERE s.term IN ('stream', 'table', 'hash')
          |GROUP BY s.doc_id ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
     "qp_near" ->
       s"""${Oracles.BaseCtes}, nearby AS (

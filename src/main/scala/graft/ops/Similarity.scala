@@ -85,19 +85,29 @@ object Similarity {
     (exp, norms)
   }
 
+  /** The `nCells` smallest vec_ids, as a 1-column (vec_id) relation --
+    * a deterministic rank (TakeOrdered over ids), NOT a `vec_id < nCells`
+    * value filter: sparse or offset id spaces silently yield fewer (or
+    * zero) centroids under a value filter.
+    */
+  private def centroidIds(embeddings: DataFrame, nCells: Int): DataFrame =
+    embeddings.select(col("vec_id").cast("long").as("vec_id"))
+      .orderBy(col("vec_id").asc).limit(nCells)
+
   /** IVF cell assignment with a DETERMINISTIC coarse quantizer: the
-    * centroids are the first `nCells` vectors by vec_id (engine-neutral, no
-    * iterative k-means -- swap in trained centroids at production scale;
-    * the plan shape is identical). Assignment = argmax cosine, ties by
-    * centroid id; cosine rounded to 6dp so float-sum ordering can't flip
-    * the argmax across engines.
+    * centroids are the first `nCells` vectors by vec_id rank (engine-
+    * neutral, no iterative k-means -- swap in trained centroids at
+    * production scale; the plan shape is identical). Assignment = argmax
+    * cosine, ties by centroid id; cosine rounded to 6dp so float-sum
+    * ordering can't flip the argmax across engines.
     */
   def ivfAssign(embeddings: DataFrame, nCells: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (exp, norms) = exploded(embeddings)
-    val cexp = exp.filter(col("vec_id") < nCells)
+    val cids = centroidIds(embeddings, nCells)
+    val cexp = exp.join(broadcast(cids), "vec_id")
       .select(col("vec_id").as("cid"), col("i"), col("x").as("y"))
-    val cnorms = norms.filter(col("vec_id") < nCells)
+    val cnorms = norms.join(broadcast(cids), "vec_id")
       .select(col("vec_id").as("cid"), col("nrm").as("cnrm"))
     val cos = exp.join(cexp, "i")
       .groupBy(col("vec_id"), col("cid")).agg(sum(col("x") * col("y")).as("dot"))
@@ -118,14 +128,14 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val assign = ivfAssign(embeddings, nCells)
-    val queryCell = assign.filter(col("vec_id") === queryId)
     // cells to probe: by the query's cosine to each centroid
     val (exp, norms) = exploded(embeddings)
     val qexp = exp.filter(col("vec_id") === queryId).select(col("i"), col("x").as("qx"))
     val qnrm = norms.filter(col("vec_id") === queryId).select(col("nrm").as("qnrm"))
-    val cexp = exp.filter(col("vec_id") < nCells)
+    val cids = centroidIds(embeddings, nCells)
+    val cexp = exp.join(broadcast(cids), "vec_id")
       .select(col("vec_id").as("cid"), col("i"), col("x").as("y"))
-    val cnorms = norms.filter(col("vec_id") < nCells)
+    val cnorms = norms.join(broadcast(cids), "vec_id")
       .select(col("vec_id").as("cid"), col("nrm").as("cnrm"))
     val probed = cexp.join(qexp, "i")
       .groupBy(col("cid")).agg(sum(col("y") * col("qx")).as("dot"))

@@ -127,18 +127,23 @@ object Executor {
         val (lo, hi) = window.get
         val curScored = atomScored(corpus, part.atom)
         val curPos = curScored.select(col("doc_id").as("d2"), explode(col("positions")).as("p2"))
-        val matchedDocs = state.positions.toDF("doc_id", "p1")
+        val matched = state.positions.toDF("doc_id", "p1")
           .join(curPos, col("doc_id") === col("d2") &&
             (col("p2") - col("p1")).between(lo, hi))
-          .select(col("doc_id")).distinct()
+        val matchedDocs = matched.select(col("doc_id")).distinct()
         val cur = curScored.groupBy(col("doc_id")).agg(sum(col("score")).as("s2"))
         val bonus = if (bonuses) bonusFor(part.sep.get) else 0.0
         val joined = state.scores.toDF("doc_id", "s1")
           .join(cur, "doc_id")
           .join(matchedDocs, "doc_id")
           .select(col("doc_id"), (col("s1") + col("s2") + lit(bonus)).as("score"))
-        // next window chains from this part's positions (in surviving docs)
-        val newPos = curPos.toDF("doc_id", "pos").join(matchedDocs, "doc_id")
+        // the next window chains ONLY from positions of this part that
+        // actually matched the previous part's window (reference:
+        // intersectTwoPostingLists emits the second list's matched
+        // postings, CompleterBase.Intersect.cpp:477-548) -- carrying all
+        // of the atom's positions would let a.b.c match docs where 'a b'
+        // and 'b c' occur at unrelated places
+        val newPos = matched.select(col("doc_id"), col("p2").as("pos")).distinct()
         state = State(joined, newPos)
       }
     }

@@ -16,9 +16,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * IndexReader unions all shard dirs, so appended docs are queryable after
   * the micro-batch commits -- no rebuild, no reader restart.
   *
-  * Terms unseen by the batch dictionary are skipped (logged as a count) --
-  * the periodic batch rebuild folds them in; df/avgdl drift between
-  * rebuilds is the standard trade-off of delta indexes.
+  * Terms unseen by the batch dictionary are skipped; the count of dropped
+  * (doc, term) rows is persisted per shard under `drift/` so dictionary
+  * drift is visible between rebuilds -- the periodic batch rebuild folds
+  * them in; df/avgdl drift between rebuilds is the standard trade-off of
+  * delta indexes.
   */
 object StreamingIndexer {
 
@@ -52,9 +54,16 @@ object StreamingIndexer {
         statsRow.getAs[Long]("bucket_size")
       else IndexBuilder.DefaultBucketSize.toLong
 
-    val dt = Analysis.docTerms(batch).toDF()
+    val dt = Analysis.docTerms(batch).toDF().persist()
     val joined = dt.join(broadcast(dict.select(col("term"), col("term_id"))), "term")
       .select(col("term_id").cast("long"), col("doc_id"), col("tf"), col("positions"), col("dl"))
+
+    // dictionary-drift lineage: rows whose term the batch dictionary does
+    // not know are dropped by the inner join above; count and persist them
+    // per shard so drift is observable before the next rebuild
+    val dropped = dt.join(broadcast(dict.select(col("term"))), Seq("term"), "left_anti").count()
+    Seq((shardName, dropped)).toDF("shard", "dropped_doc_terms")
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/drift/shard=$shardName")
 
     val k1 = Analysis.K1
     val b = Analysis.B
@@ -95,5 +104,6 @@ object StreamingIndexer {
       }
     blocks.write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(s"$indexDir/blocks/shard=$shardName")
+    dt.unpersist()
   }
 }

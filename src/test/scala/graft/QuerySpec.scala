@@ -89,6 +89,20 @@ class ExecutorSpec extends AnyFunSuite {
     assert(docsOf("babbeln.baby.babyboom") === Set(3L, 4L)) // chained phrases
   }
 
+  test("windowed chain carries only MATCHED positions of the second list") {
+    // 'babbeln baby' is adjacent (pos 3,4) and 'baby babyboom' is adjacent
+    // (pos 0,1), but no CONTIGUOUS babbeln.baby.babyboom triple exists --
+    // carrying all of baby's positions would falsely match this doc
+    // (reference: intersect emits only the second list's matched postings)
+    val c = (corpus.sparkSession.createDataFrame(Seq(
+      (10L, "baby babyboom zzz babbeln baby"),
+      (11L, "zzz babbeln baby babyboom zzz")))
+      .toDF("doc_id", "text"))
+    val r = Executor.topK(c, "babbeln.baby.babyboom", 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(r === Set(11L))
+  }
+
   test("join block [q1#q2] executes through the grammar") {
     // completions of ba* common to babylonisch-docs and babbeln-docs:
     // doc 3 carries all four; docs matching via common terms re-aggregate
