@@ -82,11 +82,14 @@ object OpsQueries {
         |       CAST(min(doc_id) AS BIGINT) AS min_doc_id, CAST(max(doc_id) AS BIGINT) AS max_doc_id
         |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
     "dd_jaccard_pairs" ->
-      s"""$ShinglesCtes, sizes AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS ns FROM sh GROUP BY 1
+      s"""$ShinglesCtes, shc AS (
+         |  SELECT * FROM sh WHERE shingle IN (
+         |    SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000)
+         |), sizes AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS ns FROM shc GROUP BY 1
          |), common AS (
          |  SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS common
-         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  FROM shc x JOIN shc y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
          |  GROUP BY 1, 2
          |)
          |SELECT c.a, c.b, round(CAST(c.common AS DOUBLE) / (sa.ns + sb.ns - c.common), 4) AS jaccard

@@ -39,6 +39,8 @@ object Analysis {
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), Dataset[DocTerm]]()
   private val statsCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), CorpusStats]()
+  private val termDfCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), DataFrame]()
 
   // key by (session identity, plan semantic hash): a new SparkSession (e.g.
   // ScalingBench restarting at another parallelism) must not see Datasets
@@ -59,12 +61,26 @@ object Analysis {
       if (!ds.sparkSession.sparkContext.isStopped)
         scala.util.Try(ds.unpersist())
     }
-    dtCache.clear(); statsCache.clear()
+    termDfCache.values().forEach { df =>
+      if (!df.sparkSession.sparkContext.isStopped)
+        scala.util.Try(df.unpersist())
+    }
+    dtCache.clear(); statsCache.clear(); termDfCache.clear()
   }
 
   /** Cached variant of [[stats]]. */
   def statsCached(corpus: DataFrame): CorpusStats =
     statsCache.computeIfAbsent(corpusKey(corpus), _ => stats(corpus))
+
+  /** Vocab-sized (term, df) relation, persisted once per corpus -- the
+    * logical path's dictionary analog for candidate expansion (fuzzy etc.):
+    * term-level predicates are evaluated once per VOCABULARY entry here,
+    * never once per posting.
+    */
+  def termDfCached(corpus: DataFrame): DataFrame =
+    termDfCache.computeIfAbsent(corpusKey(corpus), _ =>
+      docTermsCached(corpus).groupBy(col("term"))
+        .agg(count(lit(1)).as("df")).persist())
 
   /** Tokenize each document once, aggregating tf/positions/dl locally.
     * Narrow (no shuffle). Input must have (doc_id: long, text: string).
@@ -104,13 +120,13 @@ object Analysis {
   /** Term dictionary with dense lexicographic termIds (reference: sorted
     * vocabulary, wordId = index; Vocabulary.h:17-33). The global sort is a
     * range-partitioned shuffle of the *distinct term* relation (vocab-sized,
-    * not corpus-sized); row_number over it is one extra pass.
+    * not corpus-sized); ids come from per-partition offsets ([[DenseRank]]),
+    * never from a single-partition window.
     */
   def dictionary(docTerms: Dataset[DocTerm]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    docTerms.groupBy(col("term"))
+    val agg = docTerms.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
-      .withColumn("term_id", (row_number().over(Window.orderBy(col("term"))) - 1).cast("long"))
+    DenseRank.withDenseId(agg, "term", "term_id")
       .select(col("term_id"), col("term"), col("df"), col("cf"))
   }
 

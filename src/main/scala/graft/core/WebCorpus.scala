@@ -38,16 +38,12 @@ object WebCorpus {
   }
 
   /** Deterministic dense docId assignment for corpora that lack one:
-    * global sort by url -> row_number - 1. Stable across runs and cluster
-    * sizes (url is unique). The range-partitioned sort scales; the window
-    * over the already-sorted data is a single pass.
+    * dense rank in url order (url is unique), via the range-partitioned
+    * sort + per-partition-offset pattern ([[DenseRank]]) -- a corpus-sized
+    * relation must never pass through a single-partition window.
     */
-  def docIds(corpus: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    corpus.withColumn(
-      "doc_id",
-      (row_number().over(Window.orderBy(col("url"))) - 1).cast("long"))
-  }
+  def docIds(corpus: DataFrame): DataFrame =
+    DenseRank.withDenseId(corpus, "url", "doc_id")
 
   /** Extract text from the html wrapper: strip tags, decode the five basic
     * entities, byte-identical to the `text` column for our wrapper.

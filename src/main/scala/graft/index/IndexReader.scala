@@ -16,12 +16,14 @@ import org.apache.spark.sql.functions._
   * block_max_tfpart; contribution bound of block b of term t is
   * ub(b) = idf(t) * block_max_tfpart(b). With theta = a lower bound on the
   * final k-th score, a block can be skipped iff
-  * ub(b) + sum over other query terms t' of max_b' ub(b') < theta:
-  * any doc with its t-postings in b has total score below theta, so
-  * dropping the block can neither remove a true top-k doc nor promote a
-  * false one (partial scores only shrink). theta comes from exactly
-  * scoring the densest block per term (phase 1). This is the
-  * Spark-idiomatic, exact equivalent of cursor-based BM-WAND.
+  * ub(b) + sum over other query terms t' of (max ub of t'-blocks
+  * OVERLAPPING b's docId range) < theta: any doc with its t-postings in b
+  * has total score below theta, so dropping the block can neither remove a
+  * true top-k doc nor promote a false one (partial scores only shrink).
+  * The overlap restriction is what cursor-based BM-WAND gets from aligning
+  * cursors on docId; here it is a docId-grid join over block metadata,
+  * fully distributed. theta comes from exactly scoring the densest block
+  * per term (phase 1).
   */
 class IndexReader(val spark: SparkSession, val dir: String,
                   cacheBlocks: Boolean = true,
@@ -29,6 +31,12 @@ class IndexReader(val spark: SparkSession, val dir: String,
                     * driver round trips than it saves */
                   wandMinBlocks: Int = 64) extends Serializable {
   import spark.implicits._
+
+  /** docId-grid resolution for the WAND overlap bound: each query term
+    * contributes at most this many (cell, ub) rows, independent of its
+    * block count.
+    */
+  val WandGridCells = 1024L
 
   lazy val dictionary: DataFrame = spark.read.parquet(s"$dir/dictionary").cache()
   private lazy val statsRow = spark.read.parquet(s"$dir/stats").head()
@@ -181,65 +189,105 @@ class IndexReader(val spark: SparkSession, val dir: String,
   }
 
   /** WAND with pruning statistics: (result, totalBlocks, scannedBlocks). */
-  def topKOrWandStats(terms: Seq[String], k: Int): (DataFrame, Int, Int) =
+  def topKOrWandStats(terms: Seq[String], k: Int): (DataFrame, Long, Long) =
     wandImpl(terms, k)
 
   /** Exact disjunctive top-k WITH block-max pruning (WAND analog). */
   def topKOrWand(terms: Seq[String], k: Int): DataFrame =
     wandImpl(terms, k)._1
 
-  private def wandImpl(terms: Seq[String], k: Int): (DataFrame, Int, Int) = {
+  private def wandImpl(terms: Seq[String], k: Int): (DataFrame, Long, Long) = {
     val info = termInfo(terms)
-    if (info.isEmpty) return (emptyHits, 0, 0)
+    if (info.isEmpty) return (emptyHits, 0L, 0L)
     val dfByTermId = info.values.map(v => v._1 -> v._2).toMap
     val idfByTermId = dfByTermId.map { case (tid, d) => tid -> idf(d) }
     val ids = dfByTermId.keys.toSeq
 
-    // Block metadata to the driver: tiny (one row per ~64k postings).
-    val meta = blocksForIds(ids)
-      .select(col("term_id"), col("first_doc_id"), col("block_max_tfpart"))
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2) * idfByTermId(r.getLong(0))))
+    // All per-block state stays DISTRIBUTED throughout -- a head term at
+    // 10^12 docs has millions of blocks and the driver must never see one
+    // row (or one expression-tree node) per block. Driver round-trips are
+    // bounded: one count, k phase-1 rows, one count, the k results.
+    val qBlocks = blocksForIds(ids)
+    val totalBlocks = qBlocks.count()
+    if (totalBlocks == 0) return (emptyHits, 0L, 0L)
+    if (totalBlocks <= wandMinBlocks)
+      return (fullWithInfo(info, k), totalBlocks, totalBlocks)
 
-    if (meta.isEmpty) return (emptyHits, 0, 0)
-    if (meta.length <= wandMinBlocks)
-      return (fullWithInfo(info, k), meta.length, meta.length)
-
-    // Phase 1: exactly score the single highest-ub block per term -> theta
-    // (a valid lower bound on the final k-th score: partial sums only grow).
-    val phase1Keys = meta.groupBy(_._1).map { case (_, bs) => bs.maxBy(_._3) }
-      .map(b => (b._1, b._2)).toSet
-    val p1Filter = phase1Keys
-      .map { case (tid, fdoc) => col("term_id") === tid && col("first_doc_id") === fdoc }
-      .reduce(_ || _)
-    val p1Blocks = blocksForIds(ids).filter(p1Filter)
+    // Phase 1: per term, the densest blocks (by block-max, ties toward low
+    // first_doc_id so the per-term doc ranges align and overlap) until
+    // they cover >= k docs; exactly scoring them yields theta, a valid
+    // lower bound on the final k-th score (partial sums only grow).
+    // The per-term window sorts METADATA only; selection joins back as a
+    // semi-join, never a literal predicate.
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term_id"))
+      .orderBy(col("block_max_tfpart").desc, col("first_doc_id").asc)
+    val p1Keys = qBlocks
+      .select(col("term_id"), col("first_doc_id"), col("n_docs"), col("block_max_tfpart"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_docs").cast("long")).over(
+          pw.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .filter(col("cum_before") < k)
+      .select(col("term_id"), col("first_doc_id"))
+    val p1Blocks = qBlocks.join(broadcast(p1Keys), Seq("term_id", "first_doc_id"), "left_semi")
     val p1Scores = scoreDecoded(decode(p1Blocks), dfByTermId)
       .groupBy(col("doc_id")).agg(sum(col("score")).as("score"))
       .orderBy(col("score").desc).limit(k)
       .collect()
     val theta = if (p1Scores.length < k) 0.0 else p1Scores.last.getAs[Double]("score")
+    if (theta == 0.0) return (fullWithInfo(info, k), totalBlocks, totalBlocks)
 
-    // Phase 2: prune blocks that cannot put any of their docs above theta.
-    // The 1e-4 safety margin makes pruning exact UNDER THE 4-DP ROUNDED
-    // OUTPUT as well: a pruned doc's true score is < theta - 1e-4, so its
-    // rounded score can never tie the rounded k-th score and steal a slot
-    // via the doc_id tiebreak.
-    val maxUbByTerm = meta.groupBy(_._1).map { case (t, bs) => t -> bs.map(_._3).max }
-    val sumOthersUb = ids.map(t => t -> (maxUbByTerm.values.sum - maxUbByTerm(t))).toMap
-    val surviving = meta.filter { case (tid, _, ub) => ub + sumOthersUb(tid) >= theta - 1e-4 }
-    if (surviving.length == meta.length || theta == 0.0)
-      return (fullWithInfo(info, k), meta.length, meta.length)
+    // Phase 2: prune block b of term t iff no doc in b can reach theta:
+    //   ub(b) + sum over other terms t' of (max ub of t'-blocks OVERLAPPING
+    //   b's docId range) < theta.
+    // The overlap bound is the essence of cursor-based block-max WAND (the
+    // cursors align on docId); the global-max-per-term bound is useless on
+    // skew: every head-term block would "survive" via the rare term's
+    // global ub even where the rare term has no postings at all.
+    // Spark shape: a docId GRID. Each term's blocks are exploded to the
+    // grid cells they intersect; cell_ub(t, c) = max ub of t's blocks in
+    // cell c (a metadata-sized agg); a block's other-term bound sums, over
+    // other terms, the max cell_ub across its span. Everything stays
+    // distributed -- the driver never sees a per-block row.
+    // The 1e-4 safety margin keeps pruning exact UNDER THE 4-DP ROUNDED
+    // OUTPUT: a pruned doc's true score is < theta - 1e-4, so its rounded
+    // score can never tie the rounded k-th score and steal a slot via the
+    // doc_id tiebreak.
+    val idfTbl = idfByTermId.toSeq.toDF("term_id", "idf")
+    val cellW = math.max(1L, nDocs / WandGridCells)
+    val meta = qBlocks
+      .select(col("term_id"), col("first_doc_id"), col("last_doc_id"),
+        col("block_max_tfpart"))
+      .join(broadcast(idfTbl), "term_id")
+      .withColumn("ub", col("block_max_tfpart") * col("idf"))
+    val cells = meta.select(col("term_id"), col("first_doc_id"), col("ub"),
+      explode(sequence(floor(col("first_doc_id") / cellW).cast("long"),
+        floor(col("last_doc_id") / cellW).cast("long"))).as("cell"))
+    val cellUb = cells.groupBy(col("cell"), col("term_id").as("t2"))
+      .agg(max(col("ub")).as("cell_ub"))
+    val otherBound = cells.select(col("term_id"), col("first_doc_id"), col("cell"))
+      .join(cellUb, "cell")
+      .filter(col("t2") =!= col("term_id"))
+      .groupBy(col("term_id"), col("first_doc_id"), col("t2"))
+      .agg(max(col("cell_ub")).as("o_ub"))
+      .groupBy(col("term_id"), col("first_doc_id"))
+      .agg(sum(col("o_ub")).as("other_bound"))
+    val survivingKeys = meta
+      .join(otherBound, Seq("term_id", "first_doc_id"), "left_outer")
+      .filter(col("ub") + coalesce(col("other_bound"), lit(0.0)) >= theta - 1e-4)
+      .select(col("term_id"), col("first_doc_id"))
+    val surviving = qBlocks.join(survivingKeys, Seq("term_id", "first_doc_id"), "left_semi")
+    val scanned = surviving.count()
+    if (scanned >= totalBlocks)
+      return (fullWithInfo(info, k), totalBlocks, totalBlocks)
 
-    val survFilter = surviving
-      .map { case (tid, fdoc, _) => col("term_id") === tid && col("first_doc_id") === fdoc }
-      .reduce(_ || _)
-    val blockDf = blocksForIds(ids).filter(survFilter)
-    val result = scoreDecoded(decode(blockDf), dfByTermId)
+    val result = scoreDecoded(decode(surviving), dfByTermId)
       .groupBy(col("doc_id"))
       .agg(round(sum(col("score")), 4).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
-    (result, meta.length, surviving.length)
+    (result, totalBlocks, scanned)
   }
 
   /** Prefix top-k docs over the physical index: score = summed BM25 over

@@ -39,9 +39,23 @@ object Dedup {
   /** Near-duplicate pairs by n-gram Jaccard >= threshold.
     * Inverted-index self-join on shingle -> common counts; set sizes
     * joined back; jaccard = common / (|A| + |B| - common).
+    *
+    * maxShingleDf is the head-shingle guard (the 100 TB safety): a single
+    * boilerplate shingle shared by d docs contributes d^2 rows to the
+    * self-join, so shingles with df > maxShingleDf are dropped from the
+    * relation entirely (from both the common counts and the set sizes) --
+    * the standard near-dup approximation; pairs held together only by
+    * boilerplate are not near-duplicates worth reporting.
     */
-  def jaccardPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs, n).cache()
+  def jaccardPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.5,
+                   maxShingleDf: Long = 1000L): DataFrame = {
+    val sh0 = shingles(docs, n)
+    val rare = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
+      .filter(col("sdf") <= maxShingleDf).select(col("shingle"))
+    // re-select: the key join moves `shingle` first, downstream renames
+    // are positional
+    val sh = sh0.join(rare, Seq("shingle"), "left_semi")
+      .select(col("doc_id"), col("shingle")).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val a = sh.toDF("a", "shingle")
     val b = sh.toDF("b", "shingle")

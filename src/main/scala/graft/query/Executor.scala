@@ -44,12 +44,25 @@ object Executor {
   private def atomScored(corpus: DataFrame, atom: Atom): DataFrame = {
     val dt = Analysis.docTermsCached(corpus)
     val st = Analysis.statsCached(corpus)
-    val pred: Column = atomPredicate(atom)
-    val matching = dt.filter(pred)
-    val dfTbl = matching.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    matching.join(broadcast(dfTbl), "term")
-      .select(col("doc_id"), col("term"), col("tf"), col("positions"),
-        Analysis.bm25Col(st.n_docs, st.avgdl, col("tf"), col("df"), col("dl")).as("score"))
+    def score(matching: DataFrame, dfTbl: DataFrame): DataFrame =
+      matching.join(broadcast(dfTbl), "term")
+        .select(col("doc_id"), col("term"), col("tf"), col("positions"),
+          Analysis.bm25Col(st.n_docs, st.avgdl, col("tf"), col("df"), col("dl")).as("score"))
+    atom match {
+      case w: Word if w.fuzzy =>
+        // fuzzy candidates from the VOCAB-sized (term, df) relation, then a
+        // broadcast join on postings: edit distance is evaluated once per
+        // vocabulary entry, never once per posting row (reference builds a
+        // FastSS/permuted-lexicon candidate index for the same reason,
+        // fuzzysearch/FuzzySearcher.h:24-107)
+        val cands = Analysis.termDfCached(corpus)
+          .filter(levenshtein(col("term"), lit(w.text)) <= fuzzyThreshold(w.text))
+        score(dt.toDF(), cands)
+      case _ =>
+        val matching = dt.toDF().filter(atomPredicate(atom))
+        val dfTbl = matching.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        score(matching, dfTbl)
+    }
   }
 
   private def atomPredicate(atom: Atom): Column = atom match {

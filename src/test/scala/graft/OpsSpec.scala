@@ -31,6 +31,21 @@ class OpsSpec extends AnyFunSuite {
     assert(!p.exists { case (a, b, _) => b == 4 || a == 4 })
   }
 
+  test("jaccard df-cap drops pairs held together only by a boilerplate shingle") {
+    import spark.implicits._
+    // 6 docs sharing one boilerplate 3-shingle (df=6) plus unique tails:
+    // uncapped, every pair is a candidate; with the cap below 6, the
+    // boilerplate shingle leaves the relation and no pair survives
+    val boiler = (0L until 6L).map(i =>
+      (i, s"legal header text unique$i tail$i word$i")).toDF("doc_id", "text")
+    val uncapped = Dedup.jaccardPairs(boiler, n = 3, threshold = 0.1,
+      maxShingleDf = 1000L).count()
+    val capped = Dedup.jaccardPairs(boiler, n = 3, threshold = 0.1,
+      maxShingleDf = 5L).count()
+    assert(uncapped === 15) // all C(6,2) pairs share the boilerplate shingle
+    assert(capped === 0)
+  }
+
   test("minhash LSH surfaces exact dups as candidates") {
     val c = Dedup.lshCandidatePairs(docs, n = 3, nHashes = 8, bands = 4).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

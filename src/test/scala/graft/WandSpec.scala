@@ -40,4 +40,35 @@ class WandSpec extends AnyFunSuite {
     // the gold-rich docs dominate the top-5
     assert(wand.map(_._1).forall(_ < 10L))
   }
+
+  test("head term spanning hundreds of blocks prunes with bounded driver state") {
+    // A skewed index: the head term 'web' occurs in all 3,000 docs and,
+    // with blockSize=8, spans several hundred blocks. WAND must complete
+    // and prune: per-term aggregates (not per-block rows) go to the driver
+    // and survival is a broadcast-threshold predicate, so block count can
+    // grow without growing driver state or the plan's expression tree.
+    // gold docs carry tf(web)=3 at tiny dl, so the top docs' web
+    // contribution clears the 1e-4 rounding margin above the long-doc
+    // blocks' upper bound -- pruning must be decisive, not knife-edge
+    val pad = (1 to 50).map(i => s"pad$i").mkString(" ")
+    val docs = (
+      (0L until 10L).map(i => (i, "gold gold web web web")) ++
+      (10L until 3000L).map(i => (i, s"web $pad"))
+    ).toDF("doc_id", "text")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_wand_skew").toString
+    IndexBuilder.build(spark, docs, dir, numShards = 1, blockSize = 8,
+      buildPartitions = 8)
+    val reader = new IndexReader(spark, dir, cacheBlocks = false, wandMinBlocks = 1)
+
+    val (wandDf, total, scanned) = reader.topKOrWandStats(Seq("gold", "web"), 5)
+    val wand = wandDf.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = reader.topKOrFull(Seq("gold", "web"), 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    assert(total > 300, s"skew fixture should span >300 blocks, got $total")
+    assert(scanned < total / 2, s"expected heavy pruning: scanned=$scanned total=$total")
+    assert(wand === full)
+    assert(wand.map(_._1).forall(_ < 10L))
+  }
 }
