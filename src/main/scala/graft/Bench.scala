@@ -27,7 +27,11 @@ object Bench {
     "or4" -> ((r: IndexReader) => r.topKOrWand(Seq("batch", "stream", "vector", "window"), 10)),
     "prefix:st" -> ((r: IndexReader) => r.topKPrefixDocs("st", 10)),
     "prefix:s" -> ((r: IndexReader) => r.topKPrefixDocs("s", 10)),
-    "prefix:b" -> ((r: IndexReader) => r.topKPrefixDocs("b", 10)))
+    "prefix:b" -> ((r: IndexReader) => r.topKPrefixDocs("b", 10)),
+    // full grammar served from the index (parser -> Eval -> block scan)
+    "qp:and_prefix" -> ((r: IndexReader) => graft.query.IndexExecutor.topK(r, "spark st*", 10)),
+    "qp:phrase" -> ((r: IndexReader) => graft.query.IndexExecutor.topK(r, "batch.batch", 10)),
+    "qp:not" -> ((r: IndexReader) => graft.query.IndexExecutor.topK(r, "spark -join", 10)))
 
   /** Deterministic corpus expansion for throughput measurement: replicate
     * the documents table k times with shifted doc ids (identical content,
@@ -109,9 +113,16 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""build_docs_per_sec":$docsPerSec,"n_docs":$nDocs,""" +
-      s""""bm25_top10_p50_ms":$p50Ms,"bm25_top10_p95_ms":$p95Ms}""")
+      s""""bm25_top10_p50_ms":$p50Ms,"bm25_top10_p95_ms":$p95Ms}"""
+    println(json)
+    // machine-readable copy: sbt interleaves [info]/[error] log noise into
+    // stdout, so the one-line contract is ALSO written to a file
+    // (SPARK_GRAFT_BENCH_OUT overrides; default BENCH_LOCAL.json in cwd)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    scala.util.Try(java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outFile), json + "\n"))
     spark.stop()
   }
 }

@@ -20,6 +20,7 @@ object IndexQueries {
       val dir = s"/tmp/graft_index/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
       val corpus = WebCorpus.fromDocuments(spark, sfDir)
       IndexBuilder.build(spark, corpus, dir, numShards = 2)
+      IndexBuilder.buildDocsStore(spark, corpus, dir)
       dir
     })
   }

@@ -48,7 +48,7 @@ object SparkEntry {
     "ix_phrase" -> IndexQueries.phraseDocs _,
     "ix_completions" -> IndexQueries.completions _,
     "ix_build_metrics" -> IndexQueries.buildMetrics _
-  ) ++ OpsQueries.queries ++ QpQueries.queries
+  ) ++ OpsQueries.queries ++ QpQueries.queries ++ QpixQueries.queries
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> "SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1"
@@ -60,5 +60,5 @@ object SparkEntry {
     "ix_and" -> Oracles.all("ft_bm25_and"),
     "ix_phrase" -> Oracles.all("ft_phrase"),
     "ix_completions" -> Oracles.all("ft_completions")
-  ) ++ OpsQueries.oracleSql ++ QpQueries.oracleSql
+  ) ++ OpsQueries.oracleSql ++ QpQueries.oracleSql ++ QpixQueries.oracleSql
 }

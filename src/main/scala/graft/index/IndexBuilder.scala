@@ -169,6 +169,24 @@ object IndexBuilder {
     m
   }
 
+  /** Docs store (reference: buildDocsDB -> docs.DB used by the excerpts
+    * generator): (doc_id, url, text) parquet next to the index, so excerpt
+    * generation reads the index directory, never the corpus. A separate
+    * step, like the reference's separate tool -- index builds that never
+    * serve excerpts skip the write. Idempotent via the _SUCCESS marker.
+    */
+  def buildDocsStore(spark: SparkSession, corpus: DataFrame, outDir: String): Unit = {
+    val done = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$outDir/docs/_SUCCESS"))
+    if (!done) {
+      val cols = corpus.columns.toSet
+      val base = corpus.select(col("doc_id").cast("long").as("doc_id"),
+        (if (cols.contains("url")) col("url") else lit("")).as("url"),
+        col("text"))
+      base.write.mode(SaveMode.Overwrite).parquet(s"$outDir/docs")
+    }
+  }
+
   /** Encode one shard's posting blocks from the (already tokenized)
     * doc-term relation.
     */

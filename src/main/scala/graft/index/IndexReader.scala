@@ -39,6 +39,10 @@ class IndexReader(val spark: SparkSession, val dir: String,
   val WandGridCells = 1024L
 
   lazy val dictionary: DataFrame = spark.read.parquet(s"$dir/dictionary").cache()
+  /** Docs store (buildDocsDB analog) -- present when the build ran
+    * [[IndexBuilder.buildDocsStore]]; serves excerpt text.
+    */
+  lazy val docs: DataFrame = spark.read.parquet(s"$dir/docs")
   private lazy val statsRow = spark.read.parquet(s"$dir/stats").head()
   lazy val nDocs: Long = statsRow.getAs[Long]("n_docs")
   lazy val avgdl: Double = statsRow.getAs[Double]("avgdl")

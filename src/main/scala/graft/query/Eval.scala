@@ -1,0 +1,193 @@
+package graft.query
+
+import graft.core.Analysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import QueryParser._
+
+/** Where a query part's postings come from: the ONE abstraction point
+  * between the logical engine (re-tokenized corpus relation; CI/small
+  * corpora) and the physical engine (compressed posting blocks via
+  * IndexReader; the production path -- at 10^12 docs a query must never
+  * re-tokenize the corpus). Both return the same shape, so the whole
+  * grammar evaluation ([[Eval]]) is written once and the qpix_* gates can
+  * reuse the qp_* oracles verbatim.
+  */
+trait AtomSource {
+  /** Matched scored postings for one atom:
+    * (doc_id, term, tf, positions, score) -- score = per-(doc, term) BM25.
+    */
+  def atomScored(atom: Atom): DataFrame
+}
+
+/** Logical-path source: predicates over the cached doc-term relation. */
+class CorpusAtomSource(corpus: DataFrame) extends AtomSource {
+
+  def atomScored(atom: Atom): DataFrame = {
+    val dt = Analysis.docTermsCached(corpus)
+    val st = Analysis.statsCached(corpus)
+    def score(matching: DataFrame, dfTbl: DataFrame): DataFrame =
+      matching.join(broadcast(dfTbl), "term")
+        .select(col("doc_id"), col("term"), col("tf"), col("positions"),
+          Analysis.bm25Col(st.n_docs, st.avgdl, col("tf"), col("df"), col("dl")).as("score"))
+    atom match {
+      case w: Word if w.fuzzy =>
+        // fuzzy candidates from the VOCAB-sized (term, df) relation, then a
+        // broadcast join on postings: edit distance is evaluated once per
+        // vocabulary entry, never once per posting row (reference builds a
+        // FastSS/permuted-lexicon candidate index for the same reason,
+        // fuzzysearch/FuzzySearcher.h:24-107)
+        val cands = Analysis.termDfCached(corpus)
+          .filter(levenshtein(col("term"), lit(w.text)) <= Executor.fuzzyThreshold(w.text))
+        score(dt.toDF(), cands)
+      case _ =>
+        val matching = dt.toDF().filter(CorpusAtomSource.atomPredicate(atom))
+        val dfTbl = matching.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        score(matching, dfTbl)
+    }
+  }
+}
+
+object CorpusAtomSource {
+
+  def atomPredicate(atom: Atom): Column = atom match {
+    case w: Word => wordPredicate(w)
+    case WordRange(lo, hi) => col("term") >= lo && col("term") <= hi
+    case OrAtoms(alts) => alts.map(wordPredicate).reduce(_ || _)
+    case _: JoinBlock =>
+      throw new IllegalArgumentException("join block handled separately")
+  }
+
+  def wordPredicate(w: Word): Column = {
+    if (w.prefix) col("term").startsWith(w.text)
+    else if (w.fuzzy)
+      levenshtein(col("term"), lit(w.text)) <= Executor.fuzzyThreshold(w.text)
+    else if (w.synonym) col("term").isin(Executor.synonymsOf(w.text).toSeq: _*)
+    else col("term") === w.text // exact and plain words match the term itself
+  }
+}
+
+/** The reference-grammar evaluation state machine, written ONCE over
+  * [[AtomSource]] (mirrors processComplexQuery's left-deep part chain,
+  * CompleterBase.cpp:1007-1850): the accumulated result is a
+  * (doc_id, score) relation plus, for windowed separators, the positions
+  * of the previous part's MATCHED postings.
+  *
+  * Scoring: per-part doc score = summed BM25 over the part's matched terms
+  * in the doc; parts combine with Sum (docScoreAggDifferentQueryParts=Sum).
+  * Windowed separators (phrase/near/same-pos) constrain docs via a
+  * position theta-join; scores still aggregate over whole-doc tf (fixed in
+  * the goldens -- see SURVEY.md §7.3 hard part 5).
+  */
+object Eval {
+
+  private def isNot(atom: Atom): Boolean = atom match {
+    case w: Word => w.not
+    case _ => false
+  }
+
+  /** Evaluate to (doc_id, score), score rounded to 4dp, unordered.
+    * With bonuses=true, windowed matches add the reference's SumWithBonus
+    * constants to the doc score.
+    */
+  def evalDocs(src: AtomSource, q: ParsedQuery, bonuses: Boolean = false): DataFrame = {
+    case class State(scores: DataFrame, positions: DataFrame)
+
+    def partDocScores(a: Atom): DataFrame = a match {
+      case JoinBlock(l, r) => evalJoinBlock(src, l, r)
+      case _ => src.atomScored(a)
+        .groupBy(col("doc_id")).agg(sum(col("score")).as("score"))
+    }
+    def partPositions(a: Atom): DataFrame = a match {
+      case JoinBlock(_, _) => null
+      case _ => src.atomScored(a)
+        .select(col("doc_id"), explode(col("positions")).as("pos"))
+    }
+
+    val first = q.parts.head
+    require(!isNot(first.atom), "query cannot start with a NOT part")
+    var state = State(partDocScores(first.atom), partPositions(first.atom))
+
+    q.parts.tail.foreach { part =>
+      val window = part.sep.flatMap(_.window)
+      if (isNot(part.atom)) {
+        // NOT: anti-join on matching docs (OUTPUT_NON_MATCHES)
+        val negDocs = src.atomScored(part.atom).select(col("doc_id")).distinct()
+        state = State(state.scores.join(negDocs, Seq("doc_id"), "left_anti"),
+          state.positions)
+      } else if (window.isEmpty) {
+        // plain AND: docId equi-join, scores sum (the special-posting carry)
+        val cur = partDocScores(part.atom)
+        val joined = state.scores.toDF("doc_id", "s1")
+          .join(cur.toDF("doc_id", "s2"), "doc_id")
+          .select(col("doc_id"), (col("s1") + col("s2")).as("score"))
+        state = State(joined, partPositions(part.atom))
+      } else {
+        // windowed AND: position theta-join against previous part's matches
+        val (lo, hi) = window.get
+        val curScored = src.atomScored(part.atom)
+        val curPos = curScored.select(col("doc_id").as("d2"), explode(col("positions")).as("p2"))
+        val matched = state.positions.toDF("doc_id", "p1")
+          .join(curPos, col("doc_id") === col("d2") &&
+            (col("p2") - col("p1")).between(lo, hi))
+        val matchedDocs = matched.select(col("doc_id")).distinct()
+        val cur = curScored.groupBy(col("doc_id")).agg(sum(col("score")).as("s2"))
+        val bonus = if (bonuses) Executor.bonusFor(part.sep.get) else 0.0
+        val joined = state.scores.toDF("doc_id", "s1")
+          .join(cur, "doc_id")
+          .join(matchedDocs, "doc_id")
+          .select(col("doc_id"), (col("s1") + col("s2") + lit(bonus)).as("score"))
+        // the next window chains ONLY from positions of this part that
+        // actually matched the previous part's window (reference:
+        // intersectTwoPostingLists emits the second list's matched
+        // postings, CompleterBase.Intersect.cpp:477-548) -- carrying all
+        // of the atom's positions would let a.b.c match docs where 'a b'
+        // and 'b c' occur at unrelated places
+        val newPos = matched.select(col("doc_id"), col("p2").as("pos")).distinct()
+        state = State(joined, newPos)
+      }
+    }
+    state.scores.select(col("doc_id"), round(col("score"), 4).as("score"))
+  }
+
+  /** Top-k hits: total order (score desc, doc_id asc). */
+  def topK(src: AtomSource, query: String, k: Int, bonuses: Boolean = false): DataFrame =
+    evalDocs(src, QueryParser.parse(query), bonuses)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+
+  /** Completions of the last part within the docs matching the whole query
+    * (computeTopCompletions over the final result).
+    */
+  def completions(src: AtomSource, query: String, k: Int): DataFrame = {
+    val parsed = QueryParser.parse(query)
+    val docs = evalDocs(src, parsed).select(col("doc_id"))
+    src.atomScored(parsed.parts.last.atom)
+      .join(docs, Seq("doc_id"), "left_semi")
+      .groupBy(col("term"))
+      .agg(round(sum(col("score")), 4).as("score"),
+        count(lit(1)).as("dc"), sum(col("tf")).as("oc"))
+      .orderBy(col("score").desc, col("term").asc)
+      .limit(k)
+  }
+
+  /** Join block [q1#q2]: completions of the two sides' last parts that
+    * occur in BOTH results (CompleterBase.Join.cpp hash join); docs of
+    * either side containing a common term, scores re-aggregated.
+    */
+  private def evalJoinBlock(src: AtomSource, l: ParsedQuery, r: ParsedQuery): DataFrame = {
+    def side(pq: ParsedQuery): DataFrame = {
+      val docs = evalDocs(src, pq).select(col("doc_id"))
+      src.atomScored(pq.parts.last.atom)
+        .join(docs, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("term"), col("score"))
+    }
+    val ls = side(l)
+    val rs = side(r)
+    val commonTerms = ls.select(col("term")).distinct()
+      .join(rs.select(col("term")).distinct(), Seq("term"), "left_semi")
+    ls.unionByName(rs)
+      .join(broadcast(commonTerms), Seq("term"), "left_semi")
+      .groupBy(col("doc_id")).agg(sum(col("score")).as("score"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.query
+
+import graft.core.Analysis
+import graft.index.IndexReader
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import QueryParser._
+
+/** Physical-path atom source: an atom resolves to dictionary candidates
+  * (the term-level predicate -- prefix / fuzzy / synonym / range / OR --
+  * is evaluated once per VOCABULARY entry), then to a bucket- and
+  * min/max-pruned block scan decoded by the native Generator and scored
+  * with BM25 from the persisted df/stats.
+  *
+  * This is the reference's architecture: every query shape goes through
+  * the block index (HYBCompleter.cpp:115-270, block locate :661-746) --
+  * at 10^12 docs a query must never touch, let alone re-tokenize, the
+  * corpus.
+  */
+class IndexAtomSource(reader: IndexReader) extends AtomSource {
+
+  private def emptyScored: DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("term", StringType),
+      StructField("tf", LongType),
+      StructField("positions", ArrayType(IntegerType)),
+      StructField("score", DoubleType)))
+    reader.spark.createDataFrame(reader.spark.sparkContext.emptyRDD[Row], schema)
+  }
+
+  def atomScored(atom: Atom): DataFrame = {
+    // vocab-sized candidate relation: (term_id, term, df)
+    val cand = reader.dictionary
+      .filter(CorpusAtomSource.atomPredicate(atom))
+      .select(col("term_id"), col("term"), col("df"))
+    // one 2-long driver round-trip per atom: the candidate term-id RANGE.
+    // Dense lexicographic ids make prefixes/ranges contiguous, so the
+    // block scan below prunes partitions (bucket dirs) and row groups
+    // (term_id min/max) before the broadcast join applies the exact set
+    // (block locate analog, HYBCompleter.cpp:661-746).
+    val r = cand.agg(min(col("term_id")), max(col("term_id"))).head()
+    if (r.isNullAt(0)) return emptyScored
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    reader.decodeWithPositions(reader.blocksForRange(lo, hi))
+      .join(broadcast(cand), "term_id")
+      .select(col("doc_id"), col("term"), col("tf"), col("positions"),
+        Analysis.bm25Col(reader.nDocs, reader.avgdl,
+          col("tf"), col("df"), col("dl")).as("score"))
+  }
+}
+
+/** Physical-path facade: the full reference grammar served from the
+  * compressed posting-block index via the shared [[Eval]] state machine.
+  */
+object IndexExecutor {
+
+  def topK(reader: IndexReader, query: String, k: Int,
+           bonuses: Boolean = false): DataFrame =
+    Eval.topK(new IndexAtomSource(reader), query, k, bonuses)
+
+  def completions(reader: IndexReader, query: String, k: Int): DataFrame =
+    Eval.completions(new IndexAtomSource(reader), query, k)
+
+  def evalDocs(reader: IndexReader, q: ParsedQuery,
+               bonuses: Boolean = false): DataFrame =
+    Eval.evalDocs(new IndexAtomSource(reader), q, bonuses)
+
+  /** Excerpts for the top-k hits of a query, text served from the index's
+    * docs store (buildDocsDB analog) -- the corpus itself is never read.
+    */
+  def excerpts(reader: IndexReader, query: String, k: Int,
+               exact: Seq[String], prefixes: Seq[String],
+               radius: Int = 2): DataFrame = {
+    val hits = topK(reader, query, k)
+    Excerpts.generate(reader.docs, hits, exact, prefixes, radius)
+  }
+}

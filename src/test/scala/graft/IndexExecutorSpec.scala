@@ -1,0 +1,86 @@
+package graft
+
+import graft.index.{IndexBuilder, IndexReader}
+import graft.query.{Executor, IndexExecutor, SynonymDictionary}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The full grammar served from the physical index must behave exactly
+  * like the logical path (same Eval state machine, different AtomSource).
+  */
+class IndexExecutorSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  lazy val corpus = Seq(
+    (1L, "aachen aal aalglatt aargau"),
+    (2L, "aachen aalglatt aal"),
+    (3L, "babbeln baby babyboom babylonisch"),
+    (4L, "babbeln baby babyboom"),
+    (5L, "merge aal"),
+    (6L, "join aal zebra")
+  ).toDF("doc_id", "text")
+
+  lazy val reader: IndexReader = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_qpix").toString
+    IndexBuilder.build(spark, corpus, dir, numShards = 1, blockSize = 4)
+    IndexBuilder.buildDocsStore(spark,
+      corpus.withColumn("url", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("u"), $"doc_id")), dir)
+    new IndexReader(spark, dir)
+  }
+
+  private def ix(q: String): Set[Long] =
+    IndexExecutor.topK(reader, q, 10).collect().map(_.getLong(0)).toSet
+  private def lg(q: String): Set[Long] =
+    Executor.topK(corpus, q, 10).collect().map(_.getLong(0)).toSet
+
+  test("every grammar shape matches the logical path doc-for-doc") {
+    val queries = Seq(
+      "aachen", "aachen aargau", "aachen -aargau", "aargau|babylonisch",
+      "bab*", "aal--aargau", "aal.aalglatt", "aal..aalglatt",
+      "aachan~", "merge^", "babbeln.baby.babyboom",
+      "[babylonisch ba*#babbeln ba*]")
+    queries.foreach { q =>
+      assert(ix(q) === lg(q), s"index vs logical mismatch for query: $q")
+    }
+  }
+
+  test("scores are identical between paths (same BM25 inputs)") {
+    val a = IndexExecutor.topK(reader, "aachen aal*", 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = Executor.topK(corpus, "aachen aal*", 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a === b)
+  }
+
+  test("completions from the index match the logical completions") {
+    val a = IndexExecutor.completions(reader, "babylonisch ba*", 10).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val b = Executor.completions(corpus, "babylonisch ba*", 10).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(a === b)
+  }
+
+  test("excerpts served from the index docs store") {
+    val ex = IndexExecutor.excerpts(reader, "zebra", 10,
+      exact = Seq("zebra"), prefixes = Seq.empty, radius = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(ex(6L).contains("<hl>zebra</hl>"))
+  }
+
+  test("synonym groups parse the reference file format") {
+    val gs = SynonymDictionary.parse(Seq(
+      "# comment",
+      "car, auto , automobile*",
+      "",
+      "lift, elevator").iterator)
+    assert(gs.length === 2)
+    // automobile is starred: it does not expand to its group...
+    assert(SynonymDictionary.expand("automobile", gs) === Set("automobile"))
+    // ...but is listed when an unstarred member expands
+    assert(SynonymDictionary.expand("car", gs) === Set("car", "auto", "automobile"))
+    assert(SynonymDictionary.expand("lift", gs) === Set("lift", "elevator"))
+    // packaged default file drives Executor.synonymsOf
+    assert(Executor.synonymsOf("merge") === Set("merge", "join"))
+  }
+}
