@@ -30,6 +30,14 @@ object QpQueries {
       val c = corpus(s, d)
       val hits = Executor.topK(c, "spark st*", 10)
       Excerpts.generate(c, hits, exact = Seq("spark"), prefixes = Seq("st"), radius = 2)
+    }),
+    // full-fidelity excerpts: er/en params, one window PER match (up to
+    // en), every match inside a window highlighted
+    "qp_excerpts_multi" -> ((s, d) => {
+      val c = corpus(s, d)
+      val hits = Executor.topK(c, "batch", 10)
+      Excerpts.generateAll(c, hits, exact = Seq("batch"), prefixes = Seq.empty,
+        er = 2, en = 2)
     })
   )
 
@@ -102,6 +110,27 @@ object QpQueries {
          |       CAST(count(*) AS BIGINT) AS dc, CAST(sum(s.tf) AS BIGINT) AS oc
          |FROM scored s JOIN hits USING (doc_id) WHERE s.term LIKE 'st%'
          |GROUP BY s.term ORDER BY score DESC, term ASC LIMIT 10""".stripMargin,
+    "qp_excerpts_multi" ->
+      s"""${Oracles.BaseCtes}, doc_toks AS (
+         |  SELECT doc_id, list(term ORDER BY pos) AS toks FROM toks GROUP BY 1
+         |), hits AS (
+         |  SELECT doc_id, round(sum(score), 4) AS score FROM scored
+         |  WHERE term = 'batch' GROUP BY doc_id
+         |  ORDER BY score DESC, doc_id ASC LIMIT 10
+         |), anchors AS (
+         |  SELECT doc_id, pos,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rk
+         |  FROM toks WHERE term = 'batch'
+         |    AND doc_id IN (SELECT doc_id FROM hits)
+         |), wins AS (
+         |  SELECT a.doc_id, a.pos,
+         |    array_to_string(list_transform(
+         |      dt.toks[greatest(a.pos - 1, 1) : a.pos + 3],
+         |      t -> CASE WHEN t = 'batch' THEN '<hl>' || t || '</hl>' ELSE t END), ' ') AS w
+         |  FROM anchors a JOIN doc_toks dt USING (doc_id) WHERE a.rk <= 2
+         |)
+         |SELECT doc_id, string_agg(w, ' ... ' ORDER BY pos) AS excerpt
+         |FROM wins GROUP BY doc_id""".stripMargin,
     "qp_excerpts" ->
       s"""${Oracles.BaseCtes}, doc_toks AS (
          |  SELECT doc_id, list(term ORDER BY pos) AS toks FROM toks GROUP BY 1

@@ -27,7 +27,13 @@ object QpixQueries {
     "qpix_phrase_bonus" -> ((s, d) => IndexExecutor.topK(rd(s, d), "batch.batch", 10, bonuses = true)),
     "qpix_chain3" -> ((s, d) => IndexExecutor.topK(rd(s, d), "stream.table.hash", 10)),
     "qpix_excerpts" -> ((s, d) => IndexExecutor.excerpts(rd(s, d), "spark st*", 10,
-      exact = Seq("spark"), prefixes = Seq("st"), radius = 2))
+      exact = Seq("spark"), prefixes = Seq("st"), radius = 2)),
+    "qpix_excerpts_multi" -> ((s, d) => {
+      val r = rd(s, d)
+      val hits = IndexExecutor.topK(r, "batch", 10)
+      graft.query.Excerpts.generateAll(r.docs, hits,
+        exact = Seq("batch"), prefixes = Seq.empty, er = 2, en = 2)
+    })
   )
 
   /** Identical semantics => identical oracles: reuse the qp_* SQL. */

@@ -85,6 +85,16 @@ object FtQueries {
   def facetCounts(spark: SparkSession, sfDir: String): DataFrame =
     graft.core.Facets.facetCounts(corpus(spark, sfDir), "lang")
 
+  /** `:ordering:` word-range query (CsvParser.cpp:383-501): docs whose
+    * zero-padded n_chars ordering key falls in a lexicographic range.
+    */
+  def orderingRange(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    graft.core.Facets.orderingRangeDocs(docs, "len",
+        lpad(col("n_chars").cast("string"), 6, "0"), "000100", "000200")
+      .orderBy(col("okey"), col("doc_id"))
+  }
+
   def facetCountsFiltered(spark: SparkSession, sfDir: String): DataFrame =
     graft.core.Facets.facetCountsFiltered(corpus(spark, sfDir)
       .join(spark.read.parquet(s"$sfDir/documents.parquet")
@@ -215,6 +225,12 @@ object Oracles {
     "fc_counts" ->
       """SELECT lang AS value, CAST(count(*) AS BIGINT) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY n_docs DESC, value ASC""".stripMargin,
+    "fc_ordering" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       lpad(CAST(n_chars AS VARCHAR), 6, '0') AS okey
+        |FROM documents
+        |WHERE lpad(CAST(n_chars AS VARCHAR), 6, '0') BETWEEN '000100' AND '000200'
+        |ORDER BY okey, doc_id""".stripMargin,
     "fc_filtered" ->
       s"""$BaseCtes
          |SELECT d.source AS value, CAST(count(*) AS BIGINT) AS n_docs

@@ -41,6 +41,7 @@ object SparkEntry {
     "ft_completions_dc" -> FtQueries.completionsByDc _,
     "fc_counts" -> FtQueries.facetCounts _,
     "fc_filtered" -> FtQueries.facetCountsFiltered _,
+    "fc_ordering" -> FtQueries.orderingRange _,
     "ix_decoded_postings" -> IndexQueries.decodedPostings _,
     "ix_wand_topk" -> IndexQueries.wandTopK _,
     "ix_prefix_docs" -> IndexQueries.prefixDocs _,

@@ -50,6 +50,38 @@ object Facets {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("n_docs").desc, col("value").asc)
 
+  /** Sortable-key ordering words `:ordering:<field>:<key>` (reference:
+    * CsvParser.cpp:383-501 -- ordering fields emit artificial words whose
+    * LEXICOGRAPHIC order equals the field's value order, so "value range"
+    * queries become word-range queries over the same posting relation,
+    * prunable like any term range). `key` must be a sortable encoding
+    * (e.g. zero-padded numbers).
+    */
+  def orderingTerm(field: String, key: Column): Column =
+    concat(lit(s":ordering:$field:"), key)
+
+  def orderingRows(corpus: DataFrame, field: String, key: Column): DataFrame =
+    corpus.select(
+      col("doc_id").cast("long").as("doc_id"),
+      orderingTerm(field, key).as("term"),
+      lit(1L).as("tf"),
+      array().cast("array<int>").as("positions"),
+      lit(0L).as("dl"))
+
+  /** Docs whose ordering key falls in [lo, hi]: a word-range query over the
+    * `:ordering:` namespace of the unified posting relation. Returns
+    * (doc_id, okey).
+    */
+  def orderingRangeDocs(corpus: DataFrame, field: String, key: Column,
+                        lo: String, hi: String): DataFrame = {
+    val prefix = s":ordering:$field:"
+    Analysis.docTermsCached(corpus).toDF()
+      .unionByName(orderingRows(corpus, field, key))
+      .filter(col("term") >= (prefix + lo) && col("term") <= (prefix + hi))
+      .select(col("doc_id"),
+        expr(s"substring(term, ${prefix.length + 1})").as("okey"))
+  }
+
   /** Facet counts restricted to docs matching a keyword -- the classic
     * faceted-search drill-down: AND of a word posting list with the facet
     * posting list (one docId semi-join).

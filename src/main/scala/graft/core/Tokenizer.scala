@@ -54,23 +54,76 @@ object Tokenizer extends Serializable {
     }
   }
 
-  /** Subset of the reference's utf8.map diacritic folding
-    * (utility/utf8.map: mueller-style folding). Optional -- off in the
-    * default pipeline, used only when `foldDiacritics = true`.
+  /** German-style transliteration (ä->ae etc.) -- an OPTIONAL extra the
+    * reference does not apply in its map (utf8.map keeps umlauts: ä->ä);
+    * kept for corpora that want `mueller` to find `müller`.
     */
   def normalizeDiacritics(s: String): String = {
     val sb = new StringBuilder(s.length)
     s.foreach {
-      case 'ä' => sb.append("ae"); case 'ö' => sb.append("oe")
-      case 'ü' => sb.append("ue"); case 'ß' => sb.append("ss")
-      case 'Ä' => sb.append("ae"); case 'Ö' => sb.append("oe")
-      case 'Ü' => sb.append("ue")
-      case 'á' | 'à' | 'â' | 'Á' | 'À' | 'Â' => sb.append('a')
-      case 'é' | 'è' | 'ê' | 'É' | 'È' | 'Ê' => sb.append('e')
-      case 'í' | 'ì' | 'î' | 'Í' | 'Ì' | 'Î' => sb.append('i')
-      case 'ó' | 'ò' | 'ô' | 'Ó' | 'Ò' | 'Ô' => sb.append('o')
-      case 'ú' | 'ù' | 'û' | 'Ú' | 'Ù' | 'Û' => sb.append('u')
-      case c => sb.append(c)
+      case 'ä' | 'Ä' => sb.append("ae"); case 'ö' | 'Ö' => sb.append("oe")
+      case 'ü' | 'Ü' => sb.append("ue"); case 'ß' => sb.append("ss")
+      case c => sb.append(normalize(c.toString))
+    }
+    sb.toString
+  }
+
+  // ---- CONVERSION_TO_NORM: the reference's full utf8.map port ----
+  //
+  // The reference normalizes codepoints <= 2047 via utility/utf8.map
+  // (2,048 entries; StringConverter.h: MAX_UTF8_CODEPOINT = 2047,
+  // everything above passes through). The map's norm column is almost
+  // entirely "lowercase + strip combining marks" (Unicode NFD), so we
+  // compute that algorithmically and overlay the 342 entries where the map
+  // deviates (umlauts/ø kept as lowercase self, stroke/hook letters folded
+  // to their base, Arabic letter-forms folded, etc.) from a compact
+  // generated (codepoint -> norm codepoint) resource. TokenizerSpec
+  // verifies ALL 2,048 codepoints against the reference map file itself.
+
+  private def baseNormChar(cp: Int): String = {
+    val low = Character.toLowerCase(cp)
+    val d = java.text.Normalizer.normalize(
+      new String(Character.toChars(low)), java.text.Normalizer.Form.NFD)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < d.length) {
+      val c = d.codePointAt(i)
+      val t = Character.getType(c)
+      if (t != Character.NON_SPACING_MARK && t != Character.ENCLOSING_MARK &&
+        t != Character.COMBINING_SPACING_MARK) sb.appendAll(Character.toChars(c))
+      i += Character.charCount(c)
+    }
+    if (sb.isEmpty) new String(Character.toChars(low)) // bare combining mark: self
+    else sb.toString
+  }
+
+  private lazy val NormTable: Array[String] = {
+    val t = Array.tabulate(2048)(baseNormChar)
+    val in = getClass.getResourceAsStream("/graft/norm-exceptions.txt")
+    require(in != null, "norm-exceptions resource missing")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().foreach { ln =>
+      val Array(cp, norm) = ln.split('\t')
+      t(cp.toInt) = new String(Character.toChars(norm.toInt))
+    } finally src.close()
+    t
+  }
+
+  /** Locale-free normalization matching the reference's CONVERSION_TO_NORM
+    * over utility/utf8.map byte-for-byte: codepoints <= 2047 map through
+    * the table, everything above passes through unchanged
+    * (StringConverter.h sample: "René Descartes" -> "rené descartes" with
+    * the accent stripped -> "rene descartes").
+    */
+  def normalize(s: String): String = {
+    if (s == null || s.isEmpty) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cp < 2048) sb.append(NormTable(cp))
+      else sb.appendAll(Character.toChars(cp))
+      i += Character.charCount(cp)
     }
     sb.toString
   }

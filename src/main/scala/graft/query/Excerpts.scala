@@ -3,21 +3,36 @@ package graft.query
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Excerpt/snippet generation (reference: ExcerptsGenerator.cpp -- fetch
-  * top-hit docs, re-find query words incl. prefixes, window of +-er words,
-  * <hl> highlighting). Pure Catalyst array functions over the doc text --
-  * the top-k doc set is tiny, the work is one broadcast semi-join plus
-  * per-row array ops.
+/** Excerpt/snippet generation (reference: ExcerptsGenerator.cpp:341-1198 --
+  * fetch hit docs, re-find query words incl. prefixes, windows of +-er
+  * words around matches, up to en excerpts per doc, <hl> highlighting,
+  * multi-part `^` words matched per part). Pure Catalyst array functions
+  * over the doc text -- the top-k doc set is tiny, the work is one
+  * broadcast semi-join plus per-row array ops.
   */
 object Excerpts {
 
-  private val SepRegex = "[!\"#$%&'()*+,\\-./@\\[\\\\\\]^{|}~:;<=>? ]+"
+  /** The tokenizer separator set MINUS '^': multi-part artificial words
+    * (e.g. `beethoven^ludwig`, ExcerptsGenerator's part highlighting) must
+    * stay whole in the display tokens.
+    */
+  private val SepRegex = "[!\"#$%&'()*+,\\-./@\\[\\\\\\]{|}~:;<=>? ]+"
 
+  /** Token matches if ANY of its ^-separated parts matches a query word
+    * (exact or prefix) -- reference: multi-part words are highlighted when
+    * one part matches.
+    */
   private def matchPred(t: Column, exact: Seq[String], prefixes: Seq[String]): Column = {
-    val es = exact.map(w => t === w)
-    val ps = prefixes.map(p => t.startsWith(p))
-    (es ++ ps).reduceOption(_ || _).getOrElse(lit(false))
+    def partPred(p: Column): Column = {
+      val es = exact.map(w => p === w)
+      val ps = prefixes.map(x => p.startsWith(x))
+      (es ++ ps).reduceOption(_ || _).getOrElse(lit(false))
+    }
+    exists(split(t, "\\^"), partPred)
   }
+
+  private def toksCol: Column =
+    filter(split(lower(col("text")), SepRegex), t => t =!= "")
 
   /** For each doc in `hits` (must have doc_id), produce a +-radius-token
     * window around the FIRST matching token, matches wrapped in <hl>.
@@ -27,7 +42,7 @@ object Excerpts {
   def generate(corpus: DataFrame, hits: DataFrame,
                exact: Seq[String], prefixes: Seq[String],
                radius: Int = 2): DataFrame = {
-    val toks = filter(split(lower(col("text")), SepRegex), t => t =!= "")
+    val toks = toksCol
     val big = lit(Int.MaxValue)
     // first matching 0-based token index
     val firstIdx = array_min(transform(toks,
@@ -42,5 +57,31 @@ object Excerpts {
       .select(col("doc_id"),
         when(firstIdx === big, lit(""))
           .otherwise(array_join(highlighted, " ")).as("excerpt"))
+  }
+
+  /** Full-fidelity variant (reference parameters `er` = window radius,
+    * `en` = max excerpts per doc, Globals.h / ExcerptsGenerator): one
+    * excerpt per match position, up to `en` of them (in document order),
+    * EVERY matching token inside each window highlighted, windows joined
+    * with " ... ".
+    */
+  def generateAll(corpus: DataFrame, hits: DataFrame,
+                  exact: Seq[String], prefixes: Seq[String],
+                  er: Int = 2, en: Int = 3): DataFrame = {
+    val toks = toksCol
+    def hl(t: Column): Column =
+      when(matchPred(t, exact, prefixes), concat(lit("<hl>"), t, lit("</hl>"))).otherwise(t)
+    // 0-based positions of ALL matches, in order; anchors = first `en`
+    val matchIdx = filter(
+      transform(toks, (t, i) => when(matchPred(t, exact, prefixes), i).otherwise(lit(-1))),
+      i => i >= 0)
+    val anchors = slice(matchIdx, 1, en)
+    val windows = transform(anchors, m => {
+      val start0 = greatest(m - er, lit(0))
+      array_join(transform(slice(toks, start0 + 1, m + er - start0 + 1), hl(_)), " ")
+    })
+    corpus
+      .join(hits.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), array_join(windows, " ... ").as("excerpt"))
   }
 }

@@ -57,6 +57,31 @@ class QueryCache(maxEntries: Int = 200) {
     persisted
   }
 
+  /** Re-top-k from the cached matched relation under a (possibly new) k
+    * and rank mode -- the reference's History fast path when only the
+    * result window or sort changes (CompleterBase.cpp:1106-1266): the
+    * postings come from the cache, never from the index/corpus; only the
+    * aggregation + TakeOrdered re-runs.
+    */
+  def topHitsForPrefix(corpus: DataFrame, prefix: String, k: Int,
+                       rankBy: String = "score"): DataFrame = {
+    val matched = matchedForPrefix(corpus, prefix)
+    val st = Analysis.statsCached(corpus)
+    val dfTbl = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val base = matched.join(broadcast(dfTbl), "term")
+      .select(col("doc_id"),
+        Analysis.bm25Col(st.n_docs, st.avgdl, col("tf"), col("df"), col("dl")).as("score"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("score")), 4).as("score"))
+    val ordered = rankBy match {
+      case "score" => base.orderBy(col("score").desc, col("doc_id").asc)
+      case "doc" => base.orderBy(col("doc_id").asc)
+      case "doc_desc" => base.orderBy(col("doc_id").desc)
+      case other => throw new IllegalArgumentException(s"unknown rank mode: $other")
+    }
+    ordered.limit(k)
+  }
+
   /** Warm list (reference: --warm-history-queries, src/README.md:40-47):
     * pre-materialize the hot prefixes so first user queries hit the cache.
     */

@@ -118,6 +118,40 @@ class ExecutorSpec extends AnyFunSuite {
   }
 }
 
+class ExcerptsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("generateAll: one window per match up to en, all matches highlighted") {
+    val corpus = Seq(
+      (1L, "x batch y z z z z batch w z z z batch q")).toDF("doc_id", "text")
+    val hits = Seq(Tuple1(1L)).toDF("doc_id")
+    val ex = graft.query.Excerpts.generateAll(corpus, hits,
+        exact = Seq("batch"), prefixes = Seq.empty, er = 1, en = 2)
+      .collect().head.getString(1)
+    // matches at 1, 7, 12; en=2 -> first two anchors, er=1 windows
+    assert(ex === "x <hl>batch</hl> y ... z <hl>batch</hl> w")
+  }
+
+  test("generateAll: multi-part ^ words match and highlight per part") {
+    val corpus = Seq((1L, "the beethoven^ludwig sonata")).toDF("doc_id", "text")
+    val hits = Seq(Tuple1(1L)).toDF("doc_id")
+    val ex = graft.query.Excerpts.generateAll(corpus, hits,
+        exact = Seq("ludwig"), prefixes = Seq.empty, er = 1, en = 3)
+      .collect().head.getString(1)
+    assert(ex === "the <hl>beethoven^ludwig</hl> sonata")
+  }
+
+  test("generateAll: overlapping windows clamp at doc edges") {
+    val corpus = Seq((1L, "batch end")).toDF("doc_id", "text")
+    val hits = Seq(Tuple1(1L)).toDF("doc_id")
+    val ex = graft.query.Excerpts.generateAll(corpus, hits,
+        exact = Seq("batch"), prefixes = Seq.empty, er = 2, en = 3)
+      .collect().head.getString(1)
+    assert(ex === "<hl>batch</hl> end")
+  }
+}
+
 class QueryCacheSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
@@ -145,6 +179,29 @@ class QueryCacheSpec extends AnyFunSuite {
     assert(cache.misses === 2)
     cache.matchedForPrefix(corpus, "al")
     assert(cache.hits === 1) // served from the warm list
+    cache.clear()
+  }
+
+  test("re-top-k under new k / rank mode reuses cached postings") {
+    val corpus = Seq(
+      (1L, "alpha alpha alpha beta"),
+      (2L, "alpha beta beta"),
+      (3L, "alphabet gamma")).toDF("doc_id", "text")
+    val cache = new QueryCache(maxEntries = 10)
+    val top1 = cache.topHitsForPrefix(corpus, "alpha", 1)
+    assert(top1.count() === 1)
+    // changed k and rank mode: no new miss -- postings come from the cache
+    val byDoc = cache.topHitsForPrefix(corpus, "alpha", 3, rankBy = "doc")
+      .collect().map(_.getLong(0)).toSeq
+    assert(byDoc === Seq(1L, 2L, 3L))
+    assert(cache.misses === 1)
+    assert(cache.hits === 1)
+    // scores match the engine's prefix ranking
+    val engine = graft.query.Engine.topKPrefix(corpus, "alpha", 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val cached = cache.topHitsForPrefix(corpus, "alpha", 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(cached === engine)
     cache.clear()
   }
 
