@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.WebCorpus
-import graft.index.{IndexBuilder, IndexReader}
+import graft.index.{FuzzyIndex, IndexBuilder, IndexReader}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -21,6 +21,7 @@ object IndexQueries {
       val corpus = WebCorpus.fromDocuments(spark, sfDir)
       IndexBuilder.build(spark, corpus, dir, numShards = 2)
       IndexBuilder.buildDocsStore(spark, corpus, dir)
+      FuzzyIndex.build(spark, dir)
       dir
     })
   }

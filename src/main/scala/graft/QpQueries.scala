@@ -26,6 +26,10 @@ object QpQueries {
     // 3-part windowed chain: positions must be CONTIGUOUS across all three
     // parts (gates the matched-position carry, not just pairwise windows)
     "qp_chain3" -> ((s, d) => Executor.topK(corpus(s, d), "stream.table.hash", 10)),
+    // BEST_MATCH_BONUS: docs containing the EXACT word of the last prefix
+    // part get +4 (CompleterBase.cpp:723-732; bonus default 0 = off)
+    "qp_bestmatch" -> ((s, d) =>
+      Executor.topK(corpus(s, d), "spark stream*", 10, bestMatchBonus = 4.0)),
     "qp_excerpts" -> ((s, d) => {
       val c = corpus(s, d)
       val hits = Executor.topK(c, "spark st*", 10)
@@ -70,6 +74,14 @@ object QpQueries {
          |SELECT s.doc_id, round(2 * sum(s.score) + 16.0, 4) AS score
          |FROM scored s JOIN adj USING (doc_id) WHERE s.term = 'batch'
          |GROUP BY s.doc_id ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "qp_bestmatch" ->
+      s"""${Oracles.BaseCtes}
+         |SELECT doc_id, round(sum(score) +
+         |         CASE WHEN bool_or(term = 'stream') THEN 4.0 ELSE 0.0 END, 4) AS score
+         |FROM scored WHERE term = 'spark' OR term LIKE 'stream%'
+         |GROUP BY doc_id
+         |HAVING bool_or(term = 'spark') AND bool_or(term LIKE 'stream%')
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
     "qp_chain3" ->
       s"""${Oracles.BaseCtes}, chain AS (
          |  SELECT DISTINCT a.doc_id FROM toks a

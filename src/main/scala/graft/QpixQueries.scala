@@ -26,6 +26,8 @@ object QpixQueries {
     "qpix_completions" -> ((s, d) => IndexExecutor.completions(rd(s, d), "spark st*", 10)),
     "qpix_phrase_bonus" -> ((s, d) => IndexExecutor.topK(rd(s, d), "batch.batch", 10, bonuses = true)),
     "qpix_chain3" -> ((s, d) => IndexExecutor.topK(rd(s, d), "stream.table.hash", 10)),
+    "qpix_bestmatch" -> ((s, d) =>
+      IndexExecutor.topK(rd(s, d), "spark stream*", 10, bestMatchBonus = 4.0)),
     "qpix_excerpts" -> ((s, d) => IndexExecutor.excerpts(rd(s, d), "spark st*", 10,
       exact = Seq("spark"), prefixes = Seq("st"), radius = 2)),
     "qpix_excerpts_multi" -> ((s, d) => {

@@ -18,6 +18,23 @@ trait AtomSource {
     * (doc_id, term, tf, positions, score) -- score = per-(doc, term) BM25.
     */
   def atomScored(atom: Atom): DataFrame
+
+  /** The atom's best-match word (reference: _lastBestMatchWordId,
+    * CompleterBase.cpp:723-732): for a prefix atom the EXACT query word if
+    * it exists in the vocabulary; for a fuzzy atom the closest word (min
+    * edit distance, ties lexicographic). None otherwise -- scoring is then
+    * unaffected.
+    */
+  def bestMatchWord(atom: Atom): Option[String] = atom match {
+    case w: Word if w.prefix =>
+      Some(w.text).filter(vocabContains)
+    case w: Word if w.fuzzy =>
+      closestVocabWord(w.text, Executor.fuzzyThreshold(w.text))
+    case _ => None
+  }
+
+  protected def vocabContains(w: String): Boolean
+  protected def closestVocabWord(w: String, thr: Int): Option[String]
 }
 
 /** Logical-path source: predicates over the cached doc-term relation. */
@@ -46,6 +63,16 @@ class CorpusAtomSource(corpus: DataFrame) extends AtomSource {
         score(matching, dfTbl)
     }
   }
+
+  protected def vocabContains(w: String): Boolean =
+    !Analysis.termDfCached(corpus).filter(col("term") === w).isEmpty
+
+  protected def closestVocabWord(w: String, thr: Int): Option[String] =
+    Analysis.termDfCached(corpus)
+      .filter(levenshtein(col("term"), lit(w)) <= thr)
+      .select(col("term"), levenshtein(col("term"), lit(w)).as("d"))
+      .orderBy(col("d").asc, col("term").asc)
+      .limit(1).collect().headOption.map(_.getString(0))
 }
 
 object CorpusAtomSource {
@@ -88,15 +115,31 @@ object Eval {
 
   /** Evaluate to (doc_id, score), score rounded to 4dp, unordered.
     * With bonuses=true, windowed matches add the reference's SumWithBonus
-    * constants to the doc score.
+    * constants to the doc score. bestMatchBonus > 0 adds the reference's
+    * BEST_MATCH_BONUS (Globals.h:233, default 0 = off) to docs whose LAST
+    * part matches the best-match word (exact word of a prefix atom /
+    * closest word of a fuzzy atom, CompleterBase.cpp:723-732).
     */
-  def evalDocs(src: AtomSource, q: ParsedQuery, bonuses: Boolean = false): DataFrame = {
+  def evalDocs(src: AtomSource, q: ParsedQuery, bonuses: Boolean = false,
+               bestMatchBonus: Double = 0.0): DataFrame = {
     case class State(scores: DataFrame, positions: DataFrame)
+    val lastIdx = q.parts.length - 1
+    def bmFor(i: Int): Double = if (i == lastIdx) bestMatchBonus else 0.0
 
-    def partDocScores(a: Atom): DataFrame = a match {
+    def aggScores(a: Atom, bm: Double): DataFrame = {
+      val base = src.atomScored(a)
+      val bw = if (bm == 0.0) None else src.bestMatchWord(a)
+      bw match {
+        case Some(w) => base.groupBy(col("doc_id"))
+          .agg((sum(col("score")) +
+            max(when(col("term") === w, lit(bm)).otherwise(lit(0.0)))).as("score"))
+        case None =>
+          base.groupBy(col("doc_id")).agg(sum(col("score")).as("score"))
+      }
+    }
+    def partDocScores(a: Atom, bm: Double): DataFrame = a match {
       case JoinBlock(l, r) => evalJoinBlock(src, l, r)
-      case _ => src.atomScored(a)
-        .groupBy(col("doc_id")).agg(sum(col("score")).as("score"))
+      case _ => aggScores(a, bm)
     }
     def partPositions(a: Atom): DataFrame = a match {
       case JoinBlock(_, _) => null
@@ -106,9 +149,9 @@ object Eval {
 
     val first = q.parts.head
     require(!isNot(first.atom), "query cannot start with a NOT part")
-    var state = State(partDocScores(first.atom), partPositions(first.atom))
+    var state = State(partDocScores(first.atom, bmFor(0)), partPositions(first.atom))
 
-    q.parts.tail.foreach { part =>
+    q.parts.zipWithIndex.tail.foreach { case (part, idx) =>
       val window = part.sep.flatMap(_.window)
       if (isNot(part.atom)) {
         // NOT: anti-join on matching docs (OUTPUT_NON_MATCHES)
@@ -117,7 +160,7 @@ object Eval {
           state.positions)
       } else if (window.isEmpty) {
         // plain AND: docId equi-join, scores sum (the special-posting carry)
-        val cur = partDocScores(part.atom)
+        val cur = partDocScores(part.atom, bmFor(idx))
         val joined = state.scores.toDF("doc_id", "s1")
           .join(cur.toDF("doc_id", "s2"), "doc_id")
           .select(col("doc_id"), (col("s1") + col("s2")).as("score"))
@@ -131,7 +174,7 @@ object Eval {
           .join(curPos, col("doc_id") === col("d2") &&
             (col("p2") - col("p1")).between(lo, hi))
         val matchedDocs = matched.select(col("doc_id")).distinct()
-        val cur = curScored.groupBy(col("doc_id")).agg(sum(col("score")).as("s2"))
+        val cur = aggScores(part.atom, bmFor(idx)).toDF("doc_id", "s2")
         val bonus = if (bonuses) Executor.bonusFor(part.sep.get) else 0.0
         val joined = state.scores.toDF("doc_id", "s1")
           .join(cur, "doc_id")
@@ -151,8 +194,9 @@ object Eval {
   }
 
   /** Top-k hits: total order (score desc, doc_id asc). */
-  def topK(src: AtomSource, query: String, k: Int, bonuses: Boolean = false): DataFrame =
-    evalDocs(src, QueryParser.parse(query), bonuses)
+  def topK(src: AtomSource, query: String, k: Int, bonuses: Boolean = false,
+           bestMatchBonus: Double = 0.0): DataFrame =
+    evalDocs(src, QueryParser.parse(query), bonuses, bestMatchBonus)
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
 

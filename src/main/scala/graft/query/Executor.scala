@@ -42,8 +42,9 @@ object Executor {
     Eval.evalDocs(new CorpusAtomSource(corpus), q, bonuses)
 
   /** Top-k hits: total order (score desc, doc_id asc). */
-  def topK(corpus: DataFrame, query: String, k: Int, bonuses: Boolean = false): DataFrame =
-    Eval.topK(new CorpusAtomSource(corpus), query, k, bonuses)
+  def topK(corpus: DataFrame, query: String, k: Int, bonuses: Boolean = false,
+           bestMatchBonus: Double = 0.0): DataFrame =
+    Eval.topK(new CorpusAtomSource(corpus), query, k, bonuses, bestMatchBonus)
 
   /** Completions of the last part within the docs matching the whole query. */
   def completions(corpus: DataFrame, query: String, k: Int): DataFrame =

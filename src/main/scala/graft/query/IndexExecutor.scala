@@ -30,10 +30,21 @@ class IndexAtomSource(reader: IndexReader) extends AtomSource {
   }
 
   def atomScored(atom: Atom): DataFrame = {
-    // vocab-sized candidate relation: (term_id, term, df)
-    val cand = reader.dictionary
-      .filter(CorpusAtomSource.atomPredicate(atom))
-      .select(col("term_id"), col("term"), col("df"))
+    // candidate relation: (term_id, term, df). Fuzzy atoms go through the
+    // FastSS deletion-neighborhood index when built (candidates =
+    // variant-IN-list lookups, edit distance verified on candidates only);
+    // other atoms (and fuzzy without the index, or beyond its built
+    // distance) are vocab-sized dictionary predicates.
+    val cand = (atom match {
+      case w: Word if w.fuzzy =>
+        val thr = Executor.fuzzyThreshold(w.text)
+        if (graft.index.FuzzyIndex.exists(reader.dir) &&
+            thr <= graft.index.FuzzyIndex.maxDeletes(reader.spark, reader.dir))
+          graft.index.FuzzyIndex.candidates(
+            reader.spark, reader.dir, reader.dictionary, w.text, thr)
+        else reader.dictionary.filter(CorpusAtomSource.atomPredicate(atom))
+      case _ => reader.dictionary.filter(CorpusAtomSource.atomPredicate(atom))
+    }).select(col("term_id"), col("term"), col("df"))
     // one 2-long driver round-trip per atom: the candidate term-id RANGE.
     // Dense lexicographic ids make prefixes/ranges contiguous, so the
     // block scan below prunes partitions (bucket dirs) and row groups
@@ -48,6 +59,16 @@ class IndexAtomSource(reader: IndexReader) extends AtomSource {
         Analysis.bm25Col(reader.nDocs, reader.avgdl,
           col("tf"), col("df"), col("dl")).as("score"))
   }
+
+  protected def vocabContains(w: String): Boolean =
+    !reader.dictionary.filter(col("term") === w).isEmpty
+
+  protected def closestVocabWord(w: String, thr: Int): Option[String] =
+    reader.dictionary
+      .filter(levenshtein(col("term"), lit(w)) <= thr)
+      .select(col("term"), levenshtein(col("term"), lit(w)).as("d"))
+      .orderBy(col("d").asc, col("term").asc)
+      .limit(1).collect().headOption.map(_.getString(0))
 }
 
 /** Physical-path facade: the full reference grammar served from the
@@ -56,8 +77,8 @@ class IndexAtomSource(reader: IndexReader) extends AtomSource {
 object IndexExecutor {
 
   def topK(reader: IndexReader, query: String, k: Int,
-           bonuses: Boolean = false): DataFrame =
-    Eval.topK(new IndexAtomSource(reader), query, k, bonuses)
+           bonuses: Boolean = false, bestMatchBonus: Double = 0.0): DataFrame =
+    Eval.topK(new IndexAtomSource(reader), query, k, bonuses, bestMatchBonus)
 
   def completions(reader: IndexReader, query: String, k: Int): DataFrame =
     Eval.completions(new IndexAtomSource(reader), query, k)

@@ -68,6 +68,28 @@ class IndexExecutorSpec extends AnyFunSuite {
     assert(ex(6L).contains("<hl>zebra</hl>"))
   }
 
+  test("FastSS deletion neighborhood: candidates equal the vocab scan, exactly") {
+    import graft.index.FuzzyIndex
+    // deletion-neighborhood basics
+    assert(FuzzyIndex.deletions("abc", 1) === Set("abc", "bc", "ac", "ab"))
+    assert(FuzzyIndex.deletions("ab", 2).contains(""))
+
+    FuzzyIndex.build(spark, reader.dir, maxDeletes = 2)
+    // every vocab term, several thresholds: FastSS candidates == brute force
+    val vocab = reader.dictionary.select("term").collect().map(_.getString(0))
+    for (w <- Seq("aal", "aalglat", "babyboo", "merge", "zzz"); thr <- Seq(1, 2)) {
+      val brute = vocab.filter { t =>
+        org.apache.commons.text.similarity.LevenshteinDistance.getDefaultInstance
+          .apply(t, w) <= thr
+      }.toSet
+      val fast = FuzzyIndex.candidates(spark, reader.dir, reader.dictionary, w, thr)
+        .select("term").collect().map(_.getString(0)).toSet
+      assert(fast === brute, s"w=$w thr=$thr")
+    }
+    // the grammar path over the FastSS index matches the logical path
+    assert(ix("aachan~") === lg("aachan~"))
+  }
+
   test("synonym groups parse the reference file format") {
     val gs = SynonymDictionary.parse(Seq(
       "# comment",
