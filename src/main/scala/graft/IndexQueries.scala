@@ -29,6 +29,47 @@ object IndexQueries {
   def reader(spark: SparkSession, sfDir: String): IndexReader =
     new IndexReader(spark, indexDir(spark, sfDir))
 
+  /** Separate index with metadata words IN the blocks (reference
+    * architecture: facet words live in the HYB index next to text terms).
+    * Kept apart from the text-only index so the `ix_*` round-trip gates
+    * stay byte-defined.
+    */
+  def facetIndexDir(spark: SparkSession, sfDir: String): String = synchronized {
+    built.getOrElseUpdate(s"$sfDir#facets", {
+      val dir = s"/tmp/graft_index/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}_facets"
+      val corpus = WebCorpus.fromDocuments(spark, sfDir)
+        .join(spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id").cast("long").as("doc_id"), col("source")), "doc_id")
+      IndexBuilder.build(spark, corpus, dir, numShards = 1,
+        facetFields = Seq("lang", "source"))
+      dir
+    })
+  }
+
+  def facetReader(spark: SparkSession, sfDir: String): IndexReader =
+    new IndexReader(spark, facetIndexDir(spark, sfDir))
+
+  /** Facet value counts served from the BLOCKS: completions of the
+    * `:facet:lang:` prefix; n_docs = the dc aggregate.
+    */
+  def facetCounts(spark: SparkSession, sfDir: String): DataFrame =
+    facetReader(spark, sfDir).topKCompletions(":facet:lang:", 100)
+      .select(expr(s"substring(term, ${":facet:lang:".length + 1})").as("value"),
+        col("dc").as("n_docs"))
+      .orderBy(col("n_docs").desc, col("value").asc)
+
+  /** Faceted drill-down from the BLOCKS: the reference's key trick --
+    * facet counting under a keyword constraint IS a completions query
+    * `spark :facet:source:*` over the same posting relation.
+    */
+  def facetCountsFiltered(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = new graft.query.IndexAtomSource(facetReader(spark, sfDir))
+    graft.query.Eval.completions(src, "spark :facet:source:*", 100)
+      .select(expr(s"substring(term, ${":facet:source:".length + 1})").as("value"),
+        col("dc").as("n_docs"))
+      .orderBy(col("n_docs").desc, col("value").asc)
+  }
+
   /** Full round-trip gate: decode EVERY block back to (doc_id, term, tf);
     * oracle = the logical doc-term relation. Proves codec + block cutting +
     * sharding lose nothing.

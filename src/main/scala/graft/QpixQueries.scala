@@ -28,6 +28,11 @@ object QpixQueries {
     "qpix_chain3" -> ((s, d) => IndexExecutor.topK(rd(s, d), "stream.table.hash", 10)),
     "qpix_bestmatch" -> ((s, d) =>
       IndexExecutor.topK(rd(s, d), "spark stream*", 10, bestMatchBonus = 4.0)),
+    // grammar JOIN block from the blocks: completions of s* common to
+    // window-docs and hash-docs; docs of either side carrying a common
+    // term, scores re-aggregated (CompleterBase.Join.cpp)
+    "qpix_joinblock" -> ((s, d) =>
+      IndexExecutor.topK(rd(s, d), "[window s*#hash s*]", 10)),
     "qpix_excerpts" -> ((s, d) => IndexExecutor.excerpts(rd(s, d), "spark st*", 10,
       exact = Seq("spark"), prefixes = Seq("st"), radius = 2)),
     "qpix_excerpts_multi" -> ((s, d) => {
@@ -40,5 +45,30 @@ object QpixQueries {
 
   /** Identical semantics => identical oracles: reuse the qp_* SQL. */
   val oracleSql: Map[String, String] =
-    QpQueries.oracleSql.map { case (k, v) => k.replaceFirst("^qp_", "qpix_") -> v }
+    QpQueries.oracleSql.map { case (k, v) => k.replaceFirst("^qp_", "qpix_") -> v } ++ Map(
+      // JOIN block: sides evaluated independently; completions of s* common
+      // to both; docs of either side carrying a common term re-aggregate
+      // (a doc in both sides contributes from both lists, like the
+      // reference's merged posting lists)
+      "qpix_joinblock" ->
+        s"""${Oracles.BaseCtes}, d1 AS (
+           |  SELECT doc_id FROM scored WHERE term = 'window' OR term LIKE 's%'
+           |  GROUP BY doc_id HAVING bool_or(term = 'window') AND bool_or(term LIKE 's%')
+           |), d2 AS (
+           |  SELECT doc_id FROM scored WHERE term = 'hash' OR term LIKE 's%'
+           |  GROUP BY doc_id HAVING bool_or(term = 'hash') AND bool_or(term LIKE 's%')
+           |), r1 AS (
+           |  SELECT s.doc_id, s.term, s.score FROM scored s JOIN d1 USING (doc_id)
+           |  WHERE s.term LIKE 's%'
+           |), r2 AS (
+           |  SELECT s.doc_id, s.term, s.score FROM scored s JOIN d2 USING (doc_id)
+           |  WHERE s.term LIKE 's%'
+           |), common AS (
+           |  SELECT DISTINCT term FROM r1 WHERE term IN (SELECT term FROM r2)
+           |), unioned AS (
+           |  SELECT * FROM r1 UNION ALL SELECT * FROM r2
+           |)
+           |SELECT doc_id, round(sum(score), 4) AS score FROM unioned
+           |WHERE term IN (SELECT term FROM common)
+           |GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin)
 }

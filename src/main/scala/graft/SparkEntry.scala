@@ -48,7 +48,9 @@ object SparkEntry {
     "ix_and" -> IndexQueries.andTopK _,
     "ix_phrase" -> IndexQueries.phraseDocs _,
     "ix_completions" -> IndexQueries.completions _,
-    "ix_build_metrics" -> IndexQueries.buildMetrics _
+    "ix_build_metrics" -> IndexQueries.buildMetrics _,
+    "fcix_counts" -> IndexQueries.facetCounts _,
+    "fcix_filtered" -> IndexQueries.facetCountsFiltered _
   ) ++ OpsQueries.queries ++ QpQueries.queries ++ QpixQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -60,6 +62,8 @@ object SparkEntry {
     "ix_prefix_docs" -> Oracles.topDocs("term LIKE 'st%'"),
     "ix_and" -> Oracles.all("ft_bm25_and"),
     "ix_phrase" -> Oracles.all("ft_phrase"),
-    "ix_completions" -> Oracles.all("ft_completions")
+    "ix_completions" -> Oracles.all("ft_completions"),
+    "fcix_counts" -> Oracles.all("fc_counts"),
+    "fcix_filtered" -> Oracles.all("fc_filtered")
   ) ++ OpsQueries.oracleSql ++ QpQueries.oracleSql ++ QpixQueries.oracleSql
 }

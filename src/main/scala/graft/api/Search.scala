@@ -27,15 +27,32 @@ case class SearchResult(query: String, hits: Seq[Hit], completions: Seq[Completi
 
 /** User-facing search facade: one call = parse -> evaluate -> top-k hits +
   * completions + excerpts (the reference's HTTP handler semantics,
-  * minus HTTP).
+  * minus HTTP). `search` runs the logical path over a corpus; `searchIndex`
+  * the physical path over a built index + docs store.
   */
 object Search {
 
   def search(corpus: DataFrame, query: String, k: Int = 10,
-             completionsK: Int = 10, excerptRadius: Int = 2): SearchResult = {
-    val parsed = QueryParser.parse(query)
-    val hitsDf = Executor.topK(corpus, query, k)
+             completionsK: Int = 10, excerptRadius: Int = 2): SearchResult =
+    assemble(query, k, completionsK,
+      Executor.topK(corpus, query, k),
+      Executor.completions(corpus, query, completionsK),
+      (hits, ex, pf) => Excerpts.generate(corpus, hits, ex, pf, excerptRadius))
 
+  /** Physical-path variant: hits/completions from the block index, excerpt
+    * text from its docs store; the corpus is never read.
+    */
+  def searchIndex(reader: graft.index.IndexReader, query: String, k: Int = 10,
+                  completionsK: Int = 10, excerptRadius: Int = 2): SearchResult =
+    assemble(query, k, completionsK,
+      graft.query.IndexExecutor.topK(reader, query, k),
+      graft.query.IndexExecutor.completions(reader, query, completionsK),
+      (hits, ex, pf) => Excerpts.generate(reader.docs, hits, ex, pf, excerptRadius))
+
+  private def assemble(query: String, k: Int, completionsK: Int,
+                       hitsDf: DataFrame, completionsDf: => DataFrame,
+                       excerptsFor: (DataFrame, Seq[String], Seq[String]) => DataFrame): SearchResult = {
+    val parsed = QueryParser.parse(query)
     // highlight terms: exact words + prefixes of the query
     val words = parsed.parts.map(_.atom).collect {
       case w: QueryParser.Word if !w.not => w
@@ -43,7 +60,7 @@ object Search {
     }
     val exact = words.filterNot(_.prefix).map(_.text)
     val prefixes = words.filter(_.prefix).map(_.text)
-    val excerpts = Excerpts.generate(corpus, hitsDf, exact, prefixes, excerptRadius)
+    val excerpts = excerptsFor(hitsDf, exact, prefixes)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
 
     val hits = hitsDf.collect().map { r =>
@@ -56,7 +73,7 @@ object Search {
     }
     val comps =
       if (!lastIsPrefix) Seq.empty
-      else Executor.completions(corpus, query, completionsK).collect().map { r =>
+      else completionsDf.collect().map { r =>
         Completion(r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3))
       }.toSeq
 

@@ -126,7 +126,7 @@ object Analysis {
   def dictionary(docTerms: Dataset[DocTerm]): DataFrame = {
     val agg = docTerms.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
-    DenseRank.withDenseId(agg, "term", "term_id")
+    DenseRank.withDenseIdByPrefix(agg, "term", "term_id")
       .select(col("term_id"), col("term"), col("df"), col("cf"))
   }
 

@@ -1,6 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -9,11 +10,20 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * `row_number().over(Window.orderBy(key))` funnels the WHOLE relation
   * through one task (Spark plans an unpartitioned window as a single
   * partition) -- a guaranteed OOM for a 10^9-term vocabulary or a 10^12-doc
-  * corpus. This instead range-partitions the sort (parallel external sort)
-  * and assigns id = partition offset + local index via RDD zipWithIndex,
-  * whose only extra cost is one per-partition count job over already
-  * shuffled data. Ids are identical to the window formulation: dense,
-  * 0-based, ascending key order.
+  * corpus. Two scale-safe formulations, both producing ids identical to the
+  * window formulation (dense, 0-based, ascending key order):
+  *
+  *  - [[withDenseIdByPrefix]] (build hot path): bucket = truncate(key, L).
+  *    Truncation is monotone under lexicographic order, so buckets are
+  *    contiguous key ranges; id = bucket offset (a prefix-sum window over
+  *    the <= |alphabet|^L bucket-totals relation, broadcast) + rank within
+  *    bucket (a PARTITIONED window -- parallel). ONE Spark job, no
+  *    range-sampling job, no RDD count job, per-task work bounded by the
+  *    heaviest bucket. Right when keys spread over prefixes (vocabulary
+  *    terms do).
+  *  - [[withDenseId]] (general): range-partitioned sort + RDD zipWithIndex
+  *    (a sampling job + a per-partition count job). Right when keys share
+  *    long prefixes (urls) or the distribution is unknown.
   *
   * (Pattern prescribed in SURVEY.md §7.2.2; reference analog: sorted
   * vocabulary with wordId = array index, src/server/Vocabulary.h:17-33.)
@@ -34,5 +44,29 @@ object DenseRank {
     // shuffled RDD (ShuffleExchange reuses its shuffle), so ids are stable.
     val withId = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
     spark.createDataFrame(withId, schema)
+  }
+
+  def withDenseIdByPrefix(df: DataFrame, keyCol: String, idCol: String,
+                          prefixLen: Int = 2): DataFrame = {
+    val bucket = substring(col(keyCol), 0, prefixLen)
+    val withB = df.withColumn("_b", bucket)
+    // bucket offsets = exclusive prefix sum of per-bucket counts. The
+    // order-by window IS unpartitioned, but over the bucket-TOTALS
+    // relation, whose size is bounded by |alphabet|^prefixLen (<= 65k for
+    // L=2) BY CONSTRUCTION, independent of the key count -- and it feeds a
+    // broadcast exchange, which collects to the driver anyway. This is
+    // categorically different from the round-1 bug (the whole VOCABULARY
+    // through one window task). Everything is one Spark job; the keys
+    // themselves only ever cross a HASH exchange.
+    val offsets = withB.groupBy(col("_b")).agg(count(lit(1)).as("_cnt"))
+      .withColumn("_off",
+        coalesce(sum(col("_cnt")).over(
+          Window.orderBy(col("_b").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_b"), col("_off"))
+    val w = Window.partitionBy(col("_b")).orderBy(col(keyCol).asc)
+    withB.join(broadcast(offsets), "_b")
+      .withColumn(idCol, (col("_off") + row_number().over(w) - 1).cast("long"))
+      .drop("_b", "_off")
   }
 }

@@ -31,7 +31,10 @@ object Facets {
         col("doc_id").cast("long").as("doc_id"),
         facetTerm(f, col(f).cast("string")).as("term"),
         lit(1L).as("tf"),
-        array().cast("array<int>").as("positions"),
+        // artificial words carry one synthetic position (the block format
+        // frames positions by tf, so tf == positions.length must hold;
+        // the reference likewise gives artificial words a position)
+        array(lit(0)).cast("array<int>").as("positions"),
         lit(0L).as("dl"))
     }.reduce(_ unionByName _)
   }

@@ -76,7 +76,29 @@ object IndexBuilder {
 
   def indexPath(dir: String, part: String): String = s"$dir/$part"
 
-  /** Full build. Returns the manifest DataFrame. */
+  /** Env-gated phase timing (SPARK_GRAFT_BUILD_TIMING=1): prints
+    * `BUILD_PHASE <name> <sec>` per phase -- the fixed per-phase driver
+    * cost is the Amdahl term of small benchmark builds.
+    */
+  private def timed[A](name: String)(f: => A): A = {
+    if (!sys.env.contains("SPARK_GRAFT_BUILD_TIMING")) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"BUILD_PHASE $name%-20s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      r
+    }
+  }
+
+  /** Full build. Returns the manifest DataFrame.
+    *
+    * facetFields: metadata columns of the corpus emitted as artificial
+    * `:facet:<field>:<value>` words INTO the index (the reference's key
+    * unification: all metadata lives in the same HYB blocks, CsvParser.h:
+    * 107-154), so facet counting/filtering is served from the blocks like
+    * any prefix query. The reserved `:`-prefixed terms sort before every
+    * text term, keeping their blocks in separate buckets (prunable).
+    */
   def build(
       spark: SparkSession,
       corpus: DataFrame,
@@ -84,37 +106,56 @@ object IndexBuilder {
       numShards: Int = 1,
       blockSize: Int = DefaultBlockSize,
       bucketSize: Int = DefaultBucketSize,
-      buildPartitions: Int = 0): DataFrame = {
+      buildPartitions: Int = 0,
+      facetFields: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
 
     val fs = java.nio.file.Paths.get(outDir)
     java.nio.file.Files.createDirectories(fs)
 
     // One tokenizing pass, shared (persisted) across dictionary, stats and
-    // every shard's encode stage.
-    val dt = Analysis.docTermsCached(corpus)
+    // every shard's encode stage; facet rows union in as extra doc-terms.
+    val dt0 = Analysis.docTermsCached(corpus)
+    val dt = if (facetFields.isEmpty) dt0
+      else {
+        import spark.implicits._
+        dt0.toDF().unionByName(graft.core.Facets.facetRows(corpus, facetFields))
+          .as[graft.core.DocTerm]
+      }
+
+    // under timing, force the shared tokenize pass separately so
+    // dictionary_write shows only vocab-side cost
+    if (sys.env.contains("SPARK_GRAFT_BUILD_TIMING"))
+      timed("tokenize_materialize")(dt.toDF().count())
 
     // 1-2: dictionary + stats over the WHOLE corpus (shared by all shards;
     // term ids must be global). Idempotent: skip if already committed.
     val dictDone = java.nio.file.Files.exists(java.nio.file.Paths.get(s"$outDir/dictionary/_SUCCESS"))
     if (!dictDone) {
-      Analysis.dictionary(dt).write.mode(SaveMode.Overwrite).parquet(s"$outDir/dictionary")
-      // stats: n_docs over the corpus (counts empty docs too); postings =
-      // sum(cf) over the freshly written dictionary -- a vocab-sized agg,
-      // not a corpus-sized one
-      val nd = corpus.count()
-      val npRow = spark.read.parquet(s"$outDir/dictionary")
-        .agg(sum(col("cf"))).head()
+      timed("dictionary_write") {
+        Analysis.dictionary(dt).write.mode(SaveMode.Overwrite).parquet(s"$outDir/dictionary")
+      }
+      // stats: n_docs over the corpus (counts empty docs too); postings +
+      // vocab size from ONE vocab-sized agg over the freshly written
+      // dictionary (every sequential driver job here is the Amdahl serial
+      // term of the build -- see BENCH.md)
+      val nd = timed("corpus_count")(corpus.count())
+      val npRow = timed("stats_agg")(spark.read.parquet(s"$outDir/dictionary")
+        .agg(sum(col("cf")), count(lit(1))).head())
       val np = if (npRow.isNullAt(0)) 0L else npRow.getLong(0)
-      Seq((nd, np, if (nd == 0) 0.0 else np.toDouble / nd, bucketSize.toLong))
-        .toDF("n_docs", "n_postings", "avgdl", "bucket_size")
+      Seq((nd, np, if (nd == 0) 0.0 else np.toDouble / nd, bucketSize.toLong,
+          npRow.getLong(1)))
+        .toDF("n_docs", "n_postings", "avgdl", "bucket_size", "vocab_size")
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats")
     }
     val dict = spark.read.parquet(s"$outDir/dictionary")
     val statsRow = spark.read.parquet(s"$outDir/stats").head()
     val avgdl = statsRow.getAs[Double]("avgdl")
     val nDocs = statsRow.getAs[Long]("n_docs")
-    val vocabSize = dict.count() // vocab-sized, cheap
+    val vocabSize =
+      if (statsRow.schema.fieldNames.contains("vocab_size"))
+        statsRow.getAs[Long]("vocab_size")
+      else dict.count() // pre-round-2 index layout
 
     // Shard by docId range: independent, resumable jobs. Single-shard
     // builds skip the max-doc-id scan entirely.
@@ -135,18 +176,20 @@ object IndexBuilder {
         val shardDt = dt.toDF().filter(col("doc_id").between(lo, hi))
         val blocks = buildShard(spark, shardDt, dict, vocabSize, avgdl,
           blockSize, bucketSize, buildPartitions).persist()
-        blocks.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(shardDir)
+        timed(s"shard${shard}_encode_write") {
+          blocks.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(shardDir)
+        }
         // per-partition lineage/metrics from the persisted blocks (no
         // re-read of what we just wrote)
         // per-partition lineage rows collected once (<= nPart rows), then
         // written from the driver -- one tiny job instead of agg + write
-        val metricRows = blocks.groupBy(col("build_partition"))
+        val metricRows = timed(s"shard${shard}_metrics")(blocks.groupBy(col("build_partition"))
           .agg(count(lit(1)).as("n_blocks"), sum(col("n_postings")).as("n_postings"),
             sum(length(col("doc_deltas")) + length(col("tfs")) + length(col("dls")) +
               length(col("positions"))).as("bytes_encoded"))
           .collect()
           .map(r => (shard, r.getAs[Int]("build_partition"), r.getAs[Long]("n_blocks"),
-            r.getAs[Long]("n_postings"), r.getAs[Long]("bytes_encoded")))
+            r.getAs[Long]("n_postings"), r.getAs[Long]("bytes_encoded"))))
         metricRows.toSeq
           .toDF("shard", "build_partition", "n_blocks", "n_postings", "bytes_encoded")
           .write.mode(SaveMode.Overwrite).parquet(s"$outDir/metrics/shard=$shard")

@@ -14,11 +14,18 @@ object Events {
     * agg -> memory sink, drained synchronously. Batch-equivalent semantics
     * (complete mode), so the DuckDB time_bucket oracle applies.
     */
+  // staged-source memoization: the parquet streaming source needs a
+  // directory; stage each sf's single file once per process, not per call
+  private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def streamWindowAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    // parquet streaming source needs a directory; stage the single file
-    val src = java.nio.file.Files.createTempDirectory("graft_events").toString
+    val src = staged.computeIfAbsent(sfDir, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_events").toString
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
     val batch = spark.read.parquet(s"$sfDir/events.parquet")
-    batch.write.mode("overwrite").parquet(src)
 
     // event-time columns must be TIMESTAMP (LTZ); the synthetic table is
     // NTZ -- round-trip through LTZ under the UTC session tz and hand the

@@ -45,14 +45,19 @@ class IndexAtomSource(reader: IndexReader) extends AtomSource {
         else reader.dictionary.filter(CorpusAtomSource.atomPredicate(atom))
       case _ => reader.dictionary.filter(CorpusAtomSource.atomPredicate(atom))
     }).select(col("term_id"), col("term"), col("df"))
-    // one 2-long driver round-trip per atom: the candidate term-id RANGE.
-    // Dense lexicographic ids make prefixes/ranges contiguous, so the
-    // block scan below prunes partitions (bucket dirs) and row groups
-    // (term_id min/max) before the broadcast join applies the exact set
-    // (block locate analog, HYBCompleter.cpp:661-746).
-    val r = cand.agg(min(col("term_id")), max(col("term_id"))).head()
-    if (r.isNullAt(0)) return emptyScored
-    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    // one 2-long driver round-trip per atom (memoized per index + atom --
+    // a serving session answers repeated shapes with zero extra jobs):
+    // the candidate term-id RANGE. Dense lexicographic ids make
+    // prefixes/ranges contiguous, so the block scan below prunes
+    // partitions (bucket dirs) and row groups (term_id min/max) before
+    // the broadcast join applies the exact set (block locate analog,
+    // HYBCompleter.cpp:661-746).
+    val range = IndexAtomSource.rangeCache.computeIfAbsent((reader.dir, atom), _ => {
+      val r = cand.agg(min(col("term_id")), max(col("term_id"))).head()
+      if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+    })
+    if (range.isEmpty) return emptyScored
+    val (lo, hi) = range.get
     reader.decodeWithPositions(reader.blocksForRange(lo, hi))
       .join(broadcast(cand), "term_id")
       .select(col("doc_id"), col("term"), col("tf"), col("positions"),
@@ -69,6 +74,14 @@ class IndexAtomSource(reader: IndexReader) extends AtomSource {
       .select(col("term"), levenshtein(col("term"), lit(w)).as("d"))
       .orderBy(col("d").asc, col("term").asc)
       .limit(1).collect().headOption.map(_.getString(0))
+}
+
+object IndexAtomSource {
+  /** (index dir, atom) -> candidate term-id range; atoms repeat across a
+    * serving session and ranges are immutable per built index.
+    */
+  private[query] val rangeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Atom), Option[(Long, Long)]]()
 }
 
 /** Physical-path facade: the full reference grammar served from the

@@ -43,10 +43,11 @@ object BuildIndexMain {
   }
 }
 
-/** Batch query driver (answerQueries analog): reads one query per line
-  * (reference grammar for the logical engine, or comma-separated keyword
-  * lists prefixed `or:` for the physical WAND path), repeats -r times,
-  * prints per-query latency stats.
+/** Batch query driver (answerQueries analog): reads one query per line --
+  * `or:a,b,c` runs the physical WAND path, `prefix:p` the pruned prefix
+  * path, anything else is parsed as the FULL reference grammar and served
+  * from the block index (IndexExecutor) -- repeats -r times, prints
+  * per-query latency stats.
   */
 object AnswerQueriesMain {
   def main(args: Array[String]): Unit = {
@@ -66,7 +67,7 @@ object AnswerQueriesMain {
         val n =
           if (q.startsWith("or:")) reader.topKOrWand(q.drop(3).split(',').toSeq, k).count()
           else if (q.startsWith("prefix:")) reader.topKPrefixDocs(q.drop(7), k).count()
-          else reader.topKOrFull(Seq(q), k).count()
+          else graft.query.IndexExecutor.topK(reader, q, k).count()
         (n, (System.nanoTime() - t0) / 1e6)
       }
       (q, lat.head._1, lat.map(_._2).min, lat.map(_._2).sum / lat.size)

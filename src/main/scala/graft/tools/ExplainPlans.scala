@@ -35,6 +35,10 @@ object ExplainPlans {
     show("corpus scan column pruning", {
       graft.core.Analysis.docTerms(WebCorpus.fromDocuments(spark, sfDir)).toDF()
     })
+    show("qpix: grammar atom over blocks (prefix st*, uncached reader)",
+      graft.query.IndexExecutor.topK(rCold, "spark st*", 10))
+    show("qpix: fuzzy via FastSS variants (pushed IN-list)",
+      graft.index.FuzzyIndex.candidates(spark, rCold.dir, rCold.dictionary, "spak", 1))
     spark.stop()
   }
 }

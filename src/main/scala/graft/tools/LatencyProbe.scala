@@ -15,7 +15,7 @@ object LatencyProbe {
         .config("spark.sql.shuffle.partitions", parts)
         .config("spark.ui.enabled", "false").getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
-      val (_, p50, p95, _, _) = Bench.buildAndMeasure(spark, sfDir)
+      val (_, p50, p95, _, _, _) = Bench.buildAndMeasure(spark, sfDir)
       println(s"RESULT aqe=$aqe parts=$parts p50=${p50.round}ms p95=${p95.round}ms")
       spark.stop()
     }

@@ -90,6 +90,16 @@ class IndexExecutorSpec extends AnyFunSuite {
     assert(ix("aachan~") === lg("aachan~"))
   }
 
+  test("searchIndex facade: hits + completions + excerpts off the index alone") {
+    val r = graft.api.Search.searchIndex(reader, "babbeln ba*", k = 10)
+    assert(r.hits.map(_.id).toSet === Set(3L, 4L))
+    assert(r.hits.forall(_.excerpt.contains("<hl>")))
+    assert(r.completions.map(_.text).toSet === Set("babbeln", "baby", "babyboom", "babylonisch"))
+    val logical = graft.api.Search.search(corpus, "babbeln ba*", k = 10)
+    assert(r.hits === logical.hits)
+    assert(r.completions === logical.completions)
+  }
+
   test("synonym groups parse the reference file format") {
     val gs = SynonymDictionary.parse(Seq(
       "# comment",
