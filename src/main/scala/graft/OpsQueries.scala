@@ -17,6 +17,13 @@ object OpsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> ((s, d) => Dedup.exactGroups(docs(s, d))),
+    "dd_keep" -> ((s, d) => Dedup.dedupedDocs(docs(s, d))
+      .orderBy(col("doc_id"))),
+    "dd_clusters" -> ((s, d) => Dedup.duplicateClusters(
+        Dedup.lshCandidatePairs(docs(s, d), n = 5, nHashes = 8, bands = 4))
+      .orderBy(col("doc_id"))),
+    "dd_keepset" -> ((s, d) => Dedup.nearDupKeepSet(docs(s, d))
+      .orderBy(col("doc_id"))),
     "dd_jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(docs(s, d), n = 5, threshold = 0.5)),
     "dd_lsh_pairs" -> ((s, d) => Dedup.lshCandidatePairs(docs(s, d), n = 5, nHashes = 8, bands = 4)),
     "dd_simhash" -> ((s, d) => Dedup.simhash(docs(s, d), bits = 16)),
@@ -67,6 +74,34 @@ object OpsQueries {
        |) SELECT doc_id, CAST($combine AS BIGINT) AS simhash FROM sums""".stripMargin
   }
 
+  /** LSH candidate pairs as a reusable CTE chain (ends with `pairs`). */
+  private val LshPairsCtes: String =
+    s"""$ShinglesCtes, mh AS (
+       |  SELECT doc_id, gi.i,
+       |         min(md5(CAST(gi.i AS VARCHAR) || ':' || shingle)) AS mh
+       |  FROM sh, (SELECT unnest(range(0, 8)) AS i) gi GROUP BY 1, 2
+       |), bandsig AS (
+       |  SELECT doc_id, CAST(i // 2 AS INT) AS band,
+       |         md5(string_agg(mh, ',' ORDER BY i)) AS bsig
+       |  FROM mh GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bandsig x JOIN bandsig y ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id
+       |)""".stripMargin
+
+  /** Connected components over `pairs` via a recursive reachability CTE
+    * (mirrors Dedup.duplicateClusters' min-label fixpoint). */
+  private val ClustersCtes: String =
+    s"""$LshPairsCtes, edges AS (
+       |  SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs
+       |), reach (x, r) AS (
+       |  SELECT x, x FROM (SELECT DISTINCT x FROM edges)
+       |  UNION
+       |  SELECT e.x, reach.r FROM edges e JOIN reach ON e.y = reach.x
+       |), clusters AS (
+       |  SELECT x, min(r) AS c FROM reach GROUP BY x
+       |)""".stripMargin.replaceFirst("^WITH ", "WITH RECURSIVE ")
+
   private val EmbExpCtes: String =
     """WITH exp AS (
       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -97,18 +132,23 @@ object OpsQueries {
          |WHERE CAST(c.common AS DOUBLE) / (sa.ns + sb.ns - c.common) >= 0.5
          |ORDER BY a, b""".stripMargin,
     "dd_lsh_pairs" ->
-      s"""$ShinglesCtes, mh AS (
-         |  SELECT doc_id, gi.i,
-         |         min(md5(CAST(gi.i AS VARCHAR) || ':' || shingle)) AS mh
-         |  FROM sh, (SELECT unnest(range(0, 8)) AS i) gi GROUP BY 1, 2
-         |), bandsig AS (
-         |  SELECT doc_id, CAST(i // 2 AS INT) AS band,
-         |         md5(string_agg(mh, ',' ORDER BY i)) AS bsig
-         |  FROM mh GROUP BY 1, 2
+      s"""$LshPairsCtes SELECT a, b FROM pairs ORDER BY a, b""",
+    "dd_keep" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    "dd_clusters" ->
+      s"""$ClustersCtes
+         |SELECT x AS doc_id, CAST(c AS BIGINT) AS cluster
+         |FROM clusters ORDER BY doc_id""".stripMargin,
+    "dd_keepset" ->
+      s"""$ClustersCtes, keep1 AS (
+         |  SELECT CAST(min(x) AS BIGINT) AS doc_id FROM clusters GROUP BY c
+         |), unpaired AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+         |  WHERE doc_id NOT IN (SELECT x FROM clusters)
          |)
-         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |FROM bandsig x JOIN bandsig y ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id
-         |ORDER BY a, b""".stripMargin,
+         |SELECT doc_id FROM keep1 UNION ALL SELECT doc_id FROM unpaired
+         |ORDER BY doc_id""".stripMargin,
     "dd_simhash" -> simhashSql,
     "sim_cosine_topk" ->
       s"""$EmbExpCtes, q AS (SELECT i, x AS y FROM exp WHERE vec_id = 0),

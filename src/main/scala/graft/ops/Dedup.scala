@@ -73,6 +73,68 @@ object Dedup {
       .orderBy(col("a"), col("b"))
   }
 
+  /** The dedup OUTPUT for exact duplicates: one kept doc per distinct
+    * content (the lowest doc_id -- deterministic canonical), i.e. what a
+    * training pipeline actually feeds downstream.
+    */
+  def dedupedDocs(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).cast("long").as("doc_id"))
+      .select(col("doc_id"))
+
+  /** Near-duplicate CLUSTERS from a candidate-pair relation (a, b):
+    * connected components via iterative min-label propagation -- label(x)
+    * starts as x and each round takes the min over x's neighborhood;
+    * converges in O(component diameter) rounds (near-dup components are
+    * shallow; maxIter bounds the worst case). Each round is two
+    * hash-partitioned joins + an aggregation -- no driver-side state, no
+    * collected edge list: the 100 TB shape for transitive dedup.
+    * Returns (doc_id, cluster) for every doc in `pairs`; cluster = min
+    * doc_id of the component.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // undirected edges, both directions
+    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
+      .distinct().cache()
+    var labels = edges.select(col("x")).distinct()
+      .select(col("x"), col("x").as("lbl")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // candidate label = min(own, min over neighbors' labels)
+      val next = edges
+        .join(labels.withColumnRenamed("x", "y").withColumnRenamed("lbl", "nlbl"), "y")
+        .groupBy(col("x")).agg(min(col("nlbl")).as("minn"))
+        .join(labels, "x")
+        .select(col("x"), least(col("lbl"), col("minn")).as("lbl"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "x")
+        .filter(col("lbl") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    val out = labels.select(col("x").as("doc_id"), col("lbl").as("cluster"))
+    edges.unpersist()
+    out
+  }
+
+  /** Near-dup dedup output: from LSH candidate pairs, keep one canonical
+    * doc (min doc_id) per connected component plus every unpaired doc.
+    */
+  def nearDupKeepSet(docs: DataFrame, n: Int = 5, nHashes: Int = 8,
+                     bands: Int = 4, maxIter: Int = 10): DataFrame = {
+    val pairs = lshCandidatePairs(docs, n, nHashes, bands)
+    val clusters = duplicateClusters(pairs, maxIter)
+    val keepFromClusters = clusters.groupBy(col("cluster"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val unpaired = docs.select(col("doc_id").cast("long").as("doc_id"))
+      .join(clusters.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    keepFromClusters.unionByName(unpaired)
+  }
+
   /** MinHash signatures: for hash function i, sig = min over shingles of
     * md5(i || ':' || shingle) -- the 32-hex-char string compares
     * lexicographically exactly like the 128-bit value, in any engine.

@@ -46,6 +46,26 @@ class OpsSpec extends AnyFunSuite {
     assert(capped === 0)
   }
 
+  test("duplicate clusters: transitive min-label propagation over pairs") {
+    import spark.implicits._
+    // chain 1-2-3 plus isolated pair 7-9: two components
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a", "b")
+    val c = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("near-dup keep set: one canonical per component plus unpaired docs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+      (3L, "totally different content here indeed yes")
+    ).toDF("doc_id", "text")
+    val keep = Dedup.nearDupKeepSet(d, n = 3).collect().map(_.getLong(0)).toSet
+    assert(keep === Set(1L, 3L))
+  }
+
   test("minhash LSH surfaces exact dups as candidates") {
     val c = Dedup.lshCandidatePairs(docs, n = 3, nHashes = 8, bands = 4).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
