@@ -48,7 +48,16 @@ object DenseRank {
 
   def withDenseIdByPrefix(df: DataFrame, keyCol: String, idCol: String,
                           prefixLen: Int = 2): DataFrame = {
-    val bucket = substring(col(keyCol), 0, prefixLen)
+    // artificial `:namespace:` words (facet/filter/ordering) all share the
+    // first prefixLen chars -- a fixed truncation would funnel that whole
+    // namespace through one window task. Keys starting with ':' bucket on
+    // a LONGER prefix reaching into the value. Variable-length truncation
+    // stays order-monotone because the length depends only on the first
+    // character: equal first chars compare at equal truncation lengths,
+    // different first chars already order the truncations.
+    val bucket = when(substring(col(keyCol), 0, 1) === ":",
+        substring(col(keyCol), 0, prefixLen + 18))
+      .otherwise(substring(col(keyCol), 0, prefixLen))
     val withB = df.withColumn("_b", bucket)
     // bucket offsets = exclusive prefix sum of per-bucket counts. The
     // order-by window IS unpartitioned, but over the bucket-TOTALS

@@ -68,18 +68,21 @@ object Facets {
       col("doc_id").cast("long").as("doc_id"),
       orderingTerm(field, key).as("term"),
       lit(1L).as("tf"),
-      array().cast("array<int>").as("positions"),
+      // one synthetic position: the block format frames positions by tf
+      array(lit(0)).cast("array<int>").as("positions"),
       lit(0L).as("dl"))
 
   /** Docs whose ordering key falls in [lo, hi]: a word-range query over the
-    * `:ordering:` namespace of the unified posting relation. Returns
-    * (doc_id, okey).
+    * `:ordering:` namespace. Returns (doc_id, okey). The predicate can only
+    * match ordering words, so only the (narrow, projection-sized) ordering
+    * rows are scanned -- never the tokenized corpus; with ordering words
+    * encoded into the block index (`IndexBuilder.build(facetFields=...)`
+    * style) this is a pruned dictionary range like any term range.
     */
   def orderingRangeDocs(corpus: DataFrame, field: String, key: Column,
                         lo: String, hi: String): DataFrame = {
     val prefix = s":ordering:$field:"
-    Analysis.docTermsCached(corpus).toDF()
-      .unionByName(orderingRows(corpus, field, key))
+    orderingRows(corpus, field, key)
       .filter(col("term") >= (prefix + lo) && col("term") <= (prefix + hi))
       .select(col("doc_id"),
         expr(s"substring(term, ${prefix.length + 1})").as("okey"))

@@ -36,7 +36,11 @@ object FuzzyIndex {
     all
   }
 
-  /** Build the (variant, term_id) table next to an index; idempotent. */
+  /** Build the (variant, term_id) table next to an index; idempotent.
+    * meta is written BEFORE variants: variants/_SUCCESS is the existence
+    * marker, so a crash between the writes can never leave an index where
+    * exists() is true but the meta read throws.
+    */
   def build(spark: SparkSession, dir: String, maxDeletes: Int = 2): Unit = {
     import spark.implicits._
     val done = java.nio.file.Files.exists(
@@ -44,19 +48,27 @@ object FuzzyIndex {
     if (done) return
     val dict = spark.read.parquet(s"$dir/dictionary")
     val d = maxDeletes
+    Seq(Tuple1(d)).toDF("max_deletes")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/fuzzy/meta")
     dict.select(col("term_id"), col("term")).as[(Long, String)]
       .flatMap { case (tid, term) => deletions(term, d).iterator.map(v => (v, tid)) }
       .toDF("variant", "term_id")
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/fuzzy/variants")
-    Seq(Tuple1(d)).toDF("max_deletes")
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/fuzzy/meta")
   }
 
   def exists(dir: String): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/fuzzy/variants/_SUCCESS"))
 
-  def maxDeletes(spark: SparkSession, dir: String): Int =
-    spark.read.parquet(s"$dir/fuzzy/meta").head().getInt(0)
+  // (dir, variants commit mtime) -> built distance; the lookup is on the
+  // per-atom serving hot path and the meta is immutable per built index
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Int]()
+
+  def maxDeletes(spark: SparkSession, dir: String): Int = {
+    val mtime = new java.io.File(s"$dir/fuzzy/variants/_SUCCESS").lastModified()
+    metaCache.computeIfAbsent((dir, mtime), _ =>
+      spark.read.parquet(s"$dir/fuzzy/meta").head().getInt(0))
+  }
 
   /** Candidate (term_id) relation for query word `w` at edit distance
     * <= `thr`: variant IN-list lookup (pushed to the scan) + exact

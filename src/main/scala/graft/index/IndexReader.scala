@@ -38,6 +38,13 @@ class IndexReader(val spark: SparkSession, val dir: String,
     */
   val WandGridCells = 1024L
 
+  /** Identity of the built index this reader was opened against (the
+    * dictionary commit's mtime): memoization keyed by (dir, epoch) cannot
+    * serve stale values after a rebuild into the same directory.
+    */
+  val indexEpoch: Long =
+    new java.io.File(s"$dir/dictionary/_SUCCESS").lastModified()
+
   lazy val dictionary: DataFrame = spark.read.parquet(s"$dir/dictionary").cache()
   /** Docs store (buildDocsDB analog) -- present when the build ran
     * [[IndexBuilder.buildDocsStore]]; serves excerpt text.

@@ -83,12 +83,15 @@ object Dedup {
       .select(col("doc_id"))
 
   /** Near-duplicate CLUSTERS from a candidate-pair relation (a, b):
-    * connected components via iterative min-label propagation -- label(x)
-    * starts as x and each round takes the min over x's neighborhood;
-    * converges in O(component diameter) rounds (near-dup components are
-    * shallow; maxIter bounds the worst case). Each round is two
-    * hash-partitioned joins + an aggregation -- no driver-side state, no
-    * collected edge list: the 100 TB shape for transitive dedup.
+    * connected components via iterative min-label propagation with pointer
+    * jumping -- label(x) starts as x; each round takes the min over x's
+    * neighborhood, then compresses one level through the label graph
+    * (lbl(x) := lbl(lbl(x))), so convergence is O(log diameter), not
+    * O(diameter): maxIter=10 covers components ~2^10 hops deep. Each round
+    * is a few hash-partitioned joins + aggregations -- no driver-side
+    * state, no collected edge list: the 100 TB shape for transitive dedup.
+    * Throws if maxIter rounds did not converge (a silently split component
+    * would mis-deduplicate downstream).
     * Returns (doc_id, cluster) for every doc in `pairs`; cluster = min
     * doc_id of the component.
     */
@@ -103,11 +106,15 @@ object Dedup {
     var i = 0
     while (!converged && i < maxIter) {
       // candidate label = min(own, min over neighbors' labels)
-      val next = edges
+      val propagated = edges
         .join(labels.withColumnRenamed("x", "y").withColumnRenamed("lbl", "nlbl"), "y")
         .groupBy(col("x")).agg(min(col("nlbl")).as("minn"))
         .join(labels, "x")
         .select(col("x"), least(col("lbl"), col("minn")).as("lbl"))
+      // pointer jumping: follow the label's own label one level
+      val next = propagated
+        .join(propagated.select(col("x").as("lbl"), col("lbl").as("plbl")), Seq("lbl"), "left_outer")
+        .select(col("x"), least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
         .cache()
       val changed = next.join(labels.withColumnRenamed("lbl", "old"), "x")
         .filter(col("lbl") =!= col("old")).limit(1).count()
@@ -116,7 +123,13 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    require(converged,
+      s"duplicateClusters did not converge in $maxIter rounds -- raise maxIter")
+    // cut lineage and release the loop's cache: the component relation is
+    // bounded by the paired docs, the iterative plan behind it is not
     val out = labels.select(col("x").as("doc_id"), col("lbl").as("cluster"))
+      .localCheckpoint(true)
+    labels.unpersist()
     edges.unpersist()
     out
   }

@@ -152,7 +152,13 @@ object Eval {
     var state = State(partDocScores(first.atom, bmFor(0)), partPositions(first.atom))
 
     q.parts.zipWithIndex.tail.foreach { case (part, idx) =>
-      val window = part.sep.flatMap(_.window)
+      // a windowed separator needs positions on BOTH sides; join blocks
+      // have none (their result is a doc-score relation), so a window
+      // adjacent to a join block degrades to same-doc AND (the reference
+      // likewise treats separators around enhanced queries as plain
+      // intersection) instead of crashing
+      val positionless = state.positions == null || part.atom.isInstanceOf[JoinBlock]
+      val window = if (positionless) None else part.sep.flatMap(_.window)
       if (isNot(part.atom)) {
         // NOT: anti-join on matching docs (OUTPUT_NON_MATCHES)
         val negDocs = src.atomScored(part.atom).select(col("doc_id")).distinct()

@@ -14,7 +14,10 @@ object Excerpts {
 
   /** The tokenizer separator set MINUS '^': multi-part artificial words
     * (e.g. `beethoven^ludwig`, ExcerptsGenerator's part highlighting) must
-    * stay whole in the display tokens.
+    * stay whole in the display tokens. This deliberately diverges from the
+    * INDEX tokenization (which splits on '^') -- reference behavior: the
+    * excerpts generator shows multi-part words joined while the index
+    * stores the parts. Display-only; never feeds the posting relation.
     */
   private val SepRegex = "[!\"#$%&'()*+,\\-./@\\[\\\\\\]{|}~:;<=>? ]+"
 

@@ -52,10 +52,13 @@ class IndexAtomSource(reader: IndexReader) extends AtomSource {
     // partitions (bucket dirs) and row groups (term_id min/max) before
     // the broadcast join applies the exact set (block locate analog,
     // HYBCompleter.cpp:661-746).
-    val range = IndexAtomSource.rangeCache.computeIfAbsent((reader.dir, atom), _ => {
-      val r = cand.agg(min(col("term_id")), max(col("term_id"))).head()
-      if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
-    })
+    if (IndexAtomSource.rangeCache.size() > IndexAtomSource.RangeCacheMax)
+      IndexAtomSource.rangeCache.clear() // crude bound; entries are cheap to recompute
+    val range = IndexAtomSource.rangeCache.computeIfAbsent(
+      (reader.dir, reader.indexEpoch, atom), _ => {
+        val r = cand.agg(min(col("term_id")), max(col("term_id"))).head()
+        if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+      })
     if (range.isEmpty) return emptyScored
     val (lo, hi) = range.get
     reader.decodeWithPositions(reader.blocksForRange(lo, hi))
@@ -77,11 +80,15 @@ class IndexAtomSource(reader: IndexReader) extends AtomSource {
 }
 
 object IndexAtomSource {
-  /** (index dir, atom) -> candidate term-id range; atoms repeat across a
-    * serving session and ranges are immutable per built index.
+  /** (index dir, index epoch, atom) -> candidate term-id range; atoms
+    * repeat across a serving session and ranges are immutable per built
+    * index -- the epoch key makes a rebuild into the same dir a different
+    * cache row, and the size bound keeps an adversarial atom stream from
+    * growing the map without limit.
     */
+  private[query] val RangeCacheMax = 65536
   private[query] val rangeCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Atom), Option[(Long, Long)]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Atom), Option[(Long, Long)]]()
 }
 
 /** Physical-path facade: the full reference grammar served from the
