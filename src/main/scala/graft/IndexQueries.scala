@@ -39,9 +39,12 @@ object IndexQueries {
       val dir = s"/tmp/graft_index/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}_facets"
       val corpus = WebCorpus.fromDocuments(spark, sfDir)
         .join(spark.read.parquet(s"$sfDir/documents.parquet")
-          .select(col("doc_id").cast("long").as("doc_id"), col("source")), "doc_id")
+          .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+            col("n_chars")), "doc_id")
       IndexBuilder.build(spark, corpus, dir, numShards = 1,
-        facetFields = Seq("lang", "source"))
+        facetFields = Seq("lang", "source"),
+        extraDocTerms = Some(graft.core.Facets.orderingRows(corpus, "len",
+          lpad(col("n_chars").cast("string"), 6, "0"))))
       dir
     })
   }
@@ -57,6 +60,18 @@ object IndexQueries {
       .select(expr(s"substring(term, ${":facet:lang:".length + 1})").as("value"),
         col("dc").as("n_docs"))
       .orderBy(col("n_docs").desc, col("value").asc)
+
+  /** `:ordering:` value range served from the BLOCKS: a dictionary word
+    * range over the namespace, like any term range -- the sortable key
+    * encoding makes value ranges prunable id ranges.
+    */
+  def orderingRange(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = new graft.query.IndexAtomSource(facetReader(spark, sfDir))
+    val prefix = ":ordering:len:"
+    src.atomScored(graft.query.QueryParser.WordRange(prefix + "000100", prefix + "000200"))
+      .select(col("doc_id"), expr(s"substring(term, ${prefix.length + 1})").as("okey"))
+      .orderBy(col("okey"), col("doc_id"))
+  }
 
   /** Faceted drill-down from the BLOCKS: the reference's key trick --
     * facet counting under a keyword constraint IS a completions query

@@ -50,7 +50,8 @@ object SparkEntry {
     "ix_completions" -> IndexQueries.completions _,
     "ix_build_metrics" -> IndexQueries.buildMetrics _,
     "fcix_counts" -> IndexQueries.facetCounts _,
-    "fcix_filtered" -> IndexQueries.facetCountsFiltered _
+    "fcix_filtered" -> IndexQueries.facetCountsFiltered _,
+    "fcix_ordering" -> IndexQueries.orderingRange _
   ) ++ OpsQueries.queries ++ QpQueries.queries ++ QpixQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -64,6 +65,7 @@ object SparkEntry {
     "ix_phrase" -> Oracles.all("ft_phrase"),
     "ix_completions" -> Oracles.all("ft_completions"),
     "fcix_counts" -> Oracles.all("fc_counts"),
-    "fcix_filtered" -> Oracles.all("fc_filtered")
+    "fcix_filtered" -> Oracles.all("fc_filtered"),
+    "fcix_ordering" -> Oracles.all("fc_ordering")
   ) ++ OpsQueries.oracleSql ++ QpQueries.oracleSql ++ QpixQueries.oracleSql
 }

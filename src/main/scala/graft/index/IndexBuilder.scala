@@ -98,6 +98,10 @@ object IndexBuilder {
     * 107-154), so facet counting/filtering is served from the blocks like
     * any prefix query. The reserved `:`-prefixed terms sort before every
     * text term, keeping their blocks in separate buckets (prunable).
+    *
+    * extraDocTerms: any additional doc-term rows to encode (ordering/filter
+    * words, custom namespaces) -- must have the DocTerm shape with
+    * tf == positions.length per row.
     */
   def build(
       spark: SparkSession,
@@ -107,21 +111,21 @@ object IndexBuilder {
       blockSize: Int = DefaultBlockSize,
       bucketSize: Int = DefaultBucketSize,
       buildPartitions: Int = 0,
-      facetFields: Seq[String] = Nil): DataFrame = {
+      facetFields: Seq[String] = Nil,
+      extraDocTerms: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
 
     val fs = java.nio.file.Paths.get(outDir)
     java.nio.file.Files.createDirectories(fs)
 
     // One tokenizing pass, shared (persisted) across dictionary, stats and
-    // every shard's encode stage; facet rows union in as extra doc-terms.
+    // every shard's encode stage; artificial rows union in as extra
+    // doc-terms.
     val dt0 = Analysis.docTermsCached(corpus)
-    val dt = if (facetFields.isEmpty) dt0
-      else {
-        import spark.implicits._
-        dt0.toDF().unionByName(graft.core.Facets.facetRows(corpus, facetFields))
-          .as[graft.core.DocTerm]
-      }
+    val extras = (if (facetFields.isEmpty) Nil
+      else Seq(graft.core.Facets.facetRows(corpus, facetFields))) ++ extraDocTerms
+    val dt = if (extras.isEmpty) dt0
+      else extras.foldLeft(dt0.toDF())(_ unionByName _).as[graft.core.DocTerm]
 
     // under timing, force the shared tokenize pass separately so
     // dictionary_write shows only vocab-side cost

@@ -43,6 +43,40 @@ object BuildIndexMain {
   }
 }
 
+/** printListLengths analog (reference tool of the same name): posting-list
+  * length distribution from the dictionary -- df/cf per term, longest
+  * lists first. args: <indexDir> [topK]
+  */
+object PrintListLengthsMain {
+  def main(args: Array[String]): Unit = {
+    val Array(indexDir, rest @ _*) = args: @unchecked
+    val k = rest.headOption.map(_.toInt).getOrElse(50)
+    val spark = Cli.session("graft-printListLengths")
+    spark.read.parquet(s"$indexDir/dictionary")
+      .orderBy(org.apache.spark.sql.functions.col("df").desc)
+      .show(k, truncate = false)
+    spark.stop()
+  }
+}
+
+/** words2wordids analog: rewrite a (doc_id, term, ...) words relation to
+  * (doc_id, term_id, ...) via the index dictionary.
+  * args: <indexDir> <wordsParquet> <outParquet>
+  */
+object Words2WordIdsMain {
+  def main(args: Array[String]): Unit = {
+    val Array(indexDir, wordsPath, outPath) = args: @unchecked
+    val spark = Cli.session("graft-words2wordids")
+    import org.apache.spark.sql.functions._
+    val dict = spark.read.parquet(s"$indexDir/dictionary")
+      .select(col("term"), col("term_id"))
+    spark.read.parquet(wordsPath)
+      .join(broadcast(dict), "term").drop("term")
+      .write.mode("overwrite").parquet(outPath)
+    spark.stop()
+  }
+}
+
 /** Batch query driver (answerQueries analog): reads one query per line --
   * `or:a,b,c` runs the physical WAND path, `prefix:p` the pruned prefix
   * path, anything else is parsed as the FULL reference grammar and served
