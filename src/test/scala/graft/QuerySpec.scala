@@ -103,6 +103,12 @@ class ExecutorSpec extends AnyFunSuite {
     assert(r === Set(11L))
   }
 
+  test("windowed separator adjacent to a join block degrades to same-doc AND") {
+    // join blocks carry no positions; '.' next to one must not crash
+    assert(docsOf("babbeln.[babylonisch ba*#babbeln ba*]") === Set(3L, 4L))
+    assert(docsOf("[babylonisch ba*#babbeln ba*].baby") === Set(3L, 4L))
+  }
+
   test("join block [q1#q2] executes through the grammar") {
     // completions of ba* common to babylonisch-docs and babbeln-docs:
     // doc 3 carries all four; docs matching via common terms re-aggregate
