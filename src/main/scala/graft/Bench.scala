@@ -130,19 +130,30 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      s""""build_docs_per_sec":$docsPerSec,"n_docs":$nDocs,""" +
-      s""""bm25_top10_p50_ms":$p50Ms,"bm25_top10_p95_ms":$p95Ms,""" +
-      s""""grammar_top10_p50_ms":$grammarP50Ms}"""
-    println(json)
+    def fmt(v: Double, dp: Int): String = {
+      val s = java.util.Locale.ROOT
+      String.format(s, s"%.${dp}f", Double.box(v))
+    }
+    def jsonFor(qdp: Int): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, qdp) }
+        .mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.values.sum else 0.0
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""build_docs_per_sec":${fmt(docsPerSec, 1)},"n_docs":$nDocs,""" +
+        s""""bm25_top10_p50_ms":${fmt(p50Ms, 1)},"bm25_top10_p95_ms":${fmt(p95Ms, 1)},""" +
+        s""""grammar_top10_p50_ms":${fmt(grammarP50Ms, 1)}}"""
+    }
     // machine-readable copy: sbt interleaves [info]/[error] log noise into
     // stdout, so the one-line contract is ALSO written to a file
     // (SPARK_GRAFT_BENCH_OUT overrides; default BENCH_LOCAL.json in cwd)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     scala.util.Try(java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(outFile), json + "\n"))
+      java.nio.file.Paths.get(outFile), jsonFor(3) + "\n"))
     spark.stop()
+    // the one-line JSON contract goes out LAST, after spark.stop()'s log
+    // noise, compact (2dp per query) so it fits whole inside the driver's
+    // bounded tail-capture window and its tail-parse can succeed
+    println(jsonFor(2))
+    System.out.flush()
   }
 }

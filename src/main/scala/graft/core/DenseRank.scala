@@ -59,22 +59,34 @@ object DenseRank {
         substring(col(keyCol), 0, prefixLen + 18))
       .otherwise(substring(col(keyCol), 0, prefixLen))
     val withB = df.withColumn("_b", bucket)
-    // bucket offsets = exclusive prefix sum of per-bucket counts. The
-    // order-by window IS unpartitioned, but over the bucket-TOTALS
-    // relation, whose size is bounded by |alphabet|^prefixLen (<= 65k for
-    // L=2) BY CONSTRUCTION, independent of the key count -- and it feeds a
-    // broadcast exchange, which collects to the driver anyway. This is
-    // categorically different from the round-1 bug (the whole VOCABULARY
-    // through one window task). Everything is one Spark job; the keys
-    // themselves only ever cross a HASH exchange.
-    val offsets = withB.groupBy(col("_b")).agg(count(lit(1)).as("_cnt"))
-      .withColumn("_off",
-        coalesce(sum(col("_cnt")).over(
-          Window.orderBy(col("_b").asc)
+    // bucket offsets = exclusive prefix sum of per-bucket counts, computed
+    // HIERARCHICALLY so no unpartitioned window ever sees an unbounded
+    // relation: the ':'-key branch reaches into the value, so its bucket
+    // count scales with value cardinality (a high-cardinality `:ordering:`
+    // namespace could mint ~one bucket per distinct value). Level 1 sums
+    // within a super-bucket (= first prefixLen chars) via a PARTITIONED
+    // window; level 2's unpartitioned window runs over super-bucket totals,
+    // <= |alphabet|^prefixLen rows (<= 65k for L=2) BY CONSTRUCTION,
+    // independent of both key count and value cardinality.
+    val totals = withB.groupBy(col("_b")).agg(count(lit(1)).as("_cnt"))
+      .withColumn("_s", substring(col("_b"), 0, prefixLen))
+    val wSuper = Window.partitionBy(col("_s")).orderBy(col("_b").asc)
+    val withLocal = totals.withColumn("_loff",
+      coalesce(sum(col("_cnt")).over(
+        wSuper.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val superOffsets = totals.groupBy(col("_s")).agg(sum(col("_cnt")).as("_scnt"))
+      .withColumn("_soff",
+        coalesce(sum(col("_scnt")).over(
+          Window.orderBy(col("_s").asc)
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("_b"), col("_off"))
+      .select(col("_s"), col("_soff"))
+    val offsets = withLocal.join(broadcast(superOffsets), "_s")
+      .select(col("_b"), (col("_soff") + col("_loff")).as("_off"))
     val w = Window.partitionBy(col("_b")).orderBy(col(keyCol).asc)
-    withB.join(broadcast(offsets), "_b")
+    // no forced broadcast of `offsets` (its row count is the bucket count,
+    // unbounded on the ':' branch) -- AQE promotes the join to broadcast
+    // when the runtime size allows
+    withB.join(offsets, "_b")
       .withColumn(idCol, (col("_off") + row_number().over(w) - 1).cast("long"))
       .drop("_b", "_off")
   }

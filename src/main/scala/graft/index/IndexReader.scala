@@ -63,11 +63,23 @@ class IndexReader(val spark: SparkSession, val dir: String,
     spark.range(0).select(col("id").as("doc_id"), lit(0.0).as("score"))
   /** Block segments. Cached by default for a query-serving session (the
     * in-memory relation still skips batches via min/max stats); pass
-    * cacheBlocks=false for one-shot scans of indexes larger than memory.
+    * cacheBlocks=false for one-shot scans. Caching auto-disables above
+    * [[IndexReader.CacheBlocksMaxBytes]] (override with spark conf
+    * `graft.index.cacheBlocksMaxBytes`) -- a 100-TB index must never be
+    * pulled through the block cache by a naive caller.
     */
   lazy val blocks: DataFrame = {
     val b = spark.read.parquet(s"$dir/blocks")
-    if (cacheBlocks) b.cache() else b
+    val maxBytes = spark.conf.getOption("graft.index.cacheBlocksMaxBytes")
+      .map(_.toLong).getOrElse(IndexReader.CacheBlocksMaxBytes)
+    def dirBytes: Long = {
+      val root = new java.io.File(s"$dir/blocks")
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      walk(root)
+    }
+    if (cacheBlocks && dirBytes <= maxBytes) b.cache() else b
   }
 
   def idf(df: Long): Double = math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
@@ -96,9 +108,24 @@ class IndexReader(val spark: SparkSession, val dir: String,
       col("term_id").between(lo, hi))
 
   /** Pruned block scan for an explicit term-id set. */
-  private def blocksForIds(ids: Seq[Long]): DataFrame =
+  def blocksForIds(ids: Seq[Long]): DataFrame =
     blocks.filter(col("term_id").isin(ids: _*) &&
       col("bucket").isin(ids.map(_ / bucketSize).distinct: _*))
+
+  /** Pruned block scan for a set of contiguous term-id runs (the block
+    * locate analog for SCATTERED candidate sets -- synonym groups, fuzzy
+    * candidates, OR alternatives): the reference fetches blocks per word
+    * range / per term (HYBCompleter.cpp:661-746, INVCompleter.h:94-130),
+    * never the [min, max] hull of the whole set. Bucket IN-list + per-run
+    * BETWEEN predicates reach the parquet scan (partition-dir pruning +
+    * row-group min/max skipping).
+    */
+  def blocksForIdRuns(runs: Seq[(Long, Long)]): DataFrame = {
+    require(runs.nonEmpty, "empty run set")
+    val buckets = runs.flatMap { case (lo, hi) => (lo / bucketSize) to (hi / bucketSize) }.distinct
+    val idPred = runs.map { case (lo, hi) => col("term_id").between(lo, hi) }.reduce(_ || _)
+    blocks.filter(col("bucket").isin(buckets: _*) && idPred)
+  }
 
   /** Decode blocks to (term_id, doc_id, tf, dl) via the custom Catalyst
     * Generator (GenerateExec, no object-encoder boundary).
@@ -319,4 +346,13 @@ class IndexReader(val spark: SparkSession, val dir: String,
           .limit(k)
     }
   }
+}
+
+object IndexReader {
+  /** Above this on-disk size the block cache auto-disables even when the
+    * caller asked for it (serving-session convenience must not become a
+    * cache-thrash at production scale). 16 GiB default fits the sandbox
+    * heap; production sets `graft.index.cacheBlocksMaxBytes`.
+    */
+  val CacheBlocksMaxBytes: Long = 16L << 30
 }

@@ -15,11 +15,23 @@ object Events {
     * (complete mode), so the DuckDB time_bucket oracle applies.
     */
   // staged-source memoization: the parquet streaming source needs a
-  // directory; stage each sf's single file once per process, not per call
-  private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // directory; stage each sf's single file once per process, not per call.
+  // Keyed on (path, mtime, size) so a changed source file re-stages instead
+  // of serving a stale copy; staged dirs are deleted on JVM exit.
+  private val staged =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), String]()
+  sys.addShutdownHook {
+    staged.values().forEach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+  }
+
+  private def stagedKey(sfDir: String): (String, Long, Long) = {
+    val f = new java.io.File(s"$sfDir/events.parquet")
+    (sfDir, f.lastModified(), f.length())
+  }
 
   def streamWindowAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    val src = staged.computeIfAbsent(sfDir, _ => {
+    val src = staged.computeIfAbsent(stagedKey(sfDir), _ => {
       val dir = java.nio.file.Files.createTempDirectory("graft_events").toString
       spark.read.parquet(s"$sfDir/events.parquet")
         .write.mode("overwrite").parquet(dir)

@@ -19,6 +19,20 @@ trait AtomSource {
     */
   def atomScored(atom: Atom): DataFrame
 
+  /** [[atomScored]], resolved ONCE per atom per source instance and
+    * persisted: a query references most atoms 2-3 times (doc-score
+    * aggregate, exploded positions, window chaining) and on the physical
+    * path each un-memoized reference is a separate pruned-scan + decode
+    * subplan. Spill-safe (MEMORY_AND_DISK); the ContextCleaner unpersists
+    * when the source instance (one per query) becomes unreachable.
+    */
+  final def atomScoredCached(atom: Atom): DataFrame =
+    scoredMemo.computeIfAbsent(atom, a =>
+      atomScored(a).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private val scoredMemo =
+    new java.util.concurrent.ConcurrentHashMap[Atom, DataFrame]()
+
   /** The atom's best-match word (reference: _lastBestMatchWordId,
     * CompleterBase.cpp:723-732): for a prefix atom the EXACT query word if
     * it exists in the vocabulary; for a fuzzy atom the closest word (min
@@ -127,7 +141,7 @@ object Eval {
     def bmFor(i: Int): Double = if (i == lastIdx) bestMatchBonus else 0.0
 
     def aggScores(a: Atom, bm: Double): DataFrame = {
-      val base = src.atomScored(a)
+      val base = src.atomScoredCached(a)
       val bw = if (bm == 0.0) None else src.bestMatchWord(a)
       bw match {
         case Some(w) => base.groupBy(col("doc_id"))
@@ -143,7 +157,7 @@ object Eval {
     }
     def partPositions(a: Atom): DataFrame = a match {
       case JoinBlock(_, _) => null
-      case _ => src.atomScored(a)
+      case _ => src.atomScoredCached(a)
         .select(col("doc_id"), explode(col("positions")).as("pos"))
     }
 
@@ -161,7 +175,7 @@ object Eval {
       val window = if (positionless) None else part.sep.flatMap(_.window)
       if (isNot(part.atom)) {
         // NOT: anti-join on matching docs (OUTPUT_NON_MATCHES)
-        val negDocs = src.atomScored(part.atom).select(col("doc_id")).distinct()
+        val negDocs = src.atomScoredCached(part.atom).select(col("doc_id")).distinct()
         state = State(state.scores.join(negDocs, Seq("doc_id"), "left_anti"),
           state.positions)
       } else if (window.isEmpty) {
@@ -174,7 +188,7 @@ object Eval {
       } else {
         // windowed AND: position theta-join against previous part's matches
         val (lo, hi) = window.get
-        val curScored = src.atomScored(part.atom)
+        val curScored = src.atomScoredCached(part.atom)
         val curPos = curScored.select(col("doc_id").as("d2"), explode(col("positions")).as("p2"))
         val matched = state.positions.toDF("doc_id", "p1")
           .join(curPos, col("doc_id") === col("d2") &&
@@ -212,7 +226,7 @@ object Eval {
   def completions(src: AtomSource, query: String, k: Int): DataFrame = {
     val parsed = QueryParser.parse(query)
     val docs = evalDocs(src, parsed).select(col("doc_id"))
-    src.atomScored(parsed.parts.last.atom)
+    src.atomScoredCached(parsed.parts.last.atom)
       .join(docs, Seq("doc_id"), "left_semi")
       .groupBy(col("term"))
       .agg(round(sum(col("score")), 4).as("score"),
@@ -228,7 +242,7 @@ object Eval {
   private def evalJoinBlock(src: AtomSource, l: ParsedQuery, r: ParsedQuery): DataFrame = {
     def side(pq: ParsedQuery): DataFrame = {
       val docs = evalDocs(src, pq).select(col("doc_id"))
-      src.atomScored(pq.parts.last.atom)
+      src.atomScoredCached(pq.parts.last.atom)
         .join(docs, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("term"), col("score"))
     }

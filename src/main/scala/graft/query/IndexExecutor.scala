@@ -29,43 +29,71 @@ class IndexAtomSource(reader: IndexReader) extends AtomSource {
     reader.spark.createDataFrame(reader.spark.sparkContext.emptyRDD[Row], schema)
   }
 
+  /** Candidate relation for an atom: (term_id, term, df). Fuzzy atoms go
+    * through the FastSS deletion-neighborhood index when built (candidates
+    * = variant-IN-list lookups, edit distance verified on candidates only);
+    * other atoms (and fuzzy without the index, or beyond its built
+    * distance) are vocab-sized dictionary predicates.
+    */
+  private def candidates(atom: Atom): DataFrame = (atom match {
+    case w: Word if w.fuzzy =>
+      val thr = Executor.fuzzyThreshold(w.text)
+      if (graft.index.FuzzyIndex.exists(reader.dir) &&
+          thr <= graft.index.FuzzyIndex.maxDeletes(reader.spark, reader.dir))
+        graft.index.FuzzyIndex.candidates(
+          reader.spark, reader.dir, reader.dictionary, w.text, thr)
+      else reader.dictionary.filter(CorpusAtomSource.atomPredicate(atom))
+    case _ => reader.dictionary.filter(CorpusAtomSource.atomPredicate(atom))
+  }).select(col("term_id"), col("term"), col("df"))
+
   def atomScored(atom: Atom): DataFrame = {
-    // candidate relation: (term_id, term, df). Fuzzy atoms go through the
-    // FastSS deletion-neighborhood index when built (candidates =
-    // variant-IN-list lookups, edit distance verified on candidates only);
-    // other atoms (and fuzzy without the index, or beyond its built
-    // distance) are vocab-sized dictionary predicates.
-    val cand = (atom match {
-      case w: Word if w.fuzzy =>
-        val thr = Executor.fuzzyThreshold(w.text)
-        if (graft.index.FuzzyIndex.exists(reader.dir) &&
-            thr <= graft.index.FuzzyIndex.maxDeletes(reader.spark, reader.dir))
-          graft.index.FuzzyIndex.candidates(
-            reader.spark, reader.dir, reader.dictionary, w.text, thr)
-        else reader.dictionary.filter(CorpusAtomSource.atomPredicate(atom))
-      case _ => reader.dictionary.filter(CorpusAtomSource.atomPredicate(atom))
-    }).select(col("term_id"), col("term"), col("df"))
-    // one 2-long driver round-trip per atom (memoized per index + atom --
-    // a serving session answers repeated shapes with zero extra jobs):
-    // the candidate term-id RANGE. Dense lexicographic ids make
-    // prefixes/ranges contiguous, so the block scan below prunes
-    // partitions (bucket dirs) and row groups (term_id min/max) before
-    // the broadcast join applies the exact set (block locate analog,
-    // HYBCompleter.cpp:661-746).
-    if (IndexAtomSource.rangeCache.size() > IndexAtomSource.RangeCacheMax)
-      IndexAtomSource.rangeCache.clear() // crude bound; entries are cheap to recompute
-    val range = IndexAtomSource.rangeCache.computeIfAbsent(
-      (reader.dir, reader.indexEpoch, atom), _ => {
-        val r = cand.agg(min(col("term_id")), max(col("term_id"))).head()
-        if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
-      })
-    if (range.isEmpty) return emptyScored
-    val (lo, hi) = range.get
-    reader.decodeWithPositions(reader.blocksForRange(lo, hi))
+    val cand = candidates(atom)
+    // one bounded driver round-trip per atom (memoized per index + atom --
+    // a serving session answers repeated shapes with zero extra jobs): the
+    // candidate term-id set as CONTIGUOUS RUNS. The reference fetches
+    // blocks per word range / per term (block locate,
+    // HYBCompleter.cpp:661-746; INVCompleter.h:94-130) -- never the
+    // [min, max] hull of a scattered set, which for a synonym group like
+    // `merge, join` would decode every block in between. Dense
+    // lexicographic ids make a prefix ONE run (identical to the old hull),
+    // while synonym/fuzzy/OR candidates become per-cluster runs; sets
+    // beyond MaxExactIds fall back to the hull (a vocab that large is
+    // range-shaped in practice). The broadcast join below still applies
+    // the exact candidate set after decode.
+    val runs = candidateRuns(atom, cand)
+    if (runs.isEmpty) return emptyScored
+    reader.decodeWithPositions(reader.blocksForIdRuns(runs))
       .join(broadcast(cand), "term_id")
       .select(col("doc_id"), col("term"), col("tf"), col("positions"),
         Analysis.bm25Col(reader.nDocs, reader.avgdl,
           col("tf"), col("df"), col("dl")).as("score"))
+  }
+
+  /** Contiguous term-id runs of the atom's candidate set (memoized).
+    * Test hook: exposed so specs can count pruned blocks per atom.
+    */
+  private[query] def candidateRuns(atom: Atom, cand: DataFrame): Seq[(Long, Long)] = {
+    if (IndexAtomSource.rangeCache.size() > IndexAtomSource.RangeCacheMax)
+      IndexAtomSource.rangeCache.clear() // crude bound; entries are cheap to recompute
+    IndexAtomSource.rangeCache.computeIfAbsent(
+      (reader.dir, reader.indexEpoch, atom), _ => {
+        import reader.spark.implicits._
+        val ids = cand.select(col("term_id")).orderBy(col("term_id"))
+          .limit(IndexAtomSource.MaxExactIds + 1).as[Long].collect()
+        if (ids.isEmpty) Seq.empty
+        else if (ids.length > IndexAtomSource.MaxExactIds) {
+          // hull fallback: one more 2-long round-trip for the true max
+          val r = cand.agg(min(col("term_id")), max(col("term_id"))).head()
+          Seq((r.getLong(0), r.getLong(1)))
+        } else IndexAtomSource.toRuns(ids)
+      })
+  }
+
+  /** Pruned block relation for an atom (spec hook). */
+  private[graft] def prunedBlocks(atom: Atom): Option[DataFrame] = {
+    val cand = candidates(atom)
+    val runs = candidateRuns(atom, cand)
+    if (runs.isEmpty) None else Some(reader.blocksForIdRuns(runs))
   }
 
   protected def vocabContains(w: String): Boolean =
@@ -80,15 +108,37 @@ class IndexAtomSource(reader: IndexReader) extends AtomSource {
 }
 
 object IndexAtomSource {
-  /** (index dir, index epoch, atom) -> candidate term-id range; atoms
-    * repeat across a serving session and ranges are immutable per built
+  /** (index dir, index epoch, atom) -> candidate term-id runs; atoms
+    * repeat across a serving session and runs are immutable per built
     * index -- the epoch key makes a rebuild into the same dir a different
     * cache row, and the size bound keeps an adversarial atom stream from
     * growing the map without limit.
     */
   private[query] val RangeCacheMax = 65536
   private[query] val rangeCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Atom), Option[(Long, Long)]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Atom), Seq[(Long, Long)]]()
+
+  /** Candidate sets up to this size prune blocks by their EXACT id runs;
+    * larger sets use the [min, max] hull. Bounded so the driver round-trip
+    * and the pushed predicate stay small.
+    */
+  private[graft] val MaxExactIds = 4096
+
+  /** Sorted distinct ids -> contiguous [lo, hi] runs. */
+  private[graft] def toRuns(sorted: Array[Long]): Seq[(Long, Long)] = {
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var lo = sorted(0)
+    var hi = sorted(0)
+    var i = 1
+    while (i < sorted.length) {
+      val id = sorted(i)
+      if (id == hi || id == hi + 1) hi = id
+      else { runs += ((lo, hi)); lo = id; hi = id }
+      i += 1
+    }
+    runs += ((lo, hi))
+    runs.toSeq
+  }
 }
 
 /** Physical-path facade: the full reference grammar served from the

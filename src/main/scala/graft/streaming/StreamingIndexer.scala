@@ -61,8 +61,11 @@ object StreamingIndexer {
     // dictionary-drift lineage: rows whose term the batch dictionary does
     // not know are dropped by the inner join above; count and persist them
     // per shard so drift is observable before the next rebuild
+    // the partition-style dir encodes the shard: a read of $indexDir/drift
+    // gets `shard` via partition discovery, so the rows must NOT also carry
+    // a shard data column (it would conflict with the inferred one)
     val dropped = dt.join(broadcast(dict.select(col("term"))), Seq("term"), "left_anti").count()
-    Seq((shardName, dropped)).toDF("shard", "dropped_doc_terms")
+    Seq(Tuple1(dropped)).toDF("dropped_doc_terms")
       .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/drift/shard=$shardName")
 
     val k1 = Analysis.K1

@@ -100,6 +100,42 @@ class IndexExecutorSpec extends AnyFunSuite {
     assert(r.completions === logical.completions)
   }
 
+  test("scattered candidate atoms prune blocks by exact id runs, not the hull") {
+    import graft.query.{IndexAtomSource, QueryParser}
+    import org.apache.spark.sql.functions.col
+    val src = new IndexAtomSource(reader)
+    // aachen and zebra sit at opposite ends of the dictionary: the [min,max]
+    // hull spans every term in between (the round-2 weakness); exact-run
+    // pruning must fetch only the candidates' own blocks
+    val atom = QueryParser.OrAtoms(Seq(
+      QueryParser.Word("aachen"), QueryParser.Word("zebra")))
+    val pruned = src.prunedBlocks(atom).get
+    val ids = reader.dictionary.filter(col("term").isin("aachen", "zebra"))
+      .select("term_id").as[Long].collect()
+    assert(pruned.count() === reader.blocksForIds(ids.toSeq).count())
+    assert(pruned.count() < reader.blocksForRange(ids.min, ids.max).count())
+    assert(pruned.select("term_id").distinct().as[Long].collect().toSet === ids.toSet)
+    // and the grammar result is unchanged
+    assert(ix("aachen|zebra") === lg("aachen|zebra"))
+    // contiguous sets (prefixes with dense ids) stay a single run
+    assert(IndexAtomSource.toRuns(Array(3L, 4L, 5L)) === Seq((3L, 5L)))
+    assert(IndexAtomSource.toRuns(Array(1L, 3L, 4L, 9L)) === Seq((1L, 1L), (3L, 4L), (9L, 9L)))
+  }
+
+  test("each atom resolves to ONE persisted relation per query (decode-once)") {
+    import graft.query.{IndexAtomSource, QueryParser}
+    val src = new IndexAtomSource(reader)
+    val atom = QueryParser.Word("aal")
+    val a = src.atomScoredCached(atom)
+    val b = src.atomScoredCached(atom)
+    assert(a eq b, "memo must return the same DataFrame instance")
+    assert(a.storageLevel.useMemory || a.storageLevel.useDisk,
+      "atom relation must be persisted so scores+positions share one decode")
+    // a fresh source (new query) resolves independently
+    val src2 = new IndexAtomSource(reader)
+    assert(!(src2.atomScoredCached(atom) eq a))
+  }
+
   test("synonym groups parse the reference file format") {
     val gs = SynonymDictionary.parse(Seq(
       "# comment",

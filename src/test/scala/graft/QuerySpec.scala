@@ -148,6 +148,14 @@ class ExcerptsSpec extends AnyFunSuite {
     assert(ex === "the <hl>beethoven^ludwig</hl> sonata")
   }
 
+  test("gate corpora contain no '^' (display-vs-index tokenizer divergence)") {
+    // the excerpt oracles tokenize with the INDEX rules (split on '^');
+    // the display tokenizer keeps '^' joined -- exact gate equality
+    // therefore requires a caret-free corpus, which the shipped testdata is
+    val corpus = graft.core.WebCorpus.fromDocuments(spark, "/root/testdata/sf0.001")
+    assert(corpus.filter(org.apache.spark.sql.functions.col("text").contains("^")).isEmpty)
+  }
+
   test("generateAll: overlapping windows clamp at doc edges") {
     val corpus = Seq((1L, "batch end")).toDF("doc_id", "text")
     val hits = Seq(Tuple1(1L)).toDF("doc_id")

@@ -42,5 +42,11 @@ class StreamingIndexSpec extends AnyFunSuite {
     assert(topDocs.contains(maxDoc + 1) && topDocs.contains(maxDoc + 2) && topDocs.contains(maxDoc + 3))
     // unseen term is skipped until the next batch rebuild (documented drift)
     assert(after.dictionary.filter(col("term") === "totallynewterm").count() === 0)
+
+    // drift lineage aggregates across shards: partition discovery supplies
+    // the shard column (rows carry only the count, no conflicting column)
+    val drift = spark.read.parquet(s"$dir/drift")
+    assert(drift.columns.toSet === Set("dropped_doc_terms", "shard"))
+    assert(drift.agg(sum(col("dropped_doc_terms"))).head().getLong(0) === 1L)
   }
 }
