@@ -52,6 +52,23 @@ object IndexQueries {
   def facetReader(spark: SparkSession, sfDir: String): IndexReader =
     new IndexReader(spark, facetIndexDir(spark, sfDir))
 
+  /** Index over the diacritic fixture with normalized-variant words IN the
+    * blocks (parser -s flag analog): `stréam` tokens are indexed alongside
+    * `stream:stréam`, so the normalizeWords query rewrite resolves against
+    * the dictionary like any other prefix.
+    */
+  def normIndexDir(spark: SparkSession, sfDir: String): String = synchronized {
+    built.getOrElseUpdate(s"$sfDir#norm", {
+      val dir = s"/tmp/graft_index/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}_norm"
+      IndexBuilder.build(spark, QpQueries.normCorpus(spark, sfDir), dir,
+        numShards = 1, normVariants = true)
+      dir
+    })
+  }
+
+  def normReader(spark: SparkSession, sfDir: String): IndexReader =
+    new IndexReader(spark, normIndexDir(spark, sfDir))
+
   /** Facet value counts served from the BLOCKS: completions of the
     * `:facet:lang:` prefix; n_docs = the dc aggregate.
     */

@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.WebCorpus
-import graft.query.{Excerpts, Executor}
+import graft.query.{Excerpts, Executor, QueryParams}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** End-to-end query-language queries: each runs a reference-grammar query
@@ -11,6 +11,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object QpQueries {
 
   private def corpus(s: SparkSession, d: String): DataFrame = WebCorpus.fromDocuments(s, d)
+
+  /** Diacritic fixture for the normalization gates: every literal 'stream'
+    * becomes 'stréam', deterministically derived from the documents table
+    * (the shipped corpora are ASCII, so this is the only non-ASCII source).
+    * With normVariants indexing, each 'stréam' token is indexed alongside
+    * its `stream:stréam` variant (CsvParser.cpp:120-131) and a bare query
+    * `stream` finds it through the `w -> w|w:*` rewrite (Query.cpp:391-468).
+    */
+  def normCorpus(s: SparkSession, d: String): DataFrame =
+    WebCorpus.fromDocuments(s, d).withColumn("text",
+      org.apache.spark.sql.functions.regexp_replace(
+        org.apache.spark.sql.functions.col("text"), "stream", "stréam"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qp_and_prefix" -> ((s, d) => Executor.topK(corpus(s, d), "spark st*", 10)),
@@ -42,8 +54,90 @@ object QpQueries {
       val hits = Executor.topK(c, "batch", 10)
       Excerpts.generateAll(c, hits, exact = Seq("batch"), prefixes = Seq.empty,
         er = 2, en = 2)
-    })
+    }),
+    // ---- the 5-knob score-aggregation algebra (ScoreAggregators.h:6-125,
+    // QueryParameters.h:150-163), one gate per non-default knob ----
+    // docScoreAggDifferentQueryParts = Max: parts combine with greatest
+    "qp_agg_maxparts" -> ((s, d) => Executor.topK(corpus(s, d), "spark hash", 10,
+      QueryParams(partsAgg = QueryParams.Max))),
+    // docScoreAggDifferentCompletions = Max: best completion per doc
+    "qp_agg_maxcompl" -> ((s, d) => Executor.topK(corpus(s, d), "st*", 10,
+      QueryParams(completionsAgg = QueryParams.Max))),
+    // docScoreAggSameCompletion = Max: one occurrence's score (BM25 at tf=1)
+    "qp_agg_samecompl" -> ((s, d) => Executor.topK(corpus(s, d), "spark", 10,
+      QueryParams(sameCompletionAgg = QueryParams.Max))),
+    // wordScoreAggDifferentDocuments = Max (via the reference `s=` chars)
+    "qp_agg_wordmax" -> ((s, d) => Executor.completions(corpus(s, d), "spark st*", 10,
+      QueryParams.withAggChars("SSSM"))),
+    // wordScoreAggSameDocument = Max: per-doc completion contribution at tf=1
+    "qp_agg_wordsamedoc" -> ((s, d) => Executor.completions(corpus(s, d), "spark st*", 10,
+      QueryParams.withAggChars("SSMS"))),
+    // flexi separator `.,,.`: join EXACTLY 2 positions after spark
+    // (Separator.cpp:37-105)
+    "qp_flexi" -> ((s, d) => Executor.topK(corpus(s, d), "spark.,,.join", 10)),
+    // per-query neighbourhood override for '..' (QueryParameters.cpp:12-13)
+    "qp_window" -> ((s, d) => Executor.topK(corpus(s, d), "spark..join", 10,
+      QueryParams(window = Some((-3, 3))))),
+    // complex OR: a word-range alternative next to a prefix alternative;
+    // data* lies INSIDE [batch, filter], so the posting-level dedup of the
+    // reference's OR merge (QueryResult.cpp:316-415) is load-bearing
+    "qp_or_complex" -> ((s, d) =>
+      Executor.topK(corpus(s, d), "spark batch--filter|data*", 10)),
+    // normalization-aware matching: bare `stream` finds the `stréam` docs
+    // through the indexed `stream:stréam` variants
+    "qp_norm" -> ((s, d) => Executor.topK(normCorpus(s, d), "stream", 10,
+      QueryParams(normalizeWords = true))),
+    // diacritic exact word: `stréam$` looks up ONLY the norm:lower variant
+    "qp_norm_exact" -> ((s, d) => Executor.topK(normCorpus(s, d), "stréam$", 10,
+      QueryParams(normalizeWords = true)))
   )
+
+  /** BM25 at tf=1 (the `score1` column) for the Max occurrence-level
+    * aggregations -- same formula text as the Spark side.
+    */
+  private val Bm25One: String =
+    graft.core.Analysis.bm25Sql("1", "dfs.df", "dls.dl", "st.n", "st.avgdl")
+
+  /** Tokenization + BM25 CTEs over the normCorpus fixture, INCLUDING the
+    * normalized-variant words: vtoks adds `replace(t,'é','e') || ':' || t`
+    * at the same position for every diacritic token (the only diacritic in
+    * the fixture is the injected 'é', and utf8.map normalizes é -> e, so
+    * the SQL replace mirrors Tokenizer.normalize exactly here). dl keeps
+    * counting REAL tokens only.
+    */
+  private val NormCtes: String = {
+    val txt = "replace(text, 'stream', 'stréam')"
+    s"""WITH raw AS (
+       |  SELECT doc_id,
+       |         unnest(regexp_split_to_array(lower($txt), '${Oracles.SepClass}')) AS term,
+       |         generate_subscripts(regexp_split_to_array(lower($txt), '${Oracles.SepClass}'), 1) AS ord
+       |  FROM documents
+       |), toks AS (
+       |  SELECT doc_id, term,
+       |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS BIGINT) AS pos
+       |  FROM raw WHERE term <> ''
+       |), vtoks AS (
+       |  SELECT doc_id, term, pos FROM toks
+       |  UNION ALL
+       |  SELECT doc_id, replace(term, 'é', 'e') || ':' || term AS term, pos
+       |  FROM toks WHERE replace(term, 'é', 'e') <> term
+       |), dt AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM vtoks GROUP BY 1, 2
+       |), dls AS (
+       |  SELECT d.doc_id, CAST(COALESCE(t.c, 0) AS BIGINT) AS dl
+       |  FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)
+       |), st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+       |  FROM dls
+       |), dfs AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1
+       |), scored AS (
+       |  SELECT dt.doc_id, dt.term, dt.tf,
+       |         ${graft.core.Analysis.bm25Sql("dt.tf", "dfs.df", "dls.dl", "st.n", "st.avgdl")} AS score
+       |  FROM dt JOIN dfs USING (term) JOIN dls USING (doc_id) CROSS JOIN st
+       |)""".stripMargin
+  }
 
   private def andPrefixHits(extra: String): String =
     s"""SELECT doc_id, round(sum(score), 4) AS score
@@ -143,6 +237,83 @@ object QpQueries {
          |)
          |SELECT doc_id, string_agg(w, ' ... ' ORDER BY pos) AS excerpt
          |FROM wins GROUP BY doc_id""".stripMargin,
+    "qp_agg_maxparts" ->
+      s"""${Oracles.BaseCtes}
+         |SELECT doc_id, round(greatest(
+         |         sum(CASE WHEN term = 'spark' THEN score END),
+         |         sum(CASE WHEN term = 'hash' THEN score END)), 4) AS score
+         |FROM scored WHERE term IN ('spark', 'hash')
+         |GROUP BY doc_id
+         |HAVING bool_or(term = 'spark') AND bool_or(term = 'hash')
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "qp_agg_maxcompl" ->
+      s"""${Oracles.BaseCtes}
+         |SELECT doc_id, round(max(score), 4) AS score
+         |FROM scored WHERE term LIKE 'st%' GROUP BY doc_id
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "qp_agg_samecompl" ->
+      s"""${Oracles.BaseCtes}
+         |SELECT dt.doc_id, round(sum($Bm25One), 4) AS score
+         |FROM dt JOIN dfs USING (term) JOIN dls USING (doc_id) CROSS JOIN st
+         |WHERE dt.term = 'spark'
+         |GROUP BY dt.doc_id ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "qp_agg_wordmax" ->
+      s"""${Oracles.BaseCtes}, hits AS (
+         |${andPrefixHits("")}
+         |)
+         |SELECT s.term, round(max(s.score), 4) AS score,
+         |       CAST(count(*) AS BIGINT) AS dc, CAST(sum(s.tf) AS BIGINT) AS oc
+         |FROM scored s JOIN hits USING (doc_id) WHERE s.term LIKE 'st%'
+         |GROUP BY s.term ORDER BY score DESC, term ASC LIMIT 10""".stripMargin,
+    "qp_agg_wordsamedoc" ->
+      s"""${Oracles.BaseCtes}, hits AS (
+         |${andPrefixHits("")}
+         |)
+         |SELECT dt.term, round(sum($Bm25One), 4) AS score,
+         |       CAST(count(*) AS BIGINT) AS dc, CAST(sum(dt.tf) AS BIGINT) AS oc
+         |FROM dt JOIN dfs USING (term) JOIN dls USING (doc_id) CROSS JOIN st
+         |WHERE dt.term LIKE 'st%' AND dt.doc_id IN (SELECT doc_id FROM hits)
+         |GROUP BY dt.term ORDER BY score DESC, term ASC LIMIT 10""".stripMargin,
+    "qp_flexi" ->
+      s"""${Oracles.BaseCtes}, atpos AS (
+         |  SELECT DISTINCT a.doc_id FROM toks a JOIN toks b
+         |  ON a.doc_id = b.doc_id AND a.term = 'spark' AND b.term = 'join'
+         |  AND b.pos - a.pos = 2
+         |)
+         |SELECT s.doc_id, round(sum(s.score), 4) AS score
+         |FROM scored s JOIN atpos USING (doc_id) WHERE s.term IN ('spark', 'join')
+         |GROUP BY s.doc_id HAVING count(*) = 2
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "qp_window" ->
+      s"""${Oracles.BaseCtes}, nearby AS (
+         |  SELECT DISTINCT a.doc_id FROM toks a JOIN toks b
+         |  ON a.doc_id = b.doc_id AND a.term = 'spark' AND b.term = 'join'
+         |  AND b.pos - a.pos BETWEEN -3 AND 3
+         |)
+         |SELECT s.doc_id, round(sum(s.score), 4) AS score
+         |FROM scored s JOIN nearby USING (doc_id) WHERE s.term IN ('spark', 'join')
+         |GROUP BY s.doc_id HAVING count(*) = 2
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "qp_or_complex" ->
+      s"""${Oracles.BaseCtes}
+         |SELECT doc_id, round(sum(score), 4) AS score
+         |FROM scored
+         |WHERE term = 'spark' OR (term >= 'batch' AND term <= 'filter')
+         |   OR term LIKE 'data%'
+         |GROUP BY doc_id
+         |HAVING bool_or(term = 'spark')
+         |   AND bool_or((term >= 'batch' AND term <= 'filter') OR term LIKE 'data%')
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "qp_norm" ->
+      s"""$NormCtes
+         |SELECT doc_id, round(sum(score), 4) AS score
+         |FROM scored WHERE term = 'stream' OR term LIKE 'stream:%'
+         |GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "qp_norm_exact" ->
+      s"""$NormCtes
+         |SELECT doc_id, round(sum(score), 4) AS score
+         |FROM scored WHERE term = 'stream:stréam'
+         |GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
     "qp_excerpts" ->
       s"""${Oracles.BaseCtes}, doc_toks AS (
          |  SELECT doc_id, list(term ORDER BY pos) AS toks FROM toks GROUP BY 1

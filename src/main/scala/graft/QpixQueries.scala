@@ -1,6 +1,6 @@
 package graft
 
-import graft.query.IndexExecutor
+import graft.query.{IndexExecutor, QueryParams}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The qp_* query family served from the PHYSICAL posting-block index:
@@ -40,7 +40,30 @@ object QpixQueries {
       val hits = IndexExecutor.topK(r, "batch", 10)
       graft.query.Excerpts.generateAll(r.docs, hits,
         exact = Seq("batch"), prefixes = Seq.empty, er = 2, en = 2)
-    })
+    }),
+    // score-aggregation algebra / flexi / window / complex OR, served from
+    // the blocks (same oracles as the logical qp_* twins)
+    "qpix_agg_maxparts" -> ((s, d) => IndexExecutor.topK(rd(s, d), "spark hash", 10,
+      QueryParams(partsAgg = QueryParams.Max))),
+    "qpix_agg_maxcompl" -> ((s, d) => IndexExecutor.topK(rd(s, d), "st*", 10,
+      QueryParams(completionsAgg = QueryParams.Max))),
+    "qpix_agg_samecompl" -> ((s, d) => IndexExecutor.topK(rd(s, d), "spark", 10,
+      QueryParams(sameCompletionAgg = QueryParams.Max))),
+    "qpix_agg_wordmax" -> ((s, d) => IndexExecutor.completions(rd(s, d), "spark st*", 10,
+      QueryParams.withAggChars("SSSM"))),
+    "qpix_agg_wordsamedoc" -> ((s, d) => IndexExecutor.completions(rd(s, d), "spark st*", 10,
+      QueryParams.withAggChars("SSMS"))),
+    "qpix_flexi" -> ((s, d) => IndexExecutor.topK(rd(s, d), "spark.,,.join", 10)),
+    "qpix_window" -> ((s, d) => IndexExecutor.topK(rd(s, d), "spark..join", 10,
+      QueryParams(window = Some((-3, 3))))),
+    "qpix_or_complex" -> ((s, d) =>
+      IndexExecutor.topK(rd(s, d), "spark batch--filter|data*", 10)),
+    // normalization-aware matching from the blocks: the variants are
+    // ordinary dictionary terms, so `stream|stream:*` is a pruned scan
+    "qpix_norm" -> ((s, d) => IndexExecutor.topK(IndexQueries.normReader(s, d),
+      "stream", 10, QueryParams(normalizeWords = true))),
+    "qpix_norm_exact" -> ((s, d) => IndexExecutor.topK(IndexQueries.normReader(s, d),
+      "stréam$", 10, QueryParams(normalizeWords = true)))
   )
 
   /** Identical semantics => identical oracles: reuse the qp_* SQL. */

@@ -56,7 +56,10 @@ object Search {
     // highlight terms: exact words + prefixes of the query
     val words = parsed.parts.map(_.atom).collect {
       case w: QueryParser.Word if !w.not => w
-      case QueryParser.OrAtoms(alts) => alts.head // representative
+      // representative word alternative (OR alts may also be ranges)
+      case QueryParser.OrAtoms(alts)
+          if alts.exists(_.isInstanceOf[QueryParser.Word]) =>
+        alts.collectFirst { case w: QueryParser.Word => w }.get
     }
     val exact = words.filterNot(_.prefix).map(_.text)
     val prefixes = words.filter(_.prefix).map(_.text)

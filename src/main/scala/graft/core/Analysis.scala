@@ -36,11 +36,11 @@ object Analysis {
   // share one tokenized, persisted doc-term relation and one stats row
   // instead of re-tokenizing per query. Semantically a no-op.
   private val dtCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Dataset[DocTerm]]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Boolean), Dataset[DocTerm]]()
   private val statsCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), CorpusStats]()
   private val termDfCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Boolean), DataFrame]()
 
   // key by (session identity, plan semantic hash): a new SparkSession (e.g.
   // ScalingBench restarting at another parallelism) must not see Datasets
@@ -49,9 +49,14 @@ object Analysis {
     (System.identityHashCode(corpus.sparkSession),
       corpus.queryExecution.analyzed.semanticHash())
 
-  /** Cached variant of [[docTerms]]: persisted once per distinct corpus. */
-  def docTermsCached(corpus: DataFrame): Dataset[DocTerm] =
-    dtCache.computeIfAbsent(corpusKey(corpus), _ => docTerms(corpus).persist())
+  /** Cached variant of [[docTerms]]: persisted once per distinct corpus
+    * (and per normVariants mode).
+    */
+  def docTermsCached(corpus: DataFrame, normVariants: Boolean = false): Dataset[DocTerm] = {
+    val k = corpusKey(corpus)
+    dtCache.computeIfAbsent((k._1, k._2, normVariants),
+      _ => docTerms(corpus, normVariants).persist())
+  }
 
   /** Drop process-level caches (bench/test hook). Entries bound to
     * already-stopped sessions are just forgotten (unpersist would NPE).
@@ -77,27 +82,33 @@ object Analysis {
     * term-level predicates are evaluated once per VOCABULARY entry here,
     * never once per posting.
     */
-  def termDfCached(corpus: DataFrame): DataFrame =
-    termDfCache.computeIfAbsent(corpusKey(corpus), _ =>
-      docTermsCached(corpus).groupBy(col("term"))
+  def termDfCached(corpus: DataFrame, normVariants: Boolean = false): DataFrame = {
+    val k = corpusKey(corpus)
+    termDfCache.computeIfAbsent((k._1, k._2, normVariants), _ =>
+      docTermsCached(corpus, normVariants).groupBy(col("term"))
         .agg(count(lit(1)).as("df")).persist())
+  }
 
   /** Tokenize each document once, aggregating tf/positions/dl locally.
     * Narrow (no shuffle). Input must have (doc_id: long, text: string).
+    * With normVariants=true the reference's normalized-variant words
+    * (`norm:lower` at the same position, CsvParser.cpp:120-131) are
+    * emitted too; dl still counts only the real tokens.
     */
-  def docTerms(corpus: DataFrame): Dataset[DocTerm] = {
+  def docTerms(corpus: DataFrame, normVariants: Boolean = false): Dataset[DocTerm] = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val withVariants = normVariants
     corpus.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .flatMap { case (docId, text) =>
-        val toks = Tokenizer.tokenize(text)
-        val dl = toks.length.toLong
+        val toks =
+          if (withVariants) Tokenizer.tokenizeWithVariants(text)
+          else Tokenizer.tokenizeWithPositions(text)
+        val dl = (if (toks.isEmpty) 0 else toks.last._2 + 1).toLong
         val byTerm = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
-        var i = 0
-        while (i < toks.length) {
-          byTerm.getOrElseUpdate(toks(i), scala.collection.mutable.ArrayBuffer.empty[Int]) += i
-          i += 1
+        toks.foreach { case (t, i) =>
+          byTerm.getOrElseUpdate(t, scala.collection.mutable.ArrayBuffer.empty[Int]) += i
         }
         byTerm.iterator.map { case (t, ps) => DocTerm(docId, t, ps.length.toLong, ps.toArray, dl) }
       }

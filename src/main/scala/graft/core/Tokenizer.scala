@@ -153,6 +153,27 @@ object Tokenizer extends Serializable {
     ts.zipWithIndex
   }
 
+  /** Tokens with positions PLUS the reference's normalized-variant words
+    * (CsvParser.cpp:120-131, parser -s flag): for each token whose
+    * CONVERSION_TO_NORM form differs from its lowercase form, an extra
+    * `norm:lower` word is emitted at the SAME position (so `rené` is
+    * indexed as `rené` and `rene:rené`; a bare query `rene` -> `rene|rene:*`
+    * then finds it). Variant words do not count toward document length.
+    */
+  def tokenizeWithVariants(text: String): IndexedSeq[(String, Int)] = {
+    val base = tokenize(text)
+    val out = Vector.newBuilder[(String, Int)]
+    var i = 0
+    while (i < base.length) {
+      val t = base(i)
+      out += ((t, i))
+      val n = normalize(t)
+      if (n != t) out += ((s"$n:$t", i))
+      i += 1
+    }
+    out.result()
+  }
+
   /** Java-regex / RE2-compatible character class for the separator set --
     * used to build the DuckDB oracle SQL so both engines split identically
     * on ASCII input.

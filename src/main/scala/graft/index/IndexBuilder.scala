@@ -112,7 +112,8 @@ object IndexBuilder {
       bucketSize: Int = DefaultBucketSize,
       buildPartitions: Int = 0,
       facetFields: Seq[String] = Nil,
-      extraDocTerms: Option[DataFrame] = None): DataFrame = {
+      extraDocTerms: Option[DataFrame] = None,
+      normVariants: Boolean = false): DataFrame = {
     import spark.implicits._
 
     val fs = java.nio.file.Paths.get(outDir)
@@ -120,8 +121,9 @@ object IndexBuilder {
 
     // One tokenizing pass, shared (persisted) across dictionary, stats and
     // every shard's encode stage; artificial rows union in as extra
-    // doc-terms.
-    val dt0 = Analysis.docTermsCached(corpus)
+    // doc-terms. normVariants additionally indexes the reference's
+    // normalized-variant words (parser -s flag, CsvParser.cpp:120-131).
+    val dt0 = Analysis.docTermsCached(corpus, normVariants)
     val extras = (if (facetFields.isEmpty) Nil
       else Seq(graft.core.Facets.facetRows(corpus, facetFields))) ++ extraDocTerms
     val dt = if (extras.isEmpty) dt0
@@ -144,8 +146,12 @@ object IndexBuilder {
       // dictionary (every sequential driver job here is the Amdahl serial
       // term of the build -- see BENCH.md)
       val nd = timed("corpus_count")(corpus.count())
+      // n_postings / avgdl count REAL words only: artificial namespaces
+      // (:facet: etc.) and normalized variants (norm:lower) carry ':'
+      // (a tokenizer separator, so real words never do) and must not skew
+      // the BM25 document-length model
       val npRow = timed("stats_agg")(spark.read.parquet(s"$outDir/dictionary")
-        .agg(sum(col("cf")), count(lit(1))).head())
+        .agg(sum(when(!col("term").contains(":"), col("cf"))), count(lit(1))).head())
       val np = if (npRow.isNullAt(0)) 0L else npRow.getLong(0)
       Seq((nd, np, if (nd == 0) 0.0 else np.toDouble / nd, bucketSize.toLong,
           npRow.getLong(1)))

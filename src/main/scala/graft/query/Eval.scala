@@ -15,7 +15,9 @@ import QueryParser._
   */
 trait AtomSource {
   /** Matched scored postings for one atom:
-    * (doc_id, term, tf, positions, score) -- score = per-(doc, term) BM25.
+    * (doc_id, term, tf, positions, score, score1) -- score = per-(doc,
+    * term) BM25; score1 = BM25 at tf=1 (a single occurrence's score, used
+    * by the Max same-completion/same-document aggregations).
     */
   def atomScored(atom: Atom): DataFrame
 
@@ -51,16 +53,22 @@ trait AtomSource {
   protected def closestVocabWord(w: String, thr: Int): Option[String]
 }
 
-/** Logical-path source: predicates over the cached doc-term relation. */
-class CorpusAtomSource(corpus: DataFrame) extends AtomSource {
+/** Logical-path source: predicates over the cached doc-term relation.
+  * With normVariants=true the relation also carries the reference's
+  * normalized-variant words (`norm:lower`; the query side's
+  * normalizeWords rewrite targets them).
+  */
+class CorpusAtomSource(corpus: DataFrame, normVariants: Boolean = false)
+    extends AtomSource {
 
   def atomScored(atom: Atom): DataFrame = {
-    val dt = Analysis.docTermsCached(corpus)
+    val dt = Analysis.docTermsCached(corpus, normVariants)
     val st = Analysis.statsCached(corpus)
     def score(matching: DataFrame, dfTbl: DataFrame): DataFrame =
       matching.join(broadcast(dfTbl), "term")
         .select(col("doc_id"), col("term"), col("tf"), col("positions"),
-          Analysis.bm25Col(st.n_docs, st.avgdl, col("tf"), col("df"), col("dl")).as("score"))
+          Analysis.bm25Col(st.n_docs, st.avgdl, col("tf"), col("df"), col("dl")).as("score"),
+          Analysis.bm25Col(st.n_docs, st.avgdl, lit(1), col("df"), col("dl")).as("score1"))
     atom match {
       case w: Word if w.fuzzy =>
         // fuzzy candidates from the VOCAB-sized (term, df) relation, then a
@@ -68,7 +76,7 @@ class CorpusAtomSource(corpus: DataFrame) extends AtomSource {
         // vocabulary entry, never once per posting row (reference builds a
         // FastSS/permuted-lexicon candidate index for the same reason,
         // fuzzysearch/FuzzySearcher.h:24-107)
-        val cands = Analysis.termDfCached(corpus)
+        val cands = Analysis.termDfCached(corpus, normVariants)
           .filter(levenshtein(col("term"), lit(w.text)) <= Executor.fuzzyThreshold(w.text))
         score(dt.toDF(), cands)
       case _ =>
@@ -79,10 +87,10 @@ class CorpusAtomSource(corpus: DataFrame) extends AtomSource {
   }
 
   protected def vocabContains(w: String): Boolean =
-    !Analysis.termDfCached(corpus).filter(col("term") === w).isEmpty
+    !Analysis.termDfCached(corpus, normVariants).filter(col("term") === w).isEmpty
 
   protected def closestVocabWord(w: String, thr: Int): Option[String] =
-    Analysis.termDfCached(corpus)
+    Analysis.termDfCached(corpus, normVariants)
       .filter(levenshtein(col("term"), lit(w)) <= thr)
       .select(col("term"), levenshtein(col("term"), lit(w)).as("d"))
       .orderBy(col("d").asc, col("term").asc)
@@ -94,7 +102,12 @@ object CorpusAtomSource {
   def atomPredicate(atom: Atom): Column = atom match {
     case w: Word => wordPredicate(w)
     case WordRange(lo, hi) => col("term") >= lo && col("term") <= hi
-    case OrAtoms(alts) => alts.map(wordPredicate).reduce(_ || _)
+    // OR alternatives may be any word/range atom (complex OR): the pooled
+    // predicate matches the union of the alternatives' postings, which is
+    // exactly the reference's merged sub-query results (processOrQuery +
+    // mergeResultLists dedup, CompleterBase.cpp:377-560,
+    // QueryResult.cpp:316-415)
+    case OrAtoms(alts) => alts.map(atomPredicate).reduce(_ || _)
     case _: JoinBlock =>
       throw new IllegalArgumentException("join block handled separately")
   }
@@ -127,28 +140,53 @@ object Eval {
     case _ => false
   }
 
-  /** Evaluate to (doc_id, score), score rounded to 4dp, unordered.
-    * With bonuses=true, windowed matches add the reference's SumWithBonus
-    * constants to the doc score. bestMatchBonus > 0 adds the reference's
-    * BEST_MATCH_BONUS (Globals.h:233, default 0 = off) to docs whose LAST
-    * part matches the best-match word (exact word of a prefix atom /
-    * closest word of a fuzzy atom, CompleterBase.cpp:723-732).
-    */
+  /** Back-compat entry: bonuses=true is partsAgg = SumWithBonus. */
   def evalDocs(src: AtomSource, q: ParsedQuery, bonuses: Boolean = false,
-               bestMatchBonus: Double = 0.0): DataFrame = {
+               bestMatchBonus: Double = 0.0): DataFrame =
+    evalDocs(src, q, QueryParams(
+      partsAgg = if (bonuses) QueryParams.SumWithBonus else QueryParams.Sum,
+      bestMatchBonus = bestMatchBonus))
+
+  /** Evaluate to (doc_id, score), score rounded to 4dp, unordered, under
+    * the full score-aggregation algebra ([[QueryParams]]):
+    *  - per-term doc score: Sum over same-word occurrences = BM25(tf),
+    *    Max = BM25(1) (`score1` column);
+    *  - across a part's matching terms: completionsAgg (Sum/Max);
+    *  - across parts: partsAgg (Sum / Max / SumWithBonus -- the latter adds
+    *    the reference's proximity bonuses on windowed separators);
+    *  - bestMatchBonus > 0 adds the reference's BEST_MATCH_BONUS
+    *    (Globals.h:233, default 0 = off) to docs whose LAST part matches
+    *    the best-match word (CompleterBase.cpp:723-732);
+    *  - params.window overrides the '..' neighbourhood per query
+    *    (QueryParameters.cpp:12-13).
+    */
+  def evalDocs(src: AtomSource, q: ParsedQuery, params: QueryParams): DataFrame = {
     case class State(scores: DataFrame, positions: DataFrame)
     val lastIdx = q.parts.length - 1
-    def bmFor(i: Int): Double = if (i == lastIdx) bestMatchBonus else 0.0
+    def bmFor(i: Int): Double = if (i == lastIdx) params.bestMatchBonus else 0.0
+    // per-(doc, term) contribution under docScoreAggSameCompletion
+    val termScore =
+      if (params.sameCompletionAgg == QueryParams.Max) col("score1") else col("score")
+    // across a part's terms within a doc, under docScoreAggDifferentCompletions
+    def complAgg(c: Column): Column =
+      if (params.completionsAgg == QueryParams.Max) max(c) else sum(c)
+    // across parts, under docScoreAggDifferentQueryParts
+    def combineParts(s1: Column, s2: Column, bonus: Double): Column =
+      params.partsAgg match {
+        case QueryParams.Max => greatest(s1, s2)
+        case QueryParams.SumWithBonus => s1 + s2 + lit(bonus)
+        case _ => s1 + s2
+      }
 
     def aggScores(a: Atom, bm: Double): DataFrame = {
       val base = src.atomScoredCached(a)
       val bw = if (bm == 0.0) None else src.bestMatchWord(a)
       bw match {
         case Some(w) => base.groupBy(col("doc_id"))
-          .agg((sum(col("score")) +
+          .agg((complAgg(termScore) +
             max(when(col("term") === w, lit(bm)).otherwise(lit(0.0)))).as("score"))
         case None =>
-          base.groupBy(col("doc_id")).agg(sum(col("score")).as("score"))
+          base.groupBy(col("doc_id")).agg(complAgg(termScore).as("score"))
       }
     }
     def partDocScores(a: Atom, bm: Double): DataFrame = a match {
@@ -172,7 +210,13 @@ object Eval {
       // likewise treats separators around enhanced queries as plain
       // intersection) instead of crashing
       val positionless = state.positions == null || part.atom.isInstanceOf[JoinBlock]
-      val window = if (positionless) None else part.sep.flatMap(_.window)
+      // the per-query neighbourhood override applies to '..' only
+      // (reference: neighbourhoodStart/End feed the NEAR separator)
+      def windowOf(sep: Sep): Option[(Int, Int)] = sep match {
+        case Near => params.window.orElse(sep.window)
+        case _ => sep.window
+      }
+      val window = if (positionless) None else part.sep.flatMap(windowOf)
       if (isNot(part.atom)) {
         // NOT: anti-join on matching docs (OUTPUT_NON_MATCHES)
         val negDocs = src.atomScoredCached(part.atom).select(col("doc_id")).distinct()
@@ -183,7 +227,7 @@ object Eval {
         val cur = partDocScores(part.atom, bmFor(idx))
         val joined = state.scores.toDF("doc_id", "s1")
           .join(cur.toDF("doc_id", "s2"), "doc_id")
-          .select(col("doc_id"), (col("s1") + col("s2")).as("score"))
+          .select(col("doc_id"), combineParts(col("s1"), col("s2"), 0.0).as("score"))
         state = State(joined, partPositions(part.atom))
       } else {
         // windowed AND: position theta-join against previous part's matches
@@ -195,11 +239,14 @@ object Eval {
             (col("p2") - col("p1")).between(lo, hi))
         val matchedDocs = matched.select(col("doc_id")).distinct()
         val cur = aggScores(part.atom, bmFor(idx)).toDF("doc_id", "s2")
-        val bonus = if (bonuses) Executor.bonusFor(part.sep.get) else 0.0
+        val bonus =
+          if (params.partsAgg == QueryParams.SumWithBonus)
+            Executor.bonusFor(part.sep.get)
+          else 0.0
         val joined = state.scores.toDF("doc_id", "s1")
           .join(cur, "doc_id")
           .join(matchedDocs, "doc_id")
-          .select(col("doc_id"), (col("s1") + col("s2") + lit(bonus)).as("score"))
+          .select(col("doc_id"), combineParts(col("s1"), col("s2"), bonus).as("score"))
         // the next window chains ONLY from positions of this part that
         // actually matched the previous part's window (reference:
         // intersectTwoPostingLists emits the second list's matched
@@ -216,20 +263,38 @@ object Eval {
   /** Top-k hits: total order (score desc, doc_id asc). */
   def topK(src: AtomSource, query: String, k: Int, bonuses: Boolean = false,
            bestMatchBonus: Double = 0.0): DataFrame =
-    evalDocs(src, QueryParser.parse(query), bonuses, bestMatchBonus)
+    topK(src, query, k, QueryParams(
+      partsAgg = if (bonuses) QueryParams.SumWithBonus else QueryParams.Sum,
+      bestMatchBonus = bestMatchBonus))
+
+  def topK(src: AtomSource, query: String, k: Int, params: QueryParams): DataFrame =
+    evalDocs(src, QueryParser.parse(query, params.normalizeWords), params)
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
 
   /** Completions of the last part within the docs matching the whole query
     * (computeTopCompletions over the final result).
     */
-  def completions(src: AtomSource, query: String, k: Int): DataFrame = {
-    val parsed = QueryParser.parse(query)
-    val docs = evalDocs(src, parsed).select(col("doc_id"))
+  def completions(src: AtomSource, query: String, k: Int): DataFrame =
+    completions(src, query, k, QueryParams.Default)
+
+  /** Completions under the word-side aggregation knobs: a completion's
+    * per-document contribution is wordScoreAggSameDocument over its
+    * occurrences (Sum = BM25(tf), Max = BM25(1)), combined across
+    * documents with wordScoreAggDifferentDocuments (Sum/Max).
+    */
+  def completions(src: AtomSource, query: String, k: Int,
+                  params: QueryParams): DataFrame = {
+    val parsed = QueryParser.parse(query, params.normalizeWords)
+    val docs = evalDocs(src, parsed, params).select(col("doc_id"))
+    val perDoc =
+      if (params.wordSameDocAgg == QueryParams.Max) col("score1") else col("score")
+    val acrossDocs =
+      if (params.wordDiffDocsAgg == QueryParams.Max) max(perDoc) else sum(perDoc)
     src.atomScoredCached(parsed.parts.last.atom)
       .join(docs, Seq("doc_id"), "left_semi")
       .groupBy(col("term"))
-      .agg(round(sum(col("score")), 4).as("score"),
+      .agg(round(acrossDocs, 4).as("score"),
         count(lit(1)).as("dc"), sum(col("tf")).as("oc"))
       .orderBy(col("score").desc, col("term").asc)
       .limit(k)

@@ -33,6 +33,11 @@ object Executor {
     case Near => 8.0
     case SamePos => 4.0
     case SameDoc => 0.0
+    // flexi: adjacent (|n| = 1) scores like a phrase; within the default
+    // neighbourhood like near (SumProxAggregation, ScoreAggregators.h:99-125
+    // keys the bonus off the position distance, not the separator object)
+    case Flexi(n) =>
+      if (math.abs(n) == 1) 16.0 else if (math.abs(n) < 10) 8.0 else 0.0
   }
 
   def evalDocs(corpus: DataFrame, q: ParsedQuery): DataFrame =
@@ -46,7 +51,20 @@ object Executor {
            bestMatchBonus: Double = 0.0): DataFrame =
     Eval.topK(new CorpusAtomSource(corpus), query, k, bonuses, bestMatchBonus)
 
+  /** Top-k under the full score-aggregation algebra / per-query knobs.
+    * params.normalizeWords turns on BOTH the query rewrite and the
+    * normalized-variant terms in the corpus relation (the logical twin of
+    * an index built with normVariants=true).
+    */
+  def topK(corpus: DataFrame, query: String, k: Int, params: QueryParams): DataFrame =
+    Eval.topK(new CorpusAtomSource(corpus, params.normalizeWords), query, k, params)
+
   /** Completions of the last part within the docs matching the whole query. */
   def completions(corpus: DataFrame, query: String, k: Int): DataFrame =
     Eval.completions(new CorpusAtomSource(corpus), query, k)
+
+  def completions(corpus: DataFrame, query: String, k: Int,
+                  params: QueryParams): DataFrame =
+    Eval.completions(new CorpusAtomSource(corpus, params.normalizeWords),
+      query, k, params)
 }

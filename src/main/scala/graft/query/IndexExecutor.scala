@@ -25,7 +25,7 @@ class IndexAtomSource(reader: IndexReader) extends AtomSource {
       StructField("doc_id", LongType), StructField("term", StringType),
       StructField("tf", LongType),
       StructField("positions", ArrayType(IntegerType)),
-      StructField("score", DoubleType)))
+      StructField("score", DoubleType), StructField("score1", DoubleType)))
     reader.spark.createDataFrame(reader.spark.sparkContext.emptyRDD[Row], schema)
   }
 
@@ -43,6 +43,12 @@ class IndexAtomSource(reader: IndexReader) extends AtomSource {
         graft.index.FuzzyIndex.candidates(
           reader.spark, reader.dir, reader.dictionary, w.text, thr)
       else reader.dictionary.filter(CorpusAtomSource.atomPredicate(atom))
+    // complex OR: per-alternative candidate sets (so a fuzzy alternative
+    // still goes through FastSS), deduped -- overlapping alternatives
+    // (`st*|stream`) must not double-count a term
+    case OrAtoms(alts) =>
+      alts.map(a => candidates(a)).reduce(_ unionByName _)
+        .dropDuplicates("term_id")
     case _ => reader.dictionary.filter(CorpusAtomSource.atomPredicate(atom))
   }).select(col("term_id"), col("term"), col("df"))
 
@@ -66,7 +72,9 @@ class IndexAtomSource(reader: IndexReader) extends AtomSource {
       .join(broadcast(cand), "term_id")
       .select(col("doc_id"), col("term"), col("tf"), col("positions"),
         Analysis.bm25Col(reader.nDocs, reader.avgdl,
-          col("tf"), col("df"), col("dl")).as("score"))
+          col("tf"), col("df"), col("dl")).as("score"),
+        Analysis.bm25Col(reader.nDocs, reader.avgdl,
+          lit(1), col("df"), col("dl")).as("score1"))
   }
 
   /** Contiguous term-id runs of the atom's candidate set (memoized).
@@ -150,8 +158,16 @@ object IndexExecutor {
            bonuses: Boolean = false, bestMatchBonus: Double = 0.0): DataFrame =
     Eval.topK(new IndexAtomSource(reader), query, k, bonuses, bestMatchBonus)
 
+  /** Top-k under the full score-aggregation algebra / per-query knobs. */
+  def topK(reader: IndexReader, query: String, k: Int, params: QueryParams): DataFrame =
+    Eval.topK(new IndexAtomSource(reader), query, k, params)
+
   def completions(reader: IndexReader, query: String, k: Int): DataFrame =
     Eval.completions(new IndexAtomSource(reader), query, k)
+
+  def completions(reader: IndexReader, query: String, k: Int,
+                  params: QueryParams): DataFrame =
+    Eval.completions(new IndexAtomSource(reader), query, k, params)
 
   def evalDocs(reader: IndexReader, q: ParsedQuery,
                bonuses: Boolean = false): DataFrame =

@@ -45,6 +45,44 @@ class IndexExecutorSpec extends AnyFunSuite {
     }
   }
 
+  test("algebra knobs / flexi / window / complex OR: paths score-identical") {
+    import graft.query.QueryParams
+    def both(q: String, p: QueryParams): Unit = {
+      val a = IndexExecutor.topK(reader, q, 10, p).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val b = Executor.topK(corpus, q, 10, p).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(a === b, s"query: $q params: $p")
+    }
+    both("aachen aal", QueryParams(partsAgg = QueryParams.Max))
+    both("aa*", QueryParams(completionsAgg = QueryParams.Max))
+    both("aal", QueryParams(sameCompletionAgg = QueryParams.Max))
+    both("aachen.,,.aalglatt", QueryParams())
+    both("aachen..aargau", QueryParams(window = Some((-1, 1))))
+    both("aachen aal--aber|aal*", QueryParams())
+    val ca = IndexExecutor.completions(reader, "aachen aa*", 10,
+      QueryParams.withAggChars("SSSM")).collect().toSeq
+    val cb = Executor.completions(corpus, "aachen aa*", 10,
+      QueryParams.withAggChars("SSSM")).collect().toSeq
+    assert(ca === cb)
+  }
+
+  test("norm variants served from the blocks match the logical path") {
+    import graft.query.QueryParams
+    val c = Seq((1L, "rené descartes"), (2L, "rene magritte")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_norm").toString
+    IndexBuilder.build(spark, c, dir, numShards = 1, blockSize = 4,
+      normVariants = true)
+    val r = new IndexReader(spark, dir)
+    for (q <- Seq("rene", "rené$", "rene$", "descartes rene")) {
+      val a = IndexExecutor.topK(r, q, 10, QueryParams(normalizeWords = true))
+        .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+      val b = Executor.topK(c, q, 10, QueryParams(normalizeWords = true))
+        .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+      assert(a === b, s"query: $q")
+    }
+  }
+
   test("scores are identical between paths (same BM25 inputs)") {
     val a = IndexExecutor.topK(reader, "aachen aal*", 10).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq

@@ -46,6 +46,41 @@ class QueryParserSpec extends AnyFunSuite {
   test("queries are lowercased like the indexed terms") {
     assert(QueryParser.parse("SPARK").parts(0).atom === Word("spark"))
   }
+
+  test("flexi separators: .,,. is +n, .;;. is -n (Separator.cpp:37-105)") {
+    assert(QueryParser.parse("a.,.b").parts(1).sep === Some(Flexi(1)))
+    assert(QueryParser.parse("a.,,.b").parts(1).sep === Some(Flexi(2)))
+    assert(QueryParser.parse("a.;;;.b").parts(1).sep === Some(Flexi(-3)))
+    assert(Flexi(2).window === Some((2, 2)))
+    assert(Flexi(-1).window === Some((-1, -1)))
+    // not a flexi (mixed markers / unterminated): ',' and ';' fall back to
+    // their plain same-doc separator role (empty fragments collapse)
+    assert(QueryParser.parse("a.,;.b").parts.length === 2)
+    // unterminated marker run: the trailing ',' wins as a plain separator
+    assert(QueryParser.parse("a.,b").parts(1).sep === Some(SameDoc))
+  }
+
+  test("OR binds looser than '--': range and prefix alternatives") {
+    assert(QueryParser.parse("aal--aber|st*").parts(0).atom ===
+      OrAtoms(Seq(WordRange("aal", "aber"), Word("st", prefix = true))))
+  }
+
+  test("normalizeWords rewrite: w -> w|w:*, diacritic exact -> norm:lower") {
+    val q = QueryParser.parse("spark", normalizeWords = true)
+    assert(q.parts(0).atom ===
+      OrAtoms(Seq(Word("spark"), Word("spark:", prefix = true))))
+    // exact words skip the prefix alternative; a word whose normalization
+    // differs looks up only the norm:lower variant (Query.cpp:407-418)
+    assert(QueryParser.parse("rené$", normalizeWords = true).parts(0).atom ===
+      Word("rene:rené", exact = true))
+    assert(QueryParser.parse("rene$", normalizeWords = true).parts(0).atom ===
+      Word("rene", exact = true))
+    // prefix/fuzzy/synonym/NOT words are not rewritten
+    assert(QueryParser.parse("st*", normalizeWords = true).parts(0).atom ===
+      Word("st", prefix = true))
+    assert(QueryParser.parse("x -y", normalizeWords = true).parts(1).atom ===
+      Word("y", not = true))
+  }
 }
 
 class ExecutorSpec extends AnyFunSuite {
@@ -121,6 +156,88 @@ class ExecutorSpec extends AnyFunSuite {
     val comps = Executor.completions(corpus, "babylonisch ba*", 10).collect()
       .map(_.getString(0)).toSet
     assert(comps === Set("babbeln", "baby", "babyboom", "babylonisch"))
+  }
+
+  test("score algebra: Max across parts / completions / occurrences") {
+    import graft.query.QueryParams
+    def scoresOf(q: String, p: QueryParams): Map[Long, Double] =
+      Executor.topK(corpus, q, 10, p).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sumParts = scoresOf("aachen aal", QueryParams())
+    val maxParts = scoresOf("aachen aal", QueryParams(partsAgg = QueryParams.Max))
+    assert(maxParts.keySet === sumParts.keySet)
+    // Max across parts <= Sum across parts, strictly when both scores > 0
+    maxParts.foreach { case (d, s) => assert(s < sumParts(d)) }
+    // Max across a prefix's completions = best single completion
+    val sumCompl = scoresOf("aa*", QueryParams())
+    val maxCompl = scoresOf("aa*", QueryParams(completionsAgg = QueryParams.Max))
+    maxCompl.foreach { case (d, s) => assert(s <= sumCompl(d)) }
+    // sameCompletion=Max scores tf>1 docs as a single occurrence: build a
+    // doc where 'dup' repeats; its Max score must equal a tf=1 doc's shape
+    val c2 = spark.createDataFrame(Seq(
+      (1L, "dup dup dup x"), (2L, "dup y z w"))).toDF("doc_id", "text")
+    val sumOcc = Executor.topK(c2, "dup", 10, QueryParams())
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val maxOcc = Executor.topK(c2, "dup", 10,
+        QueryParams(sameCompletionAgg = QueryParams.Max))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sumOcc(1L) > maxOcc(1L)) // tf=3 saturates above BM25(1)
+    assert(sumOcc(2L) === maxOcc(2L)) // tf=1: identical
+    // equal dl => the tf=3 doc under Max scores exactly like the tf=1 doc
+    assert(maxOcc(1L) === maxOcc(2L))
+  }
+
+  test("score algebra: word-side knobs on completions (s= chars)") {
+    import graft.query.QueryParams
+    // wordDiffDocsAgg=Max: completion score = best single doc, so it can
+    // only drop (or hold) vs the Sum default
+    val sums = Executor.completions(corpus, "aa*", 10).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val maxs = Executor.completions(corpus, "aa*", 10,
+        QueryParams.withAggChars("SSSM")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(maxs.keySet === sums.keySet)
+    maxs.foreach { case (t, s) => assert(s <= sums(t)) }
+    intercept[IllegalArgumentException](QueryParams.withAggChars("SSS"))
+    intercept[IllegalArgumentException](QueryParams.withAggChars("SSXQ"))
+  }
+
+  test("flexi separator and per-query window override evaluate") {
+    import graft.query.QueryParams
+    // corpus doc 1: aachen(0) aal(1) aalglatt(2) aargau(3)
+    assert(docsOf("aachen.,,.aalglatt") === Set(1L)) // exactly +2
+    assert(docsOf("aachen.,,,.aal") === Set.empty)   // +3 is aargau, not aal
+    assert(docsOf("aalglatt.;;.aachen") === Set(1L)) // -2: aachen 2 BEFORE
+    val narrow = Executor.topK(corpus, "aachen..aargau", 10,
+      QueryParams(window = Some((-1, 1)))).collect().map(_.getLong(0)).toSet
+    assert(narrow === Set.empty) // 3 apart; default [-10,10] would match
+    assert(docsOf("aachen..aargau") === Set(1L))
+  }
+
+  test("normalizeWords: bare query finds diacritic docs via norm:lower variants") {
+    import graft.query.QueryParams
+    val c = spark.createDataFrame(Seq(
+      (1L, "rené descartes"), (2L, "rene magritte"), (3L, "magritte art")))
+      .toDF("doc_id", "text")
+    def docs(q: String): Set[Long] =
+      Executor.topK(c, q, 10, QueryParams(normalizeWords = true))
+        .collect().map(_.getLong(0)).toSet
+    assert(docs("rene") === Set(1L, 2L)) // plain term + rene:rené variant
+    assert(docs("rené$") === Set(1L))    // exact diacritic form only
+    assert(docs("rene$") === Set(2L))    // exact ascii form only
+    // without normalization, rene does NOT find rené
+    assert(Executor.topK(c, "rene", 10).collect().map(_.getLong(0)).toSet === Set(2L))
+  }
+
+  test("complex OR: range|prefix alternatives dedup overlapping terms") {
+    // aal--aber contains all aa*-terms except aachen... and ab* none here;
+    // alternative aal* overlaps the range -- terms must count ONCE
+    val viaOr = Executor.topK(corpus, "aachen aal--aber|aal*", 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaRange = Executor.topK(corpus, "aachen aal--aber", 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // aal* ⊂ [aal, aber], so scores equal the plain-range query exactly
+    assert(viaOr === viaRange)
   }
 }
 
