@@ -44,7 +44,10 @@ object IndexQueries {
       IndexBuilder.build(spark, corpus, dir, numShards = 1,
         facetFields = Seq("lang", "source"),
         extraDocTerms = Some(graft.core.Facets.orderingRows(corpus, "len",
-          lpad(col("n_chars").cast("string"), 6, "0"))))
+            lpad(col("n_chars").cast("string"), 6, "0"))
+          .unionByName(graft.core.Facets.infoRows(spark, Seq(
+            "encoding" -> "utf-8", "name" -> "webdocs",
+            "facet" -> "lang", "facet" -> "source")))))
       dir
     })
   }
@@ -68,6 +71,52 @@ object IndexQueries {
 
   def normReader(spark: SparkSession, sfDir: String): IndexReader =
     new IndexReader(spark, normIndexDir(spark, sfDir))
+
+  /** Index over the FIELDED corpus (source = title, text = body): the text
+    * terms come from the concatenation, and each title token is also
+    * encoded as a `:field:source:<token>` word -- the per-field score
+    * carried INTO the blocks, so field-weighted ranking is one extra
+    * pruned dictionary lookup (reference: per-posting field scores).
+    */
+  def fieldIndexDir(spark: SparkSession, sfDir: String): String = synchronized {
+    built.getOrElseUpdate(s"$sfDir#fields", {
+      val dir = s"/tmp/graft_index/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}_fields"
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"), col("text"))
+      val corpus = docs.select(col("doc_id"),
+        concat_ws(" ", col("source"), col("text")).as("text"))
+      IndexBuilder.build(spark, corpus, dir, numShards = 1,
+        extraDocTerms = Some(graft.core.Facets.fieldRows(docs, "source", col("source"))))
+      dir
+    })
+  }
+
+  /** Field-weighted top-k from the blocks: BM25 over the fielded corpus
+    * plus TITLE_MATCH_BONUS (64) for docs whose title carries the term --
+    * the `:field:source:spark` posting list, one semi-join.
+    */
+  def fieldWeightedIx(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = new graft.query.IndexAtomSource(
+      new IndexReader(spark, fieldIndexDir(spark, sfDir)))
+    import graft.query.QueryParser.Word
+    val base = src.atomScored(Word("spark"))
+      .groupBy(col("doc_id")).agg(sum(col("score")).as("score"))
+    val title = src.atomScored(Word(":field:source:spark"))
+      .select(col("doc_id")).distinct().withColumn("fbonus", lit(64.0))
+    base.join(title, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        round(col("score") + coalesce(col("fbonus"), lit(0.0)), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
+  /** `:info:` namespace read back from the blocks: the index's own
+    * configuration (facet fields, encoding, db name) served through the
+    * ordinary completions machinery.
+    */
+  def infoWords(spark: SparkSession, sfDir: String): DataFrame =
+    facetReader(spark, sfDir).topKCompletions(":info:", 100)
+      .select(col("term")).orderBy(col("term"))
 
   /** Facet value counts served from the BLOCKS: completions of the
     * `:facet:lang:` prefix; n_docs = the dc aggregate.

@@ -100,6 +100,16 @@ object FtQueries {
       .join(spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id").cast("long").as("doc_id"), col("source")), "doc_id"),
       "source", "spark")
+
+  /** Field-weighted ranking: source acts as the title field (bonus 64,
+    * TITLE_MATCH_BONUS), text as the body; a title hit outranks an
+    * otherwise-equal body hit.
+    */
+  def fieldWeighted(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"), col("text"))
+    Engine.topKFieldBonus(docs, Seq(("source", 64.0), ("text", 0.0)), "spark", 10)
+  }
 }
 
 /** DuckDB oracle SQL mirroring each FtQueries entry. Shared CTE `toks`
@@ -113,12 +123,15 @@ object Oracles {
     */
   val SepClass: String = """[!"#$%&''()*+,\-./@\[\\\]^{|}~:;<=>? ]"""
 
-  /** Tokenization + per-doc/per-term stats CTEs over `documents`. */
-  val BaseCtes: String =
+  /** Tokenization + per-doc/per-term stats CTEs over `documents`, with the
+    * corpus text given as a SQL expression (plain `text`, or a field
+    * concatenation for fielded corpora).
+    */
+  def baseCtesOver(textExpr: String): String =
     s"""WITH raw AS (
        |  SELECT doc_id,
-       |         unnest(regexp_split_to_array(lower(text), '$SepClass')) AS term,
-       |         generate_subscripts(regexp_split_to_array(lower(text), '$SepClass'), 1) AS ord
+       |         unnest(regexp_split_to_array(lower($textExpr), '$SepClass')) AS term,
+       |         generate_subscripts(regexp_split_to_array(lower($textExpr), '$SepClass'), 1) AS ord
        |  FROM documents
        |), toks AS (
        |  SELECT doc_id, term,
@@ -140,6 +153,26 @@ object Oracles {
        |         ${Analysis.bm25Sql("dt.tf", "dfs.df", "dls.dl", "st.n", "st.avgdl")} AS score
        |  FROM dt JOIN dfs USING (term) JOIN dls USING (doc_id) CROSS JOIN st
        |)""".stripMargin
+
+  val BaseCtes: String = baseCtesOver("text")
+
+  /** Field-weighted ranking over the fielded corpus (source = title with
+    * bonus 64, text = body): BM25 over the concatenation, +64 when the
+    * title itself carries the term. Shared by the logical and block-index
+    * gates.
+    */
+  val fieldWeightedSql: String =
+    s"""${baseCtesOver("source || ' ' || text")}, title AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_id,
+       |           unnest(regexp_split_to_array(lower(source), '$SepClass')) AS t
+       |    FROM documents) WHERE t = 'spark'
+       |)
+       |SELECT s.doc_id, round(sum(s.score) +
+       |         CASE WHEN s.doc_id IN (SELECT doc_id FROM title)
+       |              THEN 64.0 ELSE 0.0 END, 4) AS score
+       |FROM scored s WHERE s.term = 'spark'
+       |GROUP BY s.doc_id ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
 
   def topDocs(where: String, group: String = ""): String =
     s"""$BaseCtes

@@ -51,7 +51,10 @@ object SparkEntry {
     "ix_build_metrics" -> IndexQueries.buildMetrics _,
     "fcix_counts" -> IndexQueries.facetCounts _,
     "fcix_filtered" -> IndexQueries.facetCountsFiltered _,
-    "fcix_ordering" -> IndexQueries.orderingRange _
+    "fcix_ordering" -> IndexQueries.orderingRange _,
+    "fcix_info" -> IndexQueries.infoWords _,
+    "fw_title" -> FtQueries.fieldWeighted _,
+    "fwix_title" -> IndexQueries.fieldWeightedIx _
   ) ++ OpsQueries.queries ++ QpQueries.queries ++ QpixQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -66,6 +69,14 @@ object SparkEntry {
     "ix_completions" -> Oracles.all("ft_completions"),
     "fcix_counts" -> Oracles.all("fc_counts"),
     "fcix_filtered" -> Oracles.all("fc_filtered"),
-    "fcix_ordering" -> Oracles.all("fc_ordering")
+    "fcix_ordering" -> Oracles.all("fc_ordering"),
+    // :info: words echo the build configuration -- the oracle IS that
+    // static configuration
+    "fcix_info" ->
+      """SELECT term FROM (VALUES (':info:encoding:utf-8'),
+        |  (':info:facet:lang'), (':info:facet:source'),
+        |  (':info:name:webdocs')) AS t(term) ORDER BY term""".stripMargin,
+    "fw_title" -> Oracles.fieldWeightedSql,
+    "fwix_title" -> Oracles.fieldWeightedSql
   ) ++ OpsQueries.oracleSql ++ QpQueries.oracleSql ++ QpixQueries.oracleSql
 }

@@ -75,6 +75,19 @@ object CsvIngest {
       out.iterator
     }.toDF("doc_id", "term", "score", "pos")
 
+    // :info: words (CsvParser.cpp:877-910): global index metadata --
+    // encoding, db name, facet fields, multiple-value fields -- on the
+    // reserved doc_id 0 (the header line), queryable as completions of
+    // `:info:` like any other namespace
+    val base = new java.io.File(path).getName.split('.').head
+    val infoEntries =
+      Seq("encoding" -> "utf-8", "name" -> base) ++
+        fields.filter(_.facet).map(f => "facet" -> f.name) ++
+        fields.filter(_.withinFieldSep.isDefined).map(f => "multiple" -> f.name)
+    val info = infoEntries.map { case (k, v) => (0L, Facets.infoTerm(k, v), 1, -1) }
+      .toDF("doc_id", "term", "score", "pos")
+    val allWords = words.unionByName(info)
+
     val showFields = fields.filter(_.show)
     val docs = rows.map { case (docId, cells) =>
       val shown = fieldSpecs.filter(_._1.show).map { case (_, i) =>
@@ -87,6 +100,6 @@ object CsvIngest {
           element_at(col("shown"), j + 1).as(f.name)
         }: _*)
 
-    (words, docs)
+    (allWords, docs)
   }
 }

@@ -88,6 +88,44 @@ object Facets {
         expr(s"substring(term, ${prefix.length + 1})").as("okey"))
   }
 
+  /** `:info:` words -- the reference's fourth artificial-word namespace
+    * (CsvParser.h:157-161, CsvParser.cpp:877-910): GLOBAL index metadata
+    * (encoding, db name, facet field names, multiple-value fields) written
+    * as `:info:<key>:<value>` words so a client can read the index
+    * configuration through the ordinary completions machinery
+    * (completions of `:info:` / `:info:facet:`). Attached to the reserved
+    * doc_id 0.
+    */
+  def infoTerm(key: String, value: String): String = s":info:$key:$value"
+
+  def infoRows(spark: org.apache.spark.sql.SparkSession,
+               entries: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    entries.map { case (k, v) => (0L, infoTerm(k, v), 1L, Array(0), 0L) }
+      .toDF("doc_id", "term", "tf", "positions", "dl")
+  }
+
+  /** Fielded-scoring rows: each token of a scored field is emitted as
+    * `:field:<name>:<token>` (the reference carries per-field scores on
+    * every posting, CsvParserOptions.h per-field --score; encoding the
+    * field membership as an artificial word lets the SAME posting relation
+    * answer "did the match occur in <field>" with one semi-join -- and
+    * inside the block index it is a pruned dictionary prefix like any
+    * other namespace).
+    */
+  def fieldRows(docs: DataFrame, field: String, valueCol: Column): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        valueCol.cast("string").as("v"))
+      .as[(Long, String)]
+      .flatMap { case (docId, v) =>
+        Tokenizer.tokenize(if (v == null) "" else v).distinct.map { t =>
+          (docId, s":field:$field:$t", 1L, Array(0), 0L)
+        }
+      }.toDF("doc_id", "term", "tf", "positions", "dl")
+  }
+
   /** Facet counts restricted to docs matching a keyword -- the classic
     * faceted-search drill-down: AND of a word posting list with the facet
     * posting list (one docId semi-join).

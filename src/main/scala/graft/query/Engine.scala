@@ -211,6 +211,42 @@ object Engine {
       .orderBy(col("doc_id"))
   }
 
+  /** Field-weighted ranking (reference: per-field --score at ingest,
+    * CsvParserOptions.h:33-60, and the TITLE_MATCH_BONUS at query time,
+    * ScoreAggregators.h:6 / Globals.h:266-301): the document text is the
+    * concatenation of its fields; a doc whose match occurs in a
+    * bonus-carrying field (e.g. the title) gets that field's bonus added
+    * once -- max across fields when several apply. So a title hit outranks
+    * an otherwise-equal body hit by exactly the bonus.
+    *
+    * fields: (column name, bonus) in concatenation order; bonus 0 = plain
+    * body field.
+    */
+  def topKFieldBonus(docs: DataFrame, fields: Seq[(String, Double)],
+                     term: String, k: Int): DataFrame = {
+    val corpus = docs.select(col("doc_id").cast("long").as("doc_id"),
+      concat_ws(" ", fields.map(f => col(f._1)): _*).as("text"))
+    val base = scored(corpus, Seq(term))
+      .groupBy(col("doc_id")).agg(sum(col("score")).as("score"))
+    // one row per (doc, bonus field containing the term); narrow tokenize
+    // of just the bonus fields -- never the whole corpus
+    val bonus = fields.filter(_._2 != 0.0).map { case (f, b) =>
+        graft.core.Facets.fieldRows(docs, f, col(f))
+          .filter(col("term") === s":field:$f:$term")
+          .select(col("doc_id"), lit(b).as("fbonus"))
+      }.reduceOption(_ unionByName _)
+      .map(_.groupBy(col("doc_id")).agg(max(col("fbonus")).as("fbonus")))
+    val withBonus = bonus match {
+      case Some(fb) => base.join(fb, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          (col("score") + coalesce(col("fbonus"), lit(0.0))).as("score"))
+      case None => base
+    }
+    withBonus.select(col("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** JOIN block `[q1#q2]` (CompleterBase.Join.cpp): keep the terms (with
     * prefix) that occur in BOTH result sets -- e.g. completions of `prefix`
     * appearing both in docs matching t1 and docs matching t2. Semi-joins on

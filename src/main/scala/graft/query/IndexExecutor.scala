@@ -149,10 +149,35 @@ object IndexAtomSource {
   }
 }
 
+/** [[IndexAtomSource]] with the serving-session history in front: atoms
+  * resolve through [[IndexQueryCache]], so a prefix chain (`s*`, `sc*`,
+  * `sch*`, ... -- the autocompletion typing pattern) touches the block
+  * index ONCE and answers every extension by filtering the cached
+  * in-memory relation (reference: History + copyAndFilter,
+  * CompleterBase.cpp:2435-2504).
+  */
+class CachedIndexAtomSource(reader: IndexReader, cache: IndexQueryCache)
+    extends IndexAtomSource(reader) {
+  override def atomScored(atom: Atom): DataFrame =
+    cache.atomScored(atom, super.atomScored)
+}
+
 /** Physical-path facade: the full reference grammar served from the
   * compressed posting-block index via the shared [[Eval]] state machine.
   */
 object IndexExecutor {
+
+  /** Top-k through the serving-session history: repeated / extended atoms
+    * come from the cache instead of new block scans.
+    */
+  def topK(reader: IndexReader, query: String, k: Int,
+           cache: IndexQueryCache): DataFrame =
+    Eval.topK(new CachedIndexAtomSource(reader, cache), query, k, QueryParams.Default)
+
+  def completions(reader: IndexReader, query: String, k: Int,
+                  cache: IndexQueryCache): DataFrame =
+    Eval.completions(new CachedIndexAtomSource(reader, cache), query, k,
+      QueryParams.Default)
 
   def topK(reader: IndexReader, query: String, k: Int,
            bonuses: Boolean = false, bestMatchBonus: Double = 0.0): DataFrame =

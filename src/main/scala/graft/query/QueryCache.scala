@@ -94,3 +94,76 @@ class QueryCache(maxEntries: Int = 200) {
     hits = 0; filteredHits = 0; misses = 0
   }
 }
+
+/** History for the PHYSICAL path (reference: History.h:25-110 +
+  * copyAndFilter, CompleterBase.cpp:2435-2504, which the reference applies
+  * to index results -- the HYB blocks are only touched when no history
+  * entry can be filtered): an LRU of atom -> persisted scored posting
+  * relation. A prefix atom extending a cached one (`schedul*` after
+  * `schedu*`) -- or an exact word under a cached prefix -- is answered by
+  * FILTERING the cached in-memory relation: zero block locate/decode jobs.
+  * Scores stay correct because BM25 is per-(doc, term) with global df,
+  * unchanged by narrowing the term set.
+  *
+  * One instance per (reader, epoch) serving session; entries are persisted
+  * Datasets (MEMORY_AND_DISK via .persist default), unpersisted on evict.
+  */
+class IndexQueryCache(maxEntries: Int = 200) {
+  import QueryParser._
+
+  private val lru = new java.util.LinkedHashMap[Atom, DataFrame](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[Atom, DataFrame]): Boolean = {
+      val evict = size() > maxEntries
+      if (evict) e.getValue.unpersist()
+      evict
+    }
+  }
+
+  var hits = 0L
+  var filteredHits = 0L
+  var misses = 0L
+
+  /** Scored relation for `atom`: exact hit, filter of a cached broader
+    * prefix, or compute (+persist).
+    */
+  def atomScored(atom: Atom, compute: Atom => DataFrame): DataFrame = synchronized {
+    val exact = lru.get(atom)
+    if (exact != null) { hits += 1; return exact }
+    // copyAndFilter: the narrowing predicate for `atom` under a cached
+    // broader prefix entry, if either is expressible
+    def narrowed: Option[DataFrame] = {
+      val want = atom match {
+        case w: Word if !w.not && !w.fuzzy && !w.synonym && !w.exact && w.prefix =>
+          Some((w.text, col("term").startsWith(w.text)))
+        case w: Word if !w.not && !w.fuzzy && !w.synonym =>
+          Some((w.text, col("term") === w.text))
+        case _ => None
+      }
+      want.flatMap { case (text, pred) =>
+        var best: Option[(String, DataFrame)] = None
+        lru.forEach { (k, v) =>
+          k match {
+            case c: Word if c.prefix && !c.not && text.startsWith(c.text) &&
+                best.forall(_._1.length < c.text.length) =>
+              best = Some((c.text, v))
+            case _ => ()
+          }
+        }
+        best.map { case (_, broader) => broader.filter(pred) }
+      }
+    }
+    val result = narrowed match {
+      case Some(df) => filteredHits += 1; df
+      case None => misses += 1; compute(atom)
+    }
+    val persisted = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lru.put(atom, persisted)
+    persisted
+  }
+
+  def clear(): Unit = synchronized {
+    lru.values().forEach(_.unpersist())
+    lru.clear()
+    hits = 0; filteredHits = 0; misses = 0
+  }
+}

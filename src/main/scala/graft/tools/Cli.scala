@@ -77,15 +77,25 @@ object Words2WordIdsMain {
   }
 }
 
-/** Batch query driver (answerQueries analog): reads one query per line --
-  * `or:a,b,c` runs the physical WAND path, `prefix:p` the pruned prefix
-  * path, anything else is parsed as the FULL reference grammar and served
-  * from the block index (IndexExecutor) -- repeats -r times, prints
-  * per-query latency stats.
+/** Batch query driver (answerQueries analog, answerQueries.cpp:19-60):
+  * reads one query per line -- `or:a,b,c` runs the physical WAND path,
+  * `prefix:p` the pruned prefix path, anything else is parsed as the FULL
+  * reference grammar and served from the block index (IndexExecutor) --
+  * repeats -r times, prints per-query latency stats.
+  *
+  * Flags (anywhere in the arg list):
+  *   -p   prefix-chain typing simulation (reference `-p`): each grammar
+  *        query's LAST word is issued as the typing chain `w[0..1]*`,
+  *        `w[0..2]*`, ..., full word -- through the serving-session
+  *        history, so each extension filters the cached relation instead
+  *        of re-scanning blocks; cache hit/filter/miss counters printed.
+  *   -H   turn the history OFF (reference `-H` history control).
   */
 object AnswerQueriesMain {
   def main(args: Array[String]): Unit = {
-    val Array(indexDir, queriesFile, rest @ _*) = args: @unchecked
+    val flags = args.filter(a => a == "-p" || a == "-H").toSet
+    val pos = args.filterNot(a => a == "-p" || a == "-H")
+    val Array(indexDir, queriesFile, rest @ _*) = pos: @unchecked
     val k = rest.headOption.map(_.toInt).getOrElse(10)
     val reps = rest.lift(1).map(_.toInt).getOrElse(1)
     val spark = Cli.session("graft-answerQueries")
@@ -94,20 +104,39 @@ object AnswerQueriesMain {
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val reader = new IndexReader(spark, indexDir)
     reader.dictionary.count()
+    val cache =
+      if (flags("-H")) None else Some(new graft.query.IndexQueryCache())
+    def answer(q: String): Long = cache match {
+      case Some(c) => graft.query.IndexExecutor.topK(reader, q, k, c).count()
+      case None => graft.query.IndexExecutor.topK(reader, q, k).count()
+    }
     val queries = scala.io.Source.fromFile(queriesFile).getLines().filter(_.nonEmpty).toSeq
-    val stats = queries.map { q =>
+
+    /** The typing chain for a grammar query: prefixes of its last word. */
+    def chainOf(q: String): Seq[String] = {
+      val at = q.lastIndexOf(' ')
+      val (head, last0) = if (at < 0) ("", q) else (q.substring(0, at + 1), q.substring(at + 1))
+      val last = last0.stripSuffix("*")
+      (1 until last.length).map(n => s"$head${last.take(n)}*") :+ q
+    }
+
+    val toRun = if (flags("-p")) queries.flatMap(chainOf) else queries
+    val stats = toRun.map { q =>
       val lat = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val n =
           if (q.startsWith("or:")) reader.topKOrWand(q.drop(3).split(',').toSeq, k).count()
           else if (q.startsWith("prefix:")) reader.topKPrefixDocs(q.drop(7), k).count()
-          else graft.query.IndexExecutor.topK(reader, q, k).count()
+          else answer(q)
         (n, (System.nanoTime() - t0) / 1e6)
       }
       (q, lat.head._1, lat.map(_._2).min, lat.map(_._2).sum / lat.size)
     }
     println(f"${"query"}%-30s ${"hits"}%6s ${"best_ms"}%10s ${"avg_ms"}%10s")
     stats.foreach { case (q, n, best, avg) => println(f"$q%-30s $n%6d $best%10.1f $avg%10.1f") }
+    cache.foreach { c =>
+      println(s"history: hits=${c.hits} filtered=${c.filteredHits} misses=${c.misses}")
+    }
     spark.stop()
   }
 }

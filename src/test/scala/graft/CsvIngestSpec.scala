@@ -37,6 +37,10 @@ class CsvIngestSpec extends AnyFunSuite {
     assert(w.contains((2L, "verwandlung", 2, 1)))
     assert(w.contains((2L, ":facet:Autor:Kafka; Franz", 1, -1)))
 
+    // :info: namespace: build-config echo on the reserved doc 0
+    assert(w.contains((0L, ":info:encoding:utf-8", 1, -1)))
+    assert(w.contains((0L, ":info:facet:Autor", 1, -1)))
+
     val d = docs.orderBy("doc_id").collect()
     assert(d.map(_.getAs[String]("Titel")).toSeq === Seq("Der Zauberberg", "Die Verwandlung"))
     assert(d.map(_.getAs[String]("Jahr")).toSeq === Seq("1924", "1915"))
@@ -53,5 +57,24 @@ class CsvIngestSpec extends AnyFunSuite {
     assert(w.contains(":facet:genre:horror"))
     assert(w.contains(":facet:genre:scifi"))
     assert(w.contains("alien"))
+    assert(w.contains(":info:multiple:genre"))
+  }
+
+  test("field-weighted ranking: a title hit outranks an equal body hit") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.createDataFrame(Seq(
+      (1L, "needle findings", "common words here"),
+      (2L, "other title", "needle words here"))).toDF("doc_id", "title", "body")
+    val r = graft.query.Engine.topKFieldBonus(docs,
+        Seq(("title", 64.0), ("body", 0.0)), "needle", 10)
+      .collect().map(x => (x.getLong(0), x.getDouble(1)))
+    assert(r.map(_._1).toSeq === Seq(1L, 2L)) // title doc first
+    // both docs: tf=1, dl=5, same df -> equal BM25; delta is exactly 64
+    assert(math.abs((r(0)._2 - r(1)._2) - 64.0) < 1e-9)
+    // :field: rows drive the bonus
+    val fr = graft.core.Facets.fieldRows(docs, "title", col("title"))
+      .collect().map(x => (x.getLong(0), x.getString(1))).toSet
+    assert(fr.contains((1L, ":field:title:needle")))
+    assert(!fr.contains((2L, ":field:title:needle")))
   }
 }

@@ -83,6 +83,33 @@ class IndexExecutorSpec extends AnyFunSuite {
     }
   }
 
+  test("serving-session history: prefix extensions filter the cache, zero new block scans") {
+    import graft.query.{IndexExecutor, IndexQueryCache}
+    val cache = new IndexQueryCache()
+    val r1 = IndexExecutor.topK(reader, "aa*", 10, cache).collect()
+      .map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    assert(cache.misses === 1 && cache.filteredHits === 0)
+    // extend the prefix (the typing pattern): answered by FILTERING the
+    // cached relation -- miss count must not move
+    val r2 = IndexExecutor.topK(reader, "aal*", 10, cache).collect()
+      .map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    assert(cache.misses === 1 && cache.filteredHits === 1)
+    // exact word under the cached prefix: also a filter, not a scan
+    val r3 = IndexExecutor.topK(reader, "aalglatt", 10, cache).collect()
+      .map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    assert(cache.misses === 1 && cache.filteredHits === 2)
+    // repeated query: pure hit
+    IndexExecutor.topK(reader, "aal*", 10, cache).collect()
+    assert(cache.hits >= 1)
+    // results identical to the uncached path
+    assert(r2 === IndexExecutor.topK(reader, "aal*", 10).collect()
+      .map(x => (x.getLong(0), x.getDouble(1))).toSeq)
+    assert(r3 === IndexExecutor.topK(reader, "aalglatt", 10).collect()
+      .map(x => (x.getLong(0), x.getDouble(1))).toSeq)
+    assert(r1.nonEmpty && r2.nonEmpty && r3.nonEmpty)
+    cache.clear()
+  }
+
   test("scores are identical between paths (same BM25 inputs)") {
     val a = IndexExecutor.topK(reader, "aachen aal*", 10).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
