@@ -39,6 +39,27 @@ object ExplainPlans {
       graft.query.IndexExecutor.topK(rCold, "spark st*", 10))
     show("qpix: fuzzy via FastSS variants (pushed IN-list)",
       graft.index.FuzzyIndex.candidates(spark, rCold.dir, rCold.dictionary, "spak", 1))
+
+    // round 3: scattered candidate set -> exact-run pruning (bucket IN-list
+    // + per-run BETWEEN disjunction reach the scan; the [min,max] hull of
+    // batch|stream spans most of the dictionary)
+    import graft.query.QueryParser.{OrAtoms, Word}
+    val srcCold = new graft.query.IndexAtomSource(rCold)
+    show("qpix: scattered OR atom (batch|stream*) -> exact-run pruned scan",
+      srcCold.prunedBlocks(OrAtoms(Seq(Word("batch"), Word("stream", prefix = true)))).get)
+
+    // round 3: decode-once -- the chain query's plan references each atom's
+    // PERSISTED relation (InMemoryRelation per atom, ONE Generate each)
+    // instead of 2-3 scan+decode subplans per atom
+    show("qpix: 3-part chain, decode-once (InMemoryRelation per atom)",
+      graft.query.IndexExecutor.topK(rCold, "stream.table.hash", 10))
+
+    // round 3: serving-session history -- schedul*-after-schedu* pattern:
+    // the narrower prefix plans as a Filter over the cached atom relation
+    val cache = new graft.query.IndexQueryCache()
+    graft.query.IndexExecutor.topK(rCold, "st*", 10, cache).collect()
+    show("qpix: history filter (sta* after st*) -- no block scan below the filter",
+      graft.query.IndexExecutor.topK(rCold, "sta*", 10, cache))
     spark.stop()
   }
 }
