@@ -129,11 +129,18 @@ object Bench {
     // dirs + FastSS) OUTSIDE the per-query timing: build cost is what
     // build_docs_per_sec measures; a gate's number should measure the
     // QUERY, not whichever query happens to run first after a cold start.
-    scala.util.Try {
-      IndexQueries.indexDir(spark, sfDir)
-      IndexQueries.facetIndexDir(spark, sfDir)
-      IndexQueries.normIndexDir(spark, sfDir)
-      IndexQueries.fieldIndexDir(spark, sfDir)
+    Seq[(String, () => String)](
+      "main" -> (() => IndexQueries.indexDir(spark, sfDir)),
+      "facet" -> (() => IndexQueries.facetIndexDir(spark, sfDir)),
+      "norm" -> (() => IndexQueries.normIndexDir(spark, sfDir)),
+      "field" -> (() => IndexQueries.fieldIndexDir(spark, sfDir))
+    ).foreach { case (name, build) =>
+      // per-build Try: one failed build must not silently un-warm the rest,
+      // and the failure itself must be visible (the gate that needs it will
+      // then pay the build inside its number -- say so)
+      scala.util.Try(build()).failed.foreach(e =>
+        System.err.println(s"[bench] pre-warm '$name' failed (its gates will " +
+          s"pay the build cost in-loop): $e"))
     }
 
     val results = SparkEntry.queries.map { case (name, fn) =>

@@ -177,12 +177,16 @@ object ScalingBench {
     val used = if (acc.nonEmpty) acc else all // steal never settled: report raw
     val effs = used.map(_.eff).sorted
     val median = effs(effs.length / 2)
+    // Locale.ROOT: the f"" interpolator is locale-dependent and would print
+    // comma decimals (invalid JSON) under e.g. de_DE
+    def num(v: Double, dp: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
     def arr(f: Sample => Any): String = all.map(f).mkString("[", ",", "]")
     val best = used.maxBy(_.eff)
     println(s"""{"metric":"scaling_efficiency","value":$median,"unit":"ratio",""" +
       s""""sf":"$sfDir","n_cores":$n,"n4_cores":$n4,""" +
-      s""""samples":${arr(s => f"${s.eff}%.4f")},"accepted":${arr(_.accepted)},""" +
-      s""""steal_frac":${arr(s => f"${s.stealFrac}%.5f")},""" +
+      s""""samples":${arr(s => num(s.eff, 4))},"accepted":${arr(_.accepted)},""" +
+      s""""steal_frac":${arr(s => num(s.stealFrac, 5))},""" +
       s""""n_accepted":${acc.length},"median_eff":$median,""" +
       s""""build_docs_per_sec_n":${best.tpN},"build_docs_per_sec_4n":${best.tp4N},""" +
       s""""bm25_p50_ms_n":${best.p50N},"bm25_p50_ms_4n":${best.p504N},""" +

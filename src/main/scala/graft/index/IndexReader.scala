@@ -72,13 +72,15 @@ class IndexReader(val spark: SparkSession, val dir: String,
     val b = spark.read.parquet(s"$dir/blocks")
     val maxBytes = spark.conf.getOption("graft.index.cacheBlocksMaxBytes")
       .map(_.toLong).getOrElse(IndexReader.CacheBlocksMaxBytes)
-    def dirBytes: Long = {
-      val root = new java.io.File(s"$dir/blocks")
-      def walk(f: java.io.File): Long =
-        if (f.isFile) f.length()
-        else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
-      walk(root)
-    }
+    // size through the Hadoop FileSystem API, so hdfs:// and s3a:// indexes
+    // (the production case the guard exists for) are measured like local
+    // dirs; an unmeasurable size counts as TOO BIG -- never cache blind
+    def dirBytes: Long =
+      try {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/blocks")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+      } catch { case _: Throwable => Long.MaxValue }
     if (cacheBlocks && dirBytes <= maxBytes) b.cache() else b
   }
 
@@ -116,15 +118,27 @@ class IndexReader(val spark: SparkSession, val dir: String,
     * locate analog for SCATTERED candidate sets -- synonym groups, fuzzy
     * candidates, OR alternatives): the reference fetches blocks per word
     * range / per term (HYBCompleter.cpp:661-746, INVCompleter.h:94-130),
-    * never the [min, max] hull of the whole set. Bucket IN-list + per-run
-    * BETWEEN predicates reach the parquet scan (partition-dir pruning +
-    * row-group min/max skipping).
+    * never the [min, max] hull of the whole set. Bucket predicates + the
+    * per-run BETWEEN disjunction reach the parquet scan (partition-dir
+    * pruning + row-group min/max skipping). Plan size stays bounded at any
+    * span: a run covering many buckets (the hull fallback for huge
+    * candidate sets, or a--z on a 100M-term vocabulary) uses BETWEEN
+    * instead of enumerating bucket literals, and the disjunctions are
+    * BALANCED Or-trees (depth log2(n), no deep-recursion risk in Catalyst).
     */
   def blocksForIdRuns(runs: Seq[(Long, Long)]): DataFrame = {
     require(runs.nonEmpty, "empty run set")
-    val buckets = runs.flatMap { case (lo, hi) => (lo / bucketSize) to (hi / bucketSize) }.distinct
-    val idPred = runs.map { case (lo, hi) => col("term_id").between(lo, hi) }.reduce(_ || _)
-    blocks.filter(col("bucket").isin(buckets: _*) && idPred)
+    def orTree(ps: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+      if (ps.length == 1) ps.head
+      else { val (a, b) = ps.splitAt(ps.length / 2); orTree(a) || orTree(b) }
+    val bucketPreds = runs.map { case (lo, hi) =>
+      val (bLo, bHi) = (lo / bucketSize, hi / bucketSize)
+      if (bHi - bLo < IndexReader.MaxBucketLiterals)
+        col("bucket").isin((bLo to bHi): _*)
+      else col("bucket").between(bLo, bHi)
+    }
+    val idPreds = runs.map { case (lo, hi) => col("term_id").between(lo, hi) }
+    blocks.filter(orTree(bucketPreds) && orTree(idPreds))
   }
 
   /** Decode blocks to (term_id, doc_id, tf, dl) via the custom Catalyst
@@ -355,4 +369,10 @@ object IndexReader {
     * heap; production sets `graft.index.cacheBlocksMaxBytes`.
     */
   val CacheBlocksMaxBytes: Long = 16L << 30
+
+  /** A run spanning at least this many buckets switches from an IN-list of
+    * bucket literals to a BETWEEN predicate (identical pruning, constant
+    * plan size).
+    */
+  val MaxBucketLiterals: Long = 256L
 }

@@ -25,12 +25,29 @@ trait AtomSource {
     * persisted: a query references most atoms 2-3 times (doc-score
     * aggregate, exploded positions, window chaining) and on the physical
     * path each un-memoized reference is a separate pruned-scan + decode
-    * subplan. Spill-safe (MEMORY_AND_DISK); the ContextCleaner unpersists
-    * when the source instance (one per query) becomes unreachable.
+    * subplan. Spill-safe (MEMORY_AND_DISK).
+    *
+    * Lifecycle: SQL-cached plans are NOT reaped by the ContextCleaner,
+    * and unpersisting asynchronously (GC-timed) while a query may still
+    * be executing corrupts results (measured -- a Cleaner-based reaper
+    * produced intermittent wrong answers under concurrency). So the
+    * per-query persists draw from a bounded PROCESS budget
+    * ([[AtomSource.MaxProcessPersists]]): once a long-running session has
+    * that many distinct atom relations pinned, further atoms are served
+    * unpersisted (correct, re-decoded per reference) and a warning is
+    * logged once. A serving session that wants unbounded warm atoms uses
+    * [[IndexQueryCache]], whose LRU releases entries DETERMINISTICALLY.
     */
   final def atomScoredCached(atom: Atom): DataFrame =
-    scoredMemo.computeIfAbsent(atom, a =>
-      atomScored(a).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    scoredMemo.computeIfAbsent(atom, a => {
+      val df = atomScored(a)
+      // a relation that arrives already persisted is owned elsewhere (the
+      // serving-session IndexQueryCache) -- leave its lifecycle alone
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE &&
+          AtomSource.tryAcquirePersistBudget())
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df
+    })
 
   private val scoredMemo =
     new java.util.concurrent.ConcurrentHashMap[Atom, DataFrame]()
@@ -51,6 +68,29 @@ trait AtomSource {
 
   protected def vocabContains(w: String): Boolean
   protected def closestVocabWord(w: String, thr: Int): Option[String]
+}
+
+object AtomSource {
+  /** Process-wide cap on per-query atom-relation persists (see
+    * [[AtomSource.atomScoredCached]]): a backstop against unbounded
+    * executor-storage growth in a session that answers many distinct
+    * queries WITHOUT a serving cache. 1024 relations of a few MB each is
+    * far above any test/bench; production serving uses IndexQueryCache.
+    */
+  val MaxProcessPersists = 1024
+  private val persistCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile private var warned = false
+
+  private[query] def tryAcquirePersistBudget(): Boolean = {
+    val ok = persistCount.incrementAndGet() <= MaxProcessPersists
+    if (!ok && !warned) {
+      warned = true
+      System.err.println(s"[graft] process persist budget ($MaxProcessPersists " +
+        "atom relations) exhausted; further atoms run unpersisted -- use an " +
+        "IndexQueryCache for a long-running serving session")
+    }
+    ok
+  }
 }
 
 /** Logical-path source: predicates over the cached doc-term relation.

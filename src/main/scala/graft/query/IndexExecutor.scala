@@ -159,7 +159,7 @@ object IndexAtomSource {
 class CachedIndexAtomSource(reader: IndexReader, cache: IndexQueryCache)
     extends IndexAtomSource(reader) {
   override def atomScored(atom: Atom): DataFrame =
-    cache.atomScored(atom, super.atomScored)
+    cache.atomScored(reader.dir, reader.indexEpoch, atom, super.atomScored)
 }
 
 /** Physical-path facade: the full reference grammar served from the

@@ -111,8 +111,13 @@ class QueryCache(maxEntries: Int = 200) {
 class IndexQueryCache(maxEntries: Int = 200) {
   import QueryParser._
 
-  private val lru = new java.util.LinkedHashMap[Atom, DataFrame](16, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[Atom, DataFrame]): Boolean = {
+  /** Entries are keyed by (index dir, index epoch, atom): one cache can
+    * safely serve several readers / survive a rebuild into the same dir
+    * without serving another index's postings.
+    */
+  private type Key = (String, Long, Atom)
+  private val lru = new java.util.LinkedHashMap[Key, DataFrame](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[Key, DataFrame]): Boolean = {
       val evict = size() > maxEntries
       if (evict) e.getValue.unpersist()
       evict
@@ -125,40 +130,67 @@ class IndexQueryCache(maxEntries: Int = 200) {
 
   /** Scored relation for `atom`: exact hit, filter of a cached broader
     * prefix, or compute (+persist).
+    *
+    * The monitor guards only map lookups/puts -- `compute` runs blocking
+    * driver jobs (block locate round-trips) and MUST NOT serialize a
+    * serving session's unrelated queries behind one miss. Two threads
+    * missing the same atom concurrently may both compute; the loser's
+    * (never-persisted) plan is discarded.
     */
-  def atomScored(atom: Atom, compute: Atom => DataFrame): DataFrame = synchronized {
-    val exact = lru.get(atom)
-    if (exact != null) { hits += 1; return exact }
-    // copyAndFilter: the narrowing predicate for `atom` under a cached
-    // broader prefix entry, if either is expressible
-    def narrowed: Option[DataFrame] = {
-      val want = atom match {
-        case w: Word if !w.not && !w.fuzzy && !w.synonym && !w.exact && w.prefix =>
-          Some((w.text, col("term").startsWith(w.text)))
-        case w: Word if !w.not && !w.fuzzy && !w.synonym =>
-          Some((w.text, col("term") === w.text))
-        case _ => None
+  def atomScored(dir: String, epoch: Long, atom: Atom,
+                 compute: Atom => DataFrame): DataFrame = {
+    val key = (dir, epoch, atom)
+    val fast: Either[Unit, DataFrame] = synchronized {
+      val exact = lru.get(key)
+      if (exact != null) { hits += 1; Right(exact) }
+      else {
+        // copyAndFilter: the narrowing predicate for `atom` under a cached
+        // broader prefix entry, if either is expressible (plan-only, no jobs)
+        val want = atom match {
+          case w: Word if !w.not && !w.fuzzy && !w.synonym && !w.exact && w.prefix =>
+            Some((w.text, col("term").startsWith(w.text)))
+          case w: Word if !w.not && !w.fuzzy && !w.synonym =>
+            Some((w.text, col("term") === w.text))
+          case _ => None
+        }
+        val narrowed = want.flatMap { case (text, pred) =>
+          var best: Option[(String, DataFrame)] = None
+          lru.forEach { (k, v) =>
+            k match {
+              case (`dir`, `epoch`, c: Word) if c.prefix && !c.not &&
+                  text.startsWith(c.text) &&
+                  best.forall(_._1.length < c.text.length) =>
+                best = Some((c.text, v))
+              case _ => ()
+            }
+          }
+          best.map { case (_, broader) => broader.filter(pred) }
+        }
+        narrowed match {
+          case Some(df) =>
+            filteredHits += 1
+            val persisted = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            lru.put(key, persisted)
+            Right(persisted)
+          case None => misses += 1; Left(())
+        }
       }
-      want.flatMap { case (text, pred) =>
-        var best: Option[(String, DataFrame)] = None
-        lru.forEach { (k, v) =>
-          k match {
-            case c: Word if c.prefix && !c.not && text.startsWith(c.text) &&
-                best.forall(_._1.length < c.text.length) =>
-              best = Some((c.text, v))
-            case _ => ()
+    }
+    fast match {
+      case Right(df) => df
+      case Left(_) =>
+        val computed = compute(atom) // outside the lock: may run driver jobs
+        synchronized {
+          val won = lru.get(key)
+          if (won != null) won // another thread beat us; ours was never persisted
+          else {
+            val persisted =
+              computed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            lru.put(key, persisted)
+            persisted
           }
         }
-        best.map { case (_, broader) => broader.filter(pred) }
-      }
     }
-    val result = narrowed match {
-      case Some(df) => filteredHits += 1; df
-      case None => misses += 1; compute(atom)
-    }
-    val persisted = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    lru.put(atom, persisted)
-    persisted
   }
 
   def clear(): Unit = synchronized {

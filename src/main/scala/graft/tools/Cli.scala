@@ -92,6 +92,18 @@ object Words2WordIdsMain {
   *   -H   turn the history OFF (reference `-H` history control).
   */
 object AnswerQueriesMain {
+
+  /** The typing chain for a grammar query: prefixes of its last word,
+    * shortest first, ending with the query as typed (reference `-p`,
+    * answerQueries.cpp:19-60).
+    */
+  def chainOf(q: String): Seq[String] = {
+    val at = q.lastIndexOf(' ')
+    val (head, last0) = if (at < 0) ("", q) else (q.substring(0, at + 1), q.substring(at + 1))
+    val last = last0.stripSuffix("*")
+    (1 until last.length).map(n => s"$head${last.take(n)}*") :+ q
+  }
+
   def main(args: Array[String]): Unit = {
     val flags = args.filter(a => a == "-p" || a == "-H").toSet
     val pos = args.filterNot(a => a == "-p" || a == "-H")
@@ -111,16 +123,12 @@ object AnswerQueriesMain {
       case None => graft.query.IndexExecutor.topK(reader, q, k).count()
     }
     val queries = scala.io.Source.fromFile(queriesFile).getLines().filter(_.nonEmpty).toSeq
-
-    /** The typing chain for a grammar query: prefixes of its last word. */
-    def chainOf(q: String): Seq[String] = {
-      val at = q.lastIndexOf(' ')
-      val (head, last0) = if (at < 0) ("", q) else (q.substring(0, at + 1), q.substring(at + 1))
-      val last = last0.stripSuffix("*")
-      (1 until last.length).map(n => s"$head${last.take(n)}*") :+ q
-    }
-
-    val toRun = if (flags("-p")) queries.flatMap(chainOf) else queries
+    // -p simulates typing for GRAMMAR lines only; the or:/prefix: special
+    // syntaxes are not queries a user types incrementally
+    val toRun =
+      if (flags("-p")) queries.flatMap { q =>
+        if (q.startsWith("or:") || q.startsWith("prefix:")) Seq(q) else chainOf(q)
+      } else queries
     val stats = toRun.map { q =>
       val lat = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

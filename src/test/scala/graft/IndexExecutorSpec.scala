@@ -110,6 +110,15 @@ class IndexExecutorSpec extends AnyFunSuite {
     cache.clear()
   }
 
+  test("answerQueries -p: typing chain = last-word prefixes, query as typed last") {
+    import graft.tools.AnswerQueriesMain.chainOf
+    assert(chainOf("spark stream*") ===
+      Seq("spark s*", "spark st*", "spark str*", "spark stre*", "spark strea*",
+        "spark stream*"))
+    assert(chainOf("hash") === Seq("h*", "ha*", "has*", "hash"))
+    assert(chainOf("x") === Seq("x"))
+  }
+
   test("scores are identical between paths (same BM25 inputs)") {
     val a = IndexExecutor.topK(reader, "aachen aal*", 10).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
