@@ -101,7 +101,11 @@ object AnswerQueriesMain {
     val at = q.lastIndexOf(' ')
     val (head, last0) = if (at < 0) ("", q) else (q.substring(0, at + 1), q.substring(at + 1))
     val last = last0.stripSuffix("*")
-    (1 until last.length).map(n => s"$head${last.take(n)}*") :+ q
+    // skip steps whose prefix ends on a separator ("batch." -> "batch.*"
+    // would be an empty-prefix scan of the whole dictionary)
+    (1 until last.length)
+      .filterNot(n => graft.core.Tokenizer.isSeparator(last.charAt(n - 1)))
+      .map(n => s"$head${last.take(n)}*") :+ q
   }
 
   def main(args: Array[String]): Unit = {

@@ -117,6 +117,10 @@ class IndexExecutorSpec extends AnyFunSuite {
         "spark stream*"))
     assert(chainOf("hash") === Seq("h*", "ha*", "has*", "hash"))
     assert(chainOf("x") === Seq("x"))
+    // no empty-prefix scans from separator positions: "batch." never
+    // becomes "batch.*"
+    assert(!chainOf("batch.batch").contains("batch.*"))
+    assert(chainOf("batch.batch").last === "batch.batch")
   }
 
   test("scores are identical between paths (same BM25 inputs)") {
