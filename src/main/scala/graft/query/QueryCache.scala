@@ -106,7 +106,13 @@ class QueryCache(maxEntries: Int = 200) {
   * unchanged by narrowing the term set.
   *
   * One instance per (reader, epoch) serving session; entries are persisted
-  * Datasets (MEMORY_AND_DISK via .persist default), unpersisted on evict.
+  * Datasets (MEMORY_AND_DISK), unpersisted on evict. Eviction is the ONE
+  * deliberate unpersist in the query path: it is deterministic (capacity
+  * overflow, least-recently-used entry) -- asynchronous GC-timed reaping
+  * was tried and rejected because unpersisting a SQL-cached plan while a
+  * query may still be executing corrupted results (see
+  * AtomSource.atomScoredCached). An LRU victim is by construction the
+  * entry least likely to be referenced by an in-flight query.
   */
 class IndexQueryCache(maxEntries: Int = 200) {
   import QueryParser._
