@@ -40,14 +40,35 @@ object Search {
       (hits, ex, pf) => Excerpts.generate(corpus, hits, ex, pf, excerptRadius))
 
   /** Physical-path variant: hits/completions from the block index, excerpt
-    * text from its docs store; the corpus is never read.
+    * text from its docs store; the corpus is never read. With `cache`, a
+    * serving session's atoms resolve through the history
+    * ([[graft.query.IndexQueryCache]]): prefix extensions filter cached
+    * relations instead of re-scanning blocks.
     */
   def searchIndex(reader: graft.index.IndexReader, query: String, k: Int = 10,
-                  completionsK: Int = 10, excerptRadius: Int = 2): SearchResult =
-    assemble(query, k, completionsK,
-      graft.query.IndexExecutor.topK(reader, query, k),
-      graft.query.IndexExecutor.completions(reader, query, completionsK),
-      (hits, ex, pf) => Excerpts.generate(reader.docs, hits, ex, pf, excerptRadius))
+                  completionsK: Int = 10, excerptRadius: Int = 2,
+                  cache: Option[graft.query.IndexQueryCache] = None): SearchResult = {
+    val topk = cache match {
+      case Some(c) => graft.query.IndexExecutor.topK(reader, query, k, c)
+      case None => graft.query.IndexExecutor.topK(reader, query, k)
+    }
+    // stays by-name through assemble: completions plan (and its candidate
+    // round-trips) only builds when the last part is a prefix
+    def compl = cache match {
+      case Some(c) => graft.query.IndexExecutor.completions(reader, query, completionsK, c)
+      case None => graft.query.IndexExecutor.completions(reader, query, completionsK)
+    }
+    assemble(query, k, completionsK, topk, compl,
+      (hits, ex, pf) =>
+        // no docs store built next to this index -> hits without excerpts
+        // (the reference server likewise needs docs.DB for excerpts)
+        if (reader.hasDocsStore)
+          Excerpts.generate(reader.docs, hits, ex, pf, excerptRadius)
+        else hits.sparkSession.emptyDataFrame
+          .select(org.apache.spark.sql.functions.lit(0L).as("doc_id"),
+            org.apache.spark.sql.functions.lit("").as("excerpt"))
+          .limit(0))
+  }
 
   private def assemble(query: String, k: Int, completionsK: Int,
                        hitsDf: DataFrame, completionsDf: => DataFrame,

@@ -50,6 +50,15 @@ class IndexReader(val spark: SparkSession, val dir: String,
     * [[IndexBuilder.buildDocsStore]]; serves excerpt text.
     */
   lazy val docs: DataFrame = spark.read.parquet(s"$dir/docs")
+
+  /** Whether the docs store (buildDocsDB analog) was built next to this
+    * index -- excerpt serving degrades gracefully without it.
+    */
+  lazy val hasDocsStore: Boolean =
+    try {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/docs")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    } catch { case _: Throwable => false }
   private lazy val statsRow = spark.read.parquet(s"$dir/stats").head()
   lazy val nDocs: Long = statsRow.getAs[Long]("n_docs")
   lazy val avgdl: Double = statsRow.getAs[Double]("avgdl")

@@ -38,6 +38,10 @@ object BuildIndexMain {
       else spark.read.parquet(src)
     val manifest = IndexBuilder.build(spark, corpus, outDir,
       numShards = shards, blockSize = blockSize)
+    // buildDocsDB analog alongside (reference `make pall` builds docs.DB
+    // with the index): excerpts then serve from the index directory alone
+    if (corpus.columns.contains("text"))
+      IndexBuilder.buildDocsStore(spark, corpus, outDir)
     manifest.show(100, truncate = false)
     spark.stop()
   }

@@ -1,0 +1,87 @@
+package graft.tools
+
+import graft.index.IndexReader
+import org.apache.spark.sql.SparkSession
+
+/** startCompletionServer analog (reference: StartCompletionServer.cpp /
+  * CompletionServer.cpp:1597-1711): a minimal HTTP front on the
+  * physical-path search facade, built on the JDK's embedded HttpServer --
+  * no extra dependencies, the Spark session IS the backend.
+  *
+  * GET /?q=<query>[&h=<hits>][&c=<completions>][&er=<excerpt radius>]
+  *     [&callback=<fn>]
+  * answers the reference-shaped JSON (`SearchResult.toJson`); `callback`
+  * wraps it JSONP-style (QueryParameters formatDefault XML is not served
+  * -- JSON only, the reference's `format=json` mode). Queries run the FULL
+  * grammar off the block index through the serving-session history
+  * ([[graft.query.IndexQueryCache]]), so a typing stream of prefixes
+  * extends cached relations instead of re-scanning blocks.
+  */
+object CompletionServer {
+
+  /** Start a server on `port` (0 = ephemeral); returns the bound server.
+    * One Spark session serves all requests; Spark handles intra-query
+    * parallelism, the HTTP executor stays single-threaded per the
+    * embedded server default.
+    */
+  def start(spark: SparkSession, indexDir: String, port: Int): com.sun.net.httpserver.HttpServer = {
+    val reader = new IndexReader(spark, indexDir)
+    reader.dictionary.count() // warm the dictionary before the first request
+    val cache = new graft.query.IndexQueryCache()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(port), 0)
+    server.createContext("/", (exchange: com.sun.net.httpserver.HttpExchange) => {
+      val params = parseQueryString(
+        Option(exchange.getRequestURI.getRawQuery).getOrElse(""))
+      val response: (Int, String) = params.get("q") match {
+        case None | Some("") => (400, """{"error":"missing q parameter"}""")
+        case Some(q) =>
+          try {
+            val k = params.get("h").map(_.toInt).getOrElse(10)
+            val ck = params.get("c").map(_.toInt).getOrElse(10)
+            val er = params.get("er").map(_.toInt).getOrElse(2)
+            val result = graft.api.Search.searchIndex(
+              reader, q, k = k, completionsK = ck, excerptRadius = er,
+              cache = Some(cache))
+            val body = params.get("callback") match {
+              case Some(cb) => s"$cb(${result.toJson})"
+              case None => result.toJson
+            }
+            (200, body)
+          } catch {
+            case e: Throwable =>
+              (500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+          }
+      }
+      val bytes = response._2.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      exchange.getResponseHeaders.set("Content-Type", "application/json; charset=utf-8")
+      exchange.sendResponseHeaders(response._1, bytes.length)
+      val os = exchange.getResponseBody
+      try os.write(bytes) finally os.close()
+    })
+    server.start()
+    server
+  }
+
+  private[graft] def parseQueryString(raw: String): Map[String, String] =
+    raw.split('&').filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      val (k, v) = if (i < 0) (kv, "") else (kv.substring(0, i), kv.substring(i + 1))
+      k -> java.net.URLDecoder.decode(v, java.nio.charset.StandardCharsets.UTF_8)
+    }.toMap
+}
+
+/** CLI entry: `CompletionServerMain <indexDir> [port]` (default 8181). */
+object CompletionServerMain {
+  def main(args: Array[String]): Unit = {
+    val Array(indexDir, rest @ _*) = args: @unchecked
+    val port = rest.headOption.map(_.toInt).getOrElse(8181)
+    val spark = Cli.session("graft-completionServer")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val server = CompletionServer.start(spark, indexDir, port)
+    println(s"graft completion server listening on port " +
+      s"${server.getAddress.getPort} (GET /?q=<query>&h=10&c=10)")
+    Thread.currentThread().join() // serve until killed
+  }
+}

@@ -123,6 +123,34 @@ class IndexExecutorSpec extends AnyFunSuite {
     assert(chainOf("batch.batch").last === "batch.batch")
   }
 
+  test("completion server: HTTP round-trip answers the searchIndex JSON") {
+    import graft.tools.CompletionServer
+    assert(CompletionServer.parseQueryString("q=spark%20st*&h=5") ===
+      Map("q" -> "spark st*", "h" -> "5"))
+    val server = CompletionServer.start(spark, reader.dir, port = 0)
+    try {
+      val port = server.getAddress.getPort
+      def get(path: String): (Int, String) = {
+        val conn = new java.net.URL(s"http://127.0.0.1:$port$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val code = conn.getResponseCode
+        val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        val body = scala.io.Source.fromInputStream(is, "UTF-8").mkString
+        (code, body)
+      }
+      val (code, body) = get("/?q=babbeln%20ba*&h=5&c=5")
+      assert(code === 200)
+      val expected = graft.api.Search.searchIndex(reader, "babbeln ba*",
+        k = 5, completionsK = 5).toJson
+      assert(body === expected)
+      // typing extension served through the server's history
+      assert(get("/?q=babbeln%20bab*")._1 === 200)
+      assert(get("/")._1 === 400) // missing q
+      val (cbCode, cbBody) = get("/?q=babbeln&callback=cb")
+      assert(cbCode === 200 && cbBody.startsWith("cb({") && cbBody.endsWith(")"))
+    } finally server.stop(0)
+  }
+
   test("scores are identical between paths (same BM25 inputs)") {
     val a = IndexExecutor.topK(reader, "aachen aal*", 10).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
