@@ -47,16 +47,19 @@ object Search {
     */
   def searchIndex(reader: graft.index.IndexReader, query: String, k: Int = 10,
                   completionsK: Int = 10, excerptRadius: Int = 2,
-                  cache: Option[graft.query.IndexQueryCache] = None): SearchResult = {
+                  cache: Option[graft.query.IndexQueryCache] = None,
+                  params: graft.query.QueryParams = graft.query.QueryParams.Default): SearchResult = {
     val topk = cache match {
-      case Some(c) => graft.query.IndexExecutor.topK(reader, query, k, c)
-      case None => graft.query.IndexExecutor.topK(reader, query, k)
+      case Some(c) => graft.query.IndexExecutor.topK(reader, query, k, params, c)
+      case None => graft.query.IndexExecutor.topK(reader, query, k, params)
     }
     // stays by-name through assemble: completions plan (and its candidate
     // round-trips) only builds when the last part is a prefix
     def compl = cache match {
-      case Some(c) => graft.query.IndexExecutor.completions(reader, query, completionsK, c)
-      case None => graft.query.IndexExecutor.completions(reader, query, completionsK)
+      case Some(c) =>
+        graft.query.IndexExecutor.completions(reader, query, completionsK, params, c)
+      case None =>
+        graft.query.IndexExecutor.completions(reader, query, completionsK, params)
     }
     assemble(query, k, completionsK, topk, compl,
       (hits, ex, pf) =>

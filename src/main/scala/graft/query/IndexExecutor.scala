@@ -172,12 +172,19 @@ object IndexExecutor {
     */
   def topK(reader: IndexReader, query: String, k: Int,
            cache: IndexQueryCache): DataFrame =
-    Eval.topK(new CachedIndexAtomSource(reader, cache), query, k, QueryParams.Default)
+    topK(reader, query, k, QueryParams.Default, cache)
+
+  def topK(reader: IndexReader, query: String, k: Int, params: QueryParams,
+           cache: IndexQueryCache): DataFrame =
+    Eval.topK(new CachedIndexAtomSource(reader, cache), query, k, params)
 
   def completions(reader: IndexReader, query: String, k: Int,
                   cache: IndexQueryCache): DataFrame =
-    Eval.completions(new CachedIndexAtomSource(reader, cache), query, k,
-      QueryParams.Default)
+    completions(reader, query, k, QueryParams.Default, cache)
+
+  def completions(reader: IndexReader, query: String, k: Int,
+                  params: QueryParams, cache: IndexQueryCache): DataFrame =
+    Eval.completions(new CachedIndexAtomSource(reader, cache), query, k, params)
 
   def topK(reader: IndexReader, query: String, k: Int,
            bonuses: Boolean = false, bestMatchBonus: Double = 0.0): DataFrame =

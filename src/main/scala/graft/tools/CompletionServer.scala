@@ -9,13 +9,17 @@ import org.apache.spark.sql.SparkSession
   * no extra dependencies, the Spark session IS the backend.
   *
   * GET /?q=<query>[&h=<hits>][&c=<completions>][&er=<excerpt radius>]
-  *     [&callback=<fn>]
+  *     [&s=<4 agg chars>][&n=<a..b>][&callback=<fn>]
   * answers the reference-shaped JSON (`SearchResult.toJson`); `callback`
   * wraps it JSONP-style (QueryParameters formatDefault XML is not served
-  * -- JSON only, the reference's `format=json` mode). Queries run the FULL
-  * grammar off the block index through the serving-session history
-  * ([[graft.query.IndexQueryCache]]), so a typing stream of prefixes
-  * extends cached relations instead of re-scanning blocks.
+  * -- JSON only, the reference's `format=json` mode). `s=` sets the four
+  * word/doc score-aggregation knobs per request
+  * (QueryParameters.cpp:141-153, e.g. `s=SMSM`); `n=a..b` overrides the
+  * `..` neighbourhood (QueryParameters.cpp:12-13, e.g. `n=-3..3`).
+  * Queries run the FULL grammar off the block index through the
+  * serving-session history ([[graft.query.IndexQueryCache]]), so a typing
+  * stream of prefixes extends cached relations instead of re-scanning
+  * blocks.
   */
 object CompletionServer {
 
@@ -40,9 +44,16 @@ object CompletionServer {
             val k = params.get("h").map(_.toInt).getOrElse(10)
             val ck = params.get("c").map(_.toInt).getOrElse(10)
             val er = params.get("er").map(_.toInt).getOrElse(2)
+            val qp0 = params.get("s")
+              .map(graft.query.QueryParams.withAggChars(_))
+              .getOrElse(graft.query.QueryParams.Default)
+            val qp = params.get("n").map { n =>
+              val Array(a, b) = n.split("\\.\\.", 2)
+              qp0.copy(window = Some((a.toInt, b.toInt)))
+            }.getOrElse(qp0)
             val result = graft.api.Search.searchIndex(
               reader, q, k = k, completionsK = ck, excerptRadius = er,
-              cache = Some(cache))
+              cache = Some(cache), params = qp)
             val body = params.get("callback") match {
               case Some(cb) => s"$cb(${result.toJson})"
               case None => result.toJson

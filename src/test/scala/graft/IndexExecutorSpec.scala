@@ -148,6 +148,15 @@ class IndexExecutorSpec extends AnyFunSuite {
       assert(get("/")._1 === 400) // missing q
       val (cbCode, cbBody) = get("/?q=babbeln&callback=cb")
       assert(cbCode === 200 && cbBody.startsWith("cb({") && cbBody.endsWith(")"))
+      // per-request score algebra + window override (reference s= / n=)
+      import graft.query.QueryParams
+      val aggBody = get("/?q=aachen%20aal&s=SMSM")._2
+      assert(aggBody === graft.api.Search.searchIndex(reader, "aachen aal",
+        params = QueryParams.withAggChars("SMSM")).toJson)
+      val winBody = get("/?q=aachen..aargau&n=-1..1")._2
+      assert(winBody === graft.api.Search.searchIndex(reader, "aachen..aargau",
+        params = QueryParams(window = Some((-1, 1)))).toJson)
+      assert(winBody !== get("/?q=aachen..aargau")._2) // override changes hits
     } finally server.stop(0)
   }
 
