@@ -52,13 +52,21 @@ class IndexReader(val spark: SparkSession, val dir: String,
   lazy val docs: DataFrame = spark.read.parquet(s"$dir/docs")
 
   /** Whether the docs store (buildDocsDB analog) was built next to this
-    * index -- excerpt serving degrades gracefully without it.
+    * index -- excerpt serving degrades gracefully without it. Only a
+    * POSITIVE answer is memoized: a transient filesystem error (remote
+    * store timeout) must not permanently disable excerpts for a
+    * long-lived serving session.
     */
-  lazy val hasDocsStore: Boolean =
-    try {
-      val p = new org.apache.hadoop.fs.Path(s"$dir/docs")
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-    } catch { case _: Throwable => false }
+  @volatile private var docsStoreSeen = false
+  def hasDocsStore: Boolean = docsStoreSeen || {
+    val present =
+      try {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/docs")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      } catch { case _: Throwable => false }
+    if (present) docsStoreSeen = true
+    present
+  }
   private lazy val statsRow = spark.read.parquet(s"$dir/stats").head()
   lazy val nDocs: Long = statsRow.getAs[Long]("n_docs")
   lazy val avgdl: Double = statsRow.getAs[Double]("avgdl")

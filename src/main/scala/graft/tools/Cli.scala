@@ -39,7 +39,10 @@ object BuildIndexMain {
     val manifest = IndexBuilder.build(spark, corpus, outDir,
       numShards = shards, blockSize = blockSize)
     // buildDocsDB analog alongside (reference `make pall` builds docs.DB
-    // with the index): excerpts then serve from the index directory alone
+    // with the index): excerpts then serve from the index directory alone.
+    // NOTE: outDir is RESUMABLE like the index itself -- every committed
+    // artifact (_SUCCESS) is kept, so point a NEW corpus at a FRESH dir;
+    // reusing a dir across corpora would serve the old dir's artifacts.
     if (corpus.columns.contains("text"))
       IndexBuilder.buildDocsStore(spark, corpus, outDir)
     manifest.show(100, truncate = false)

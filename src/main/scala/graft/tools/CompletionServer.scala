@@ -35,37 +35,58 @@ object CompletionServer {
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress(port), 0)
     server.createContext("/", (exchange: com.sun.net.httpserver.HttpExchange) => {
-      val params = parseQueryString(
-        Option(exchange.getRequestURI.getRawQuery).getOrElse(""))
-      val response: (Int, String) = params.get("q") match {
-        case None | Some("") => (400, """{"error":"missing q parameter"}""")
-        case Some(q) =>
-          try {
-            val k = params.get("h").map(_.toInt).getOrElse(10)
-            val ck = params.get("c").map(_.toInt).getOrElse(10)
-            val er = params.get("er").map(_.toInt).getOrElse(2)
-            val qp0 = params.get("s")
-              .map(graft.query.QueryParams.withAggChars(_))
-              .getOrElse(graft.query.QueryParams.Default)
-            val qp = params.get("n").map { n =>
-              val Array(a, b) = n.split("\\.\\.", 2)
-              qp0.copy(window = Some((a.toInt, b.toInt)))
-            }.getOrElse(qp0)
-            val result = graft.api.Search.searchIndex(
-              reader, q, k = k, completionsK = ck, excerptRadius = er,
-              cache = Some(cache), params = qp)
-            val body = params.get("callback") match {
-              case Some(cb) => s"$cb(${result.toJson})"
-              case None => result.toJson
-            }
-            (200, body)
-          } catch {
-            case e: Throwable =>
-              (500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+      // (status, body, jsonp?) -- ALL request processing stays inside the
+      // try so malformed input (bad %-escape, non-numeric h=, n without
+      // '..', bad s= chars, hostile callback) is a 400, never a dropped
+      // connection or a fake 500
+      val response: (Int, String, Boolean) =
+        try {
+          val params = parseQueryString(
+            Option(exchange.getRequestURI.getRawQuery).getOrElse(""))
+          params.get("q") match {
+            case None | Some("") => (400, """{"error":"missing q parameter"}""", false)
+            case Some(q) =>
+              val k = params.get("h").map(_.toInt).getOrElse(10)
+              val ck = params.get("c").map(_.toInt).getOrElse(10)
+              val er = params.get("er").map(_.toInt).getOrElse(2)
+              val qp0 = params.get("s")
+                .map(graft.query.QueryParams.withAggChars(_))
+                .getOrElse(graft.query.QueryParams.Default)
+              val qp = params.get("n").map { n =>
+                n.split("\\.\\.", 2) match {
+                  case Array(a, b) => qp0.copy(window = Some((a.toInt, b.toInt)))
+                  case _ => throw new IllegalArgumentException(s"bad n window: $n")
+                }
+              }.getOrElse(qp0)
+              // JSONP callback restricted to identifier chars: the value is
+              // reflected into an executable response, so anything else is
+              // script injection
+              val cb = params.get("callback")
+              cb.foreach { c =>
+                if (!c.matches("[A-Za-z0-9_$.]+"))
+                  throw new IllegalArgumentException("invalid callback")
+              }
+              try {
+                val result = graft.api.Search.searchIndex(
+                  reader, q, k = k, completionsK = ck, excerptRadius = er,
+                  cache = Some(cache), params = qp)
+                cb match {
+                  case Some(c) => (200, s"$c(${result.toJson})", true)
+                  case None => (200, result.toJson, false)
+                }
+              } catch {
+                case e: Throwable => // backend fault, not client input
+                  (500, s"""{"error":"${e.getClass.getSimpleName}"}""", false)
+              }
           }
-      }
+        } catch {
+          case e: Throwable => // anything thrown by input handling
+            (400, s"""{"error":"bad request: ${e.getClass.getSimpleName}"}""", false)
+        }
       val bytes = response._2.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      exchange.getResponseHeaders.set("Content-Type", "application/json; charset=utf-8")
+      exchange.getResponseHeaders.set("Content-Type",
+        if (response._3) "application/javascript; charset=utf-8"
+        else "application/json; charset=utf-8")
       exchange.sendResponseHeaders(response._1, bytes.length)
       val os = exchange.getResponseBody
       try os.write(bytes) finally os.close()
@@ -74,12 +95,15 @@ object CompletionServer {
     server
   }
 
-  private[graft] def parseQueryString(raw: String): Map[String, String] =
+  private[graft] def parseQueryString(raw: String): Map[String, String] = {
+    def dec(s: String) =
+      java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
     raw.split('&').filter(_.nonEmpty).map { kv =>
       val i = kv.indexOf('=')
       val (k, v) = if (i < 0) (kv, "") else (kv.substring(0, i), kv.substring(i + 1))
-      k -> java.net.URLDecoder.decode(v, java.nio.charset.StandardCharsets.UTF_8)
+      dec(k) -> dec(v) // keys decode too: /?%71=spark is q=spark
     }.toMap
+  }
 }
 
 /** CLI entry: `CompletionServerMain <indexDir> [port]` (default 8181). */

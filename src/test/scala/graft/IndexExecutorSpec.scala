@@ -146,6 +146,10 @@ class IndexExecutorSpec extends AnyFunSuite {
       // typing extension served through the server's history
       assert(get("/?q=babbeln%20bab*")._1 === 200)
       assert(get("/")._1 === 400) // missing q
+      assert(get("/?q=spark&h=abc")._1 === 400) // bad number -> client error
+      assert(get("/?q=spark&n=3")._1 === 400) // malformed window
+      assert(get("/?q=spark&callback=x;alert(1)")._1 === 400) // JSONP injection
+      assert(get("/?%71=babbeln")._1 === 200) // percent-encoded key decodes
       val (cbCode, cbBody) = get("/?q=babbeln&callback=cb")
       assert(cbCode === 200 && cbBody.startsWith("cb({") && cbBody.endsWith(")"))
       // per-request score algebra + window override (reference s= / n=)
