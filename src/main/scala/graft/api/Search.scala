@@ -23,6 +23,38 @@ case class SearchResult(query: String, hits: Seq[Hit], completions: Seq[Completi
       s""""completions":{"sent":${completions.size},"c":[$cs]},""" +
       s""""hits":{"sent":${hits.size},"hit":[$hs]}}}"""
   }
+
+  /** Reference-shaped XML -- the reference's DEFAULT wire format
+    * (CompletionServer.cpp:1468-1594): `<result>` with `<query>`,
+    * `<status>`, `<completions sent=..>` of `<c sc dc oc>` elements and
+    * `<hits sent=.. first=..>` of `<hit score id>` elements carrying
+    * `<excerpt>`s. Elements we cannot fill (`<info>`/`<url>` need a hit
+    * title source; per-query log ids and timings live in the server) are
+    * omitted rather than faked.
+    */
+  def toXml(firstHit: Int = 0): String = {
+    def esc(s: String) = s.flatMap {
+      case '&' => "&amp;"; case '<' => "&lt;"; case '>' => "&gt;"
+      case '"' => "&quot;"; case c => c.toString
+    }
+    val sb = new StringBuilder
+    sb ++= "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\r\n<result>\r\n"
+    sb ++= s"<query>${esc(query)}</query>\r\n"
+    sb ++= "<status code=\"200\">OK</status>\r\n"
+    sb ++= s"""<completions sent="${completions.size}">\r\n"""
+    completions.foreach { c =>
+      sb ++= s"""<c sc="${c.score}" dc="${c.dc}" oc="${c.oc}">${esc(c.text)}</c>\r\n"""
+    }
+    sb ++= "</completions>\r\n"
+    sb ++= s"""<hits sent="${hits.size}" first="$firstHit">\r\n"""
+    hits.foreach { h =>
+      sb ++= s"""<hit score="${h.score}" id="${h.id}">\r\n"""
+      if (h.excerpt.nonEmpty) sb ++= s"<excerpt>${esc(h.excerpt)}</excerpt>\r\n"
+      sb ++= "</hit>\r\n"
+    }
+    sb ++= "</hits>\r\n</result>\r\n"
+    sb.toString
+  }
 }
 
 /** User-facing search facade: one call = parse -> evaluate -> top-k hits +
@@ -32,26 +64,34 @@ case class SearchResult(query: String, hits: Seq[Hit], completions: Seq[Completi
   */
 object Search {
 
+  /** Logical-path search. The full request surface rides in `params`:
+    * `firstHit` paginates the hit window, `rankDocs`/`rankWords` pick the
+    * orderings, `excerptsPerHit` the excerpt count (reference `f=`, `rd=`,
+    * `rw=`, `en=`; QueryParameters.cpp:290-305).
+    */
   def search(corpus: DataFrame, query: String, k: Int = 10,
-             completionsK: Int = 10, excerptRadius: Int = 2): SearchResult =
+             completionsK: Int = 10, excerptRadius: Int = 2,
+             params: graft.query.QueryParams = graft.query.QueryParams.Default): SearchResult =
     assemble(query, k, completionsK,
-      Executor.topK(corpus, query, k),
-      Executor.completions(corpus, query, completionsK),
-      (hits, ex, pf) => Excerpts.generate(corpus, hits, ex, pf, excerptRadius))
+      Executor.hits(corpus, query, k, params),
+      Executor.completions(corpus, query, completionsK, params),
+      (hits, ex, pf) =>
+        Excerpts.generateAll(corpus, hits, ex, pf, excerptRadius, params.excerptsPerHit))
 
   /** Physical-path variant: hits/completions from the block index, excerpt
     * text from its docs store; the corpus is never read. With `cache`, a
-    * serving session's atoms resolve through the history
-    * ([[graft.query.IndexQueryCache]]): prefix extensions filter cached
-    * relations instead of re-scanning blocks.
+    * serving session's atoms resolve through that explicit history;
+    * without one they route through the process default
+    * ([[graft.query.QueryHistory.default]]) -- prefix extensions filter
+    * cached relations instead of re-scanning blocks either way.
     */
   def searchIndex(reader: graft.index.IndexReader, query: String, k: Int = 10,
                   completionsK: Int = 10, excerptRadius: Int = 2,
                   cache: Option[graft.query.IndexQueryCache] = None,
                   params: graft.query.QueryParams = graft.query.QueryParams.Default): SearchResult = {
     val topk = cache match {
-      case Some(c) => graft.query.IndexExecutor.topK(reader, query, k, params, c)
-      case None => graft.query.IndexExecutor.topK(reader, query, k, params)
+      case Some(c) => graft.query.IndexExecutor.hits(reader, query, k, params, c)
+      case None => graft.query.IndexExecutor.hits(reader, query, k, params)
     }
     // stays by-name through assemble: completions plan (and its candidate
     // round-trips) only builds when the last part is a prefix
@@ -66,7 +106,8 @@ object Search {
         // no docs store built next to this index -> hits without excerpts
         // (the reference server likewise needs docs.DB for excerpts)
         if (reader.hasDocsStore)
-          Excerpts.generate(reader.docs, hits, ex, pf, excerptRadius)
+          Excerpts.generateAll(reader.docs, hits, ex, pf, excerptRadius,
+            params.excerptsPerHit)
         else hits.sparkSession.emptyDataFrame
           .select(org.apache.spark.sql.functions.lit(0L).as("doc_id"),
             org.apache.spark.sql.functions.lit("").as("excerpt"))

@@ -270,9 +270,22 @@ object IndexBuilder {
       .sortWithinPartitions(col("term_id"), col("doc_id"))
       .as[(Long, Long, Long, Array[Int], Long)]
 
+    encodeBlocks(sorted, avgdl, blockSize, bucketSize.toLong)
+  }
+
+  /** Stream per-partition sorted (term_id, doc_id, tf, positions, dl) runs
+    * into encoded posting blocks of <= blockSize postings. The ONE block
+    * encoder: the batch shards and the streaming delta shards
+    * ([[graft.streaming.StreamingIndexer]]) both call it, so codec/framing
+    * changes cannot drift between the two write paths.
+    */
+  private[graft] def encodeBlocks(
+      sorted: Dataset[(Long, Long, Long, Array[Int], Long)],
+      avgdl: Double, blockSize: Int, bucketSize: Long): Dataset[PostingBlock] = {
+    import sorted.sparkSession.implicits._
     val k1 = Analysis.K1
     val b = Analysis.B
-    val blocks = sorted.mapPartitions { it =>
+    sorted.mapPartitions { it =>
       val partId = org.apache.spark.TaskContext.getPartitionId()
       new Iterator[PostingBlock] {
         private val buf = it.buffered
@@ -308,7 +321,5 @@ object IndexBuilder {
         }
       }
     }
-
-    blocks
   }
 }

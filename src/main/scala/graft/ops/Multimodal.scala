@@ -3,25 +3,28 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** Decoded-media metadata produced by the (stubbed) decoder. */
+/** Decoded-media metadata produced by the decoder. */
 case class MediaMeta(url: String, n_bytes: Long, width: Int, height: Int,
                      n_frames: Int, format: String)
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, decoded in batched partition functions.
   *
-  * The Spark-side plumbing is real and tested: schema, partition-level
-  * batching (the Scala analog of `mapInPandas` batch shape), deterministic
-  * output. The decode itself is a clearly-marked STUB -- no image/audio
-  * libraries exist in this container -- producing deterministic fake
-  * dimensions from the payload bytes so tests and oracles are stable.
-  * Swapping in a real decoder changes only the body of [[stubDecode]].
+  * The image path is REAL end to end: [[withPayload]] synthesizes genuine
+  * PNG files (deterministic, size-predictable -- see [[makePng]]) for half
+  * the corpus, and [[decodeMeta]] decodes them with the JDK's
+  * `javax.imageio` -- a header-only metadata read (ImageReader.getWidth/
+  * getHeight without pixel decode), the shape that scales to payloads far
+  * larger than these. Payloads no installed codec recognizes (the "video"
+  * half) fall through to the clearly-marked [[stubDecode]] -- no video
+  * libraries exist in this container; swapping in a real one changes only
+  * that function.
   */
 object Multimodal {
 
-  /** STUB decoder: deterministic fake metadata from payload length and
-    * first payload byte. Replace with a real codec (e.g. javax.imageio /
-    * ffmpeg bindings) in production; signature and batching stay.
+  /** STUB decoder for non-image payloads: deterministic fake metadata from
+    * payload length and first payload byte. Replace with a real codec
+    * (e.g. ffmpeg bindings) in production; signature and batching stay.
     */
   def stubDecode(payload: Array[Byte]): (Int, Int, Int, String) = {
     val n = if (payload == null) 0 else payload.length
@@ -33,26 +36,120 @@ object Multimodal {
     (width, height, frames, fmt)
   }
 
-  /** Attach a synthetic binary payload column (the corpus html bytes) --
-    * stands in for a real media column in the input table.
+  /** A minimal, deterministic PNG: 8-bit RGB, all-black, ONE stored
+    * (uncompressed) deflate block. Every byte is a pure function of
+    * (width, height), and the total size is closed-form:
+    *
+    *   raw     = height * (1 + 3 * width)        (filter byte + RGB row)
+    *   n_bytes = 68 + raw
+    *     = 8 (signature) + 25 (IHDR) + 12 + [2 zlib hdr + 5 stored-block
+    *       hdr + raw + 4 adler] (IDAT) + 12 (IEND)
+    *
+    * so the DuckDB oracle can predict the file size exactly while the
+    * Spark side decodes the REAL file. Requires raw <= 65535 (one stored
+    * block), i.e. the 64x64 synthetic dimension cap.
     */
-  def withPayload(corpus: DataFrame): DataFrame =
-    corpus.select(col("url"), col("html").as("payload"))
+  def makePng(width: Int, height: Int): Array[Byte] = {
+    require(width >= 1 && height >= 1, "png dims must be positive")
+    val raw = new Array[Byte](height * (1 + 3 * width)) // zero-filled: filter 0 + black pixels
+    require(raw.length <= 65535, "raw scanlines must fit one stored deflate block")
+    val out = new java.io.ByteArrayOutputStream(68 + raw.length)
+    val d = new java.io.DataOutputStream(out)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      d.writeInt(data.length)
+      val tb = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      d.write(tb); d.write(data); d.writeInt(crc.getValue.toInt)
+    }
+    d.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type: truecolor RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, filter 0, no interlace
+    chunk("IHDR", ihdr.array())
+    val idat = java.nio.ByteBuffer.allocate(11 + raw.length)
+      .put(0x78.toByte).put(0x01.toByte) // zlib CMF/FLG (32K window, check ok)
+      .put(0x01.toByte)                  // final stored block
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(raw.length.toShort).putShort((~raw.length & 0xffff).toShort)
+      .put(raw)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    val adler = new java.util.zip.Adler32()
+    adler.update(raw)
+    idat.putInt(adler.getValue.toInt)
+    chunk("IDAT", idat.array())
+    chunk("IEND", Array.emptyByteArray)
+    d.flush()
+    out.toByteArray
+  }
+
+  /** Header-only image metadata via javax.imageio: (width, height, format)
+    * if any installed ImageReader recognizes the payload (PNG/JPEG/GIF/BMP
+    * in a stock JDK). Reads ONLY the header -- no pixel decode, no temp
+    * files -- so per-row cost is independent of image size.
+    */
+  def imageMeta(payload: Array[Byte]): Option[(Int, Int, String)] = {
+    if (payload == null || payload.length == 0) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          Some((r.getWidth(0), r.getHeight(0), r.getFormatName.toLowerCase))
+        } finally r.dispose()
+      }
+    } finally iis.close()
+  }
+
+  /** Attach the synthetic binary media column: even-length html rows carry
+    * a REAL PNG (dimensions derived from the html length, so the oracle
+    * can predict what the real decoder will read), odd-length rows carry
+    * the raw html bytes standing in for an undecodable video payload.
+    */
+  def withPayload(corpus: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col("url"), col("html"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // never spill headers to temp files
+        it.map { case (url, html) =>
+          val n = if (html == null) 0 else html.length
+          val payload =
+            if (n % 2 == 0) makePng((n % 64) + 1, ((n / 64) % 64) + 1)
+            else html
+          (url, payload)
+        }
+      }.toDF("url", "payload")
+  }
 
   /** Batched decode over partitions: iterator-in/iterator-out with an
     * explicit batch size, mirroring mapInPandas batch semantics. Narrow
-    * (no shuffle); scales linearly with input splits.
+    * (no shuffle); scales linearly with input splits. Real codecs first
+    * ([[imageMeta]]); stub for the rest.
     */
   def decodeMeta(corpus: DataFrame, batchSize: Int = 256): Dataset[MediaMeta] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     withPayload(corpus).as[(String, Array[Byte])]
       .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
         it.grouped(batchSize).flatMap { batch =>
           // batch boundary = where a vectorized decoder would run once
           batch.iterator.map { case (url, payload) =>
-            val (w, h, f, fmt) = stubDecode(payload)
-            MediaMeta(url, if (payload == null) 0L else payload.length.toLong, w, h, f, fmt)
+            val nBytes = if (payload == null) 0L else payload.length.toLong
+            imageMeta(payload) match {
+              case Some((w, h, fmt)) => MediaMeta(url, nBytes, w, h, 1, fmt)
+              case None =>
+                val (w, h, f, fmt) = stubDecode(payload)
+                MediaMeta(url, nBytes, w, h, f, fmt)
+            }
           }
         }
       }

@@ -21,33 +21,25 @@ trait AtomSource {
     */
   def atomScored(atom: Atom): DataFrame
 
-  /** [[atomScored]], resolved ONCE per atom per source instance and
-    * persisted: a query references most atoms 2-3 times (doc-score
-    * aggregate, exploded positions, window chaining) and on the physical
-    * path each un-memoized reference is a separate pruned-scan + decode
-    * subplan. Spill-safe (MEMORY_AND_DISK).
+  /** [[atomScored]], resolved ONCE per atom per source instance: a query
+    * references most atoms 2-3 times (doc-score aggregate, exploded
+    * positions, window chaining); the memo guarantees all references share
+    * ONE DataFrame object, so a history-persisted relation is decoded once
+    * per query.
     *
-    * Lifecycle: SQL-cached plans are NOT reaped by the ContextCleaner,
-    * and unpersisting asynchronously (GC-timed) while a query may still
-    * be executing corrupts results (measured -- a Cleaner-based reaper
-    * produced intermittent wrong answers under concurrency). So the
-    * per-query persists draw from a bounded PROCESS budget
-    * ([[AtomSource.MaxProcessPersists]]): once a long-running session has
-    * that many distinct atom relations pinned, further atoms are served
-    * unpersisted (correct, re-decoded per reference) and a warning is
-    * logged once. A serving session that wants unbounded warm atoms uses
-    * [[IndexQueryCache]], whose LRU releases entries DETERMINISTICALLY.
+    * Lifecycle: this memo never persists. Persistence of atom relations is
+    * owned EXCLUSIVELY by [[IndexQueryCache]] (the serving history every
+    * facade routes through by default -- [[QueryHistory.default]]), whose
+    * eviction is deterministic LRU under an entry cap and byte budget.
+    * SQL-cached plans are not reaped by the ContextCleaner, and both
+    * asynchronous GC-timed unpersists (measured: corrupted in-flight
+    * queries) and a one-way process persist budget (round 3: memoization
+    * silently died after the budget drained) were tried and rejected; a
+    * single deterministic owner is the only lifecycle that stays correct
+    * AND bounded over an unbounded query stream.
     */
   final def atomScoredCached(atom: Atom): DataFrame =
-    scoredMemo.computeIfAbsent(atom, a => {
-      val df = atomScored(a)
-      // a relation that arrives already persisted is owned elsewhere (the
-      // serving-session IndexQueryCache) -- leave its lifecycle alone
-      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE &&
-          AtomSource.tryAcquirePersistBudget())
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df
-    })
+    scoredMemo.computeIfAbsent(atom, a => atomScored(a))
 
   private val scoredMemo =
     new java.util.concurrent.ConcurrentHashMap[Atom, DataFrame]()
@@ -68,29 +60,6 @@ trait AtomSource {
 
   protected def vocabContains(w: String): Boolean
   protected def closestVocabWord(w: String, thr: Int): Option[String]
-}
-
-object AtomSource {
-  /** Process-wide cap on per-query atom-relation persists (see
-    * [[AtomSource.atomScoredCached]]): a backstop against unbounded
-    * executor-storage growth in a session that answers many distinct
-    * queries WITHOUT a serving cache. 1024 relations of a few MB each is
-    * far above any test/bench; production serving uses IndexQueryCache.
-    */
-  val MaxProcessPersists = 1024
-  private val persistCount = new java.util.concurrent.atomic.AtomicInteger(0)
-  @volatile private var warned = false
-
-  private[query] def tryAcquirePersistBudget(): Boolean = {
-    val ok = persistCount.incrementAndGet() <= MaxProcessPersists
-    if (!ok && !warned) {
-      warned = true
-      System.err.println(s"[graft] process persist budget ($MaxProcessPersists " +
-        "atom relations) exhausted; further atoms run unpersisted -- use an " +
-        "IndexQueryCache for a long-running serving session")
-    }
-    ok
-  }
 }
 
 /** Logical-path source: predicates over the cached doc-term relation.
@@ -137,6 +106,21 @@ class CorpusAtomSource(corpus: DataFrame, normVariants: Boolean = false)
       .limit(1).collect().headOption.map(_.getString(0))
 }
 
+/** [[CorpusAtomSource]] with the serving history in front: the logical
+  * path's analog of [[CachedIndexAtomSource]]. Entries are keyed by corpus
+  * INSTANCE ([[QueryHistory.corpusId]]) -- a serving session holds one
+  * corpus DataFrame and shares atom relations across its whole query
+  * stream; distinct corpus objects never share rows (two in-memory corpora
+  * with identical schemas must not collide).
+  */
+class CachedCorpusAtomSource(corpus: DataFrame, normVariants: Boolean,
+                             cache: IndexQueryCache)
+    extends CorpusAtomSource(corpus, normVariants) {
+  private val key = s"corpus:${QueryHistory.corpusId(corpus)}:$normVariants"
+  override def atomScored(atom: Atom): DataFrame =
+    cache.atomScored(key, 0L, atom, super.atomScored)
+}
+
 object CorpusAtomSource {
 
   def atomPredicate(atom: Atom): Column = atom match {
@@ -180,6 +164,22 @@ object Eval {
     case _ => false
   }
 
+  /** The atom's scored relation with fuzzy damping applied (reference:
+    * `fd=` fuzzyDamping, CompleterBase.TopK.cpp:754 -- fuzzy-matched
+    * scores multiplied by the damping factor). The damping multiplies the
+    * SHARED cached relation's columns plan-side, so one undamped history
+    * entry serves every fd value (the reference History instead treats a
+    * differing fuzzyDamping as cache-incompatible, CompleterBase.cpp:
+    * 1125-1139 -- a whole-result re-compute we avoid).
+    */
+  private def dampedScored(src: AtomSource, a: Atom, params: QueryParams): DataFrame = {
+    val base = src.atomScoredCached(a)
+    val isFuzzy = a match { case w: Word => w.fuzzy; case _ => false }
+    if (!isFuzzy || params.fuzzyDamping >= 1.0) base
+    else base.withColumn("score", col("score") * params.fuzzyDamping)
+      .withColumn("score1", col("score1") * params.fuzzyDamping)
+  }
+
   /** Back-compat entry: bonuses=true is partsAgg = SumWithBonus. */
   def evalDocs(src: AtomSource, q: ParsedQuery, bonuses: Boolean = false,
                bestMatchBonus: Double = 0.0): DataFrame =
@@ -219,7 +219,7 @@ object Eval {
       }
 
     def aggScores(a: Atom, bm: Double): DataFrame = {
-      val base = src.atomScoredCached(a)
+      val base = dampedScored(src, a, params)
       val bw = if (bm == 0.0) None else src.bestMatchWord(a)
       bw match {
         case Some(w) => base.groupBy(col("doc_id"))
@@ -308,9 +308,30 @@ object Eval {
       bestMatchBonus = bestMatchBonus))
 
   def topK(src: AtomSource, query: String, k: Int, params: QueryParams): DataFrame =
-    evalDocs(src, QueryParser.parse(query, params.normalizeWords), params)
-      .orderBy(col("score").desc, col("doc_id").asc)
-      .limit(k)
+    hits(src, query, k, params)
+
+  /** Hits under the full request surface: `rd=` rank mode + sort order
+    * (RANK_DOCS_BY_SCORE / RANK_DOCS_BY_DOC_ID, QueryParameters.h:92-101)
+    * and `f=` first hit (pagination): rows [firstHit, firstHit + k) of the
+    * TOTAL order -- the offset is applied to the same global sort the
+    * un-paginated query uses, so page boundaries are consistent
+    * (reference: nofTopHitsToCompute = max(f + h, min), then send from f).
+    * Catalyst plans sort + offset + limit as one TakeOrdered of
+    * firstHit + k rows -- the driver never holds more than one page extra.
+    */
+  def hits(src: AtomSource, query: String, k: Int, params: QueryParams): DataFrame = {
+    val docs = evalDocs(src, QueryParser.parse(query, params.normalizeWords), params)
+    val ordered = params.rankDocs match {
+      case "doc" =>
+        if (params.sortDocsAsc.getOrElse(true)) docs.orderBy(col("doc_id").asc)
+        else docs.orderBy(col("doc_id").desc)
+      case _ => // score; doc_id asc tiebreak keeps the order total
+        if (params.sortDocsAsc.getOrElse(false))
+          docs.orderBy(col("score").asc, col("doc_id").asc)
+        else docs.orderBy(col("score").desc, col("doc_id").asc)
+    }
+    (if (params.firstHit > 0) ordered.offset(params.firstHit) else ordered).limit(k)
+  }
 
   /** Completions of the last part within the docs matching the whole query
     * (computeTopCompletions over the final result).
@@ -331,13 +352,28 @@ object Eval {
       if (params.wordSameDocAgg == QueryParams.Max) col("score1") else col("score")
     val acrossDocs =
       if (params.wordDiffDocsAgg == QueryParams.Max) max(perDoc) else sum(perDoc)
-    src.atomScoredCached(parsed.parts.last.atom)
+    val base = dampedScored(src, parsed.parts.last.atom, params)
       .join(docs, Seq("doc_id"), "left_semi")
       .groupBy(col("term"))
       .agg(round(acrossDocs, 4).as("score"),
         count(lit(1)).as("dc"), sum(col("tf")).as("oc"))
-      .orderBy(col("score").desc, col("term").asc)
-      .limit(k)
+    // `rw=` completion rank mode + sort order (RANK_WORDS_BY_*,
+    // QueryParameters.h:103-113); term asc tiebreak keeps the order total
+    val ordered = params.rankWords match {
+      case "dc" =>
+        if (params.sortWordsAsc.getOrElse(false)) base.orderBy(col("dc").asc, col("term").asc)
+        else base.orderBy(col("dc").desc, col("term").asc)
+      case "oc" =>
+        if (params.sortWordsAsc.getOrElse(false)) base.orderBy(col("oc").asc, col("term").asc)
+        else base.orderBy(col("oc").desc, col("term").asc)
+      case "word" => // dense word ids are lexicographic: word-id order IS term order
+        if (params.sortWordsAsc.getOrElse(true)) base.orderBy(col("term").asc)
+        else base.orderBy(col("term").desc)
+      case _ =>
+        if (params.sortWordsAsc.getOrElse(false)) base.orderBy(col("score").asc, col("term").asc)
+        else base.orderBy(col("score").desc, col("term").asc)
+    }
+    ordered.limit(k)
   }
 
   /** Join block [q1#q2]: completions of the two sides' last parts that

@@ -40,16 +40,25 @@ object Executor {
       if (math.abs(n) == 1) 16.0 else if (math.abs(n) < 10) 8.0 else 0.0
   }
 
+  /** Atom source for a corpus: routed through the process serving history
+    * ([[QueryHistory.default]]) so atom relations persist under ONE
+    * deterministic LRU/byte-budget owner -- every facade entry point is
+    * history-backed (reference: every query answers through the one
+    * process History, CompleterBase.cpp:1106-1266).
+    */
+  private def src(corpus: DataFrame, normVariants: Boolean = false): AtomSource =
+    new CachedCorpusAtomSource(corpus, normVariants, QueryHistory.default)
+
   def evalDocs(corpus: DataFrame, q: ParsedQuery): DataFrame =
-    Eval.evalDocs(new CorpusAtomSource(corpus), q)
+    Eval.evalDocs(src(corpus), q)
 
   def evalDocs(corpus: DataFrame, q: ParsedQuery, bonuses: Boolean): DataFrame =
-    Eval.evalDocs(new CorpusAtomSource(corpus), q, bonuses)
+    Eval.evalDocs(src(corpus), q, bonuses)
 
   /** Top-k hits: total order (score desc, doc_id asc). */
   def topK(corpus: DataFrame, query: String, k: Int, bonuses: Boolean = false,
            bestMatchBonus: Double = 0.0): DataFrame =
-    Eval.topK(new CorpusAtomSource(corpus), query, k, bonuses, bestMatchBonus)
+    Eval.topK(src(corpus), query, k, bonuses, bestMatchBonus)
 
   /** Top-k under the full score-aggregation algebra / per-query knobs.
     * params.normalizeWords turns on BOTH the query rewrite and the
@@ -57,14 +66,17 @@ object Executor {
     * an index built with normVariants=true).
     */
   def topK(corpus: DataFrame, query: String, k: Int, params: QueryParams): DataFrame =
-    Eval.topK(new CorpusAtomSource(corpus, params.normalizeWords), query, k, params)
+    Eval.topK(src(corpus, params.normalizeWords), query, k, params)
+
+  /** Hits under the full request surface (`rd=`/`f=`; [[Eval.hits]]). */
+  def hits(corpus: DataFrame, query: String, k: Int, params: QueryParams): DataFrame =
+    Eval.hits(src(corpus, params.normalizeWords), query, k, params)
 
   /** Completions of the last part within the docs matching the whole query. */
   def completions(corpus: DataFrame, query: String, k: Int): DataFrame =
-    Eval.completions(new CorpusAtomSource(corpus), query, k)
+    Eval.completions(src(corpus), query, k)
 
   def completions(corpus: DataFrame, query: String, k: Int,
                   params: QueryParams): DataFrame =
-    Eval.completions(new CorpusAtomSource(corpus, params.normalizeWords),
-      query, k, params)
+    Eval.completions(src(corpus, params.normalizeWords), query, k, params)
 }

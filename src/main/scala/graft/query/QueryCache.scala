@@ -1,7 +1,7 @@
 package graft.query
 
 import graft.core.Analysis
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Result cache / history (reference: History.h:25-110 -- byte-budgeted
@@ -10,25 +10,27 @@ import org.apache.spark.sql.functions._
   * filtering the cached postings of `schedu*` instead of touching the
   * index).
   *
-  * Spark translation: an LRU of query string -> persisted Dataset. The
-  * filtering fast path re-filters the cached matched doc-term relation by
-  * the narrower term range -- no re-scan, no re-tokenize; Catalyst plans a
-  * filter over the in-memory relation.
+  * Spark translation: an LRU of query string -> persisted Dataset, evicted
+  * by BOTH an entry cap and a byte budget (reference: HISTORY_MAX_SIZE,
+  * Globals.cpp -- the history owns a bounded number of BYTES, not entries;
+  * 200 cached `a*`-sized relations is unbounded memory at production
+  * scale). Entry sizes are measured once at insert from the materialized
+  * relation (see [[QueryHistory.estimateBytes]]). The filtering fast path
+  * re-filters the cached matched doc-term relation by the narrower term
+  * range -- no re-scan, no re-tokenize; Catalyst plans a filter over the
+  * in-memory relation.
   */
-class QueryCache(maxEntries: Int = 200) {
+class QueryCache(maxEntries: Int = 200,
+                 maxBytes: Long = QueryHistory.DefaultMaxBytes) {
 
-  private case class Entry(prefix: String, matched: DataFrame)
-  private val lru = new java.util.LinkedHashMap[String, Entry](16, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[String, Entry]): Boolean = {
-      val evict = size() > maxEntries
-      if (evict) e.getValue.matched.unpersist()
-      evict
-    }
-  }
+  private case class Entry(prefix: String, matched: DataFrame, bytes: Long)
+  private val lru = new java.util.LinkedHashMap[String, Entry](16, 0.75f, true)
+  private var totalBytes = 0L
 
   var hits = 0L
   var filteredHits = 0L
   var misses = 0L
+  var evictions = 0L
 
   /** Matched doc-term relation for a prefix query, via cache:
     * exact hit, or filter of any cached shorter prefix, or compute+persist.
@@ -47,15 +49,41 @@ class QueryCache(maxEntries: Int = 200) {
     val matched =
       if (best != null) {
         filteredHits += 1
+        // refresh the base entry's recency: deriving from it is an access,
+        // and the access-ordered LRU must not evict the hottest base prefix
+        // next (in-flight-unpersist hazard -- see class doc)
+        lru.get(best.prefix)
         best.matched.filter(col("term").startsWith(prefix))
       } else {
         misses += 1
         Analysis.docTerms(corpus).toDF().filter(col("term").startsWith(prefix))
       }
     val persisted = matched.persist()
-    lru.put(prefix, Entry(prefix, persisted))
+    val bytes = QueryHistory.estimateBytes(persisted)
+    lru.put(prefix, Entry(prefix, persisted, bytes))
+    totalBytes += bytes
+    evictOverBudget()
     persisted
   }
+
+  /** Evict least-recently-used entries while over the entry cap or byte
+    * budget; the just-inserted (youngest) entry is never the victim, so a
+    * single oversized relation stays cached alone rather than thrashing.
+    */
+  private def evictOverBudget(): Unit = {
+    val it = lru.entrySet().iterator()
+    while ((lru.size > maxEntries || totalBytes > maxBytes) && lru.size > 1) {
+      val eldest = it.next()
+      eldest.getValue.matched.unpersist()
+      totalBytes -= eldest.getValue.bytes
+      evictions += 1
+      it.remove()
+    }
+  }
+
+  /** Current estimated cached bytes (spec hook). */
+  def cachedBytes: Long = synchronized(totalBytes)
+  def size: Int = synchronized(lru.size)
 
   /** Re-top-k from the cached matched relation under a (possibly new) k
     * and rank mode -- the reference's History fast path when only the
@@ -91,7 +119,82 @@ class QueryCache(maxEntries: Int = 200) {
   def clear(): Unit = synchronized {
     lru.values().forEach(_.matched.unpersist())
     lru.clear()
-    hits = 0; filteredHits = 0; misses = 0
+    totalBytes = 0
+    hits = 0; filteredHits = 0; misses = 0; evictions = 0
+  }
+}
+
+/** Process-wide serving history and its helpers.
+  *
+  * The reference runs ONE History per server process (History.h:25-77;
+  * StartCompletionServer allocates it once); every query entry point --
+  * with or without an explicit cache argument -- answers through it. The
+  * Spark analog: [[QueryHistory.default]] is the one deterministic owner
+  * of persisted atom relations for every facade ([[Executor]],
+  * [[IndexExecutor]], [[graft.api.Search]]) that is not handed an explicit
+  * [[IndexQueryCache]]. There is deliberately NO other persist path in the
+  * query engine (the round-3 one-way process persist budget is deleted):
+  * eviction is always the history's LRU + byte budget, so a long-lived
+  * serving session's executor storage is bounded and decode-once
+  * memoization never silently dies.
+  */
+object QueryHistory {
+
+  /** Reference History byte budget default (Globals.cpp: HISTORY_MAX_SIZE,
+    * 32 MB). Explicit caches default to this.
+    */
+  val DefaultMaxBytes: Long = 32L << 20
+
+  /** The process-wide default history. Sized above the class default
+    * (serving boxes are larger than the 2008 reference default; override
+    * with -Dgraft.history.maxBytes / -Dgraft.history.maxEntries).
+    */
+  lazy val default: IndexQueryCache = new IndexQueryCache(
+    maxEntries = sys.props.getOrElse("graft.history.maxEntries", "200").toInt,
+    maxBytes = sys.props.getOrElse("graft.history.maxBytes", (256L << 20).toString).toLong)
+
+  /** Stable per-object ids for corpus DataFrames: the logical path keys
+    * its history entries by corpus INSTANCE (a serving session holds one
+    * corpus DataFrame), never by plan equality -- two in-memory corpora
+    * with identical schemas must not share cache rows, and
+    * System.identityHashCode alone can collide. Strong keys: the map holds
+    * plan-sized objects, bounded by the number of distinct corpus frames a
+    * process creates.
+    */
+  private val corpusIds = new java.util.IdentityHashMap[AnyRef, java.lang.Long]()
+  private val nextCorpusId = new java.util.concurrent.atomic.AtomicLong(0L)
+  def corpusId(corpus: AnyRef): Long = corpusIds.synchronized {
+    val existing = corpusIds.get(corpus)
+    if (existing != null) existing
+    else {
+      val id = nextCorpusId.incrementAndGet()
+      corpusIds.put(corpus, id)
+      id
+    }
+  }
+
+  /** Estimated logical bytes of a (persisted) relation: one aggregation
+    * job over the cached data summing per-column sizes (fixed-width types
+    * by their default size, strings/binary/arrays by measured length).
+    * The analog of the reference History recording each QueryResult's
+    * buffer size (History.h:61-77); runs on the in-memory relation the
+    * query was about to materialize anyway.
+    */
+  def estimateBytes(df: DataFrame): Long = {
+    import org.apache.spark.sql.types._
+    val perRow: Seq[Column] = df.schema.fields.toSeq.map { f =>
+      f.dataType match {
+        case StringType | BinaryType =>
+          coalesce(length(col(f.name)).cast("long"), lit(0L)) + lit(16L)
+        case at: ArrayType =>
+          greatest(coalesce(size(col(f.name)).cast("long"), lit(0L)), lit(0L)) *
+            lit(at.elementType.defaultSize.toLong) + lit(16L)
+        case dt => lit(dt.defaultSize.toLong)
+      }
+    }
+    val sumCol = perRow.reduceOption(_ + _).getOrElse(lit(0L))
+    val row = df.agg(sum(sumCol).as("bytes")).head()
+    if (row.isNullAt(0)) 0L else row.getLong(0)
   }
 }
 
@@ -99,56 +202,62 @@ class QueryCache(maxEntries: Int = 200) {
   * copyAndFilter, CompleterBase.cpp:2435-2504, which the reference applies
   * to index results -- the HYB blocks are only touched when no history
   * entry can be filtered): an LRU of atom -> persisted scored posting
-  * relation. A prefix atom extending a cached one (`schedul*` after
-  * `schedu*`) -- or an exact word under a cached prefix -- is answered by
-  * FILTERING the cached in-memory relation: zero block locate/decode jobs.
-  * Scores stay correct because BM25 is per-(doc, term) with global df,
-  * unchanged by narrowing the term set.
+  * relation, bounded by entry count AND a byte budget (History's
+  * HISTORY_MAX_SIZE). A prefix atom extending a cached one (`schedul*`
+  * after `schedu*`) -- or an exact word under a cached prefix -- is
+  * answered by FILTERING the cached in-memory relation: zero block
+  * locate/decode jobs. Scores stay correct because BM25 is per-(doc, term)
+  * with global df, unchanged by narrowing the term set.
   *
-  * One instance per (reader, epoch) serving session; entries are persisted
-  * Datasets (MEMORY_AND_DISK), unpersisted on evict. Eviction is the ONE
-  * deliberate unpersist in the query path: it is deterministic (capacity
-  * overflow, least-recently-used entry) -- asynchronous GC-timed reaping
-  * was tried and rejected because unpersisting a SQL-cached plan while a
-  * query may still be executing corrupted results (see
-  * AtomSource.atomScoredCached). An LRU victim is by construction the
-  * entry least likely to be referenced by an in-flight query.
+  * Entries are persisted Datasets (MEMORY_AND_DISK), measured once at
+  * insert ([[QueryHistory.estimateBytes]]) and unpersisted on evict.
+  * Eviction is the ONE deliberate unpersist in the query path: it is
+  * deterministic (capacity/byte overflow, least-recently-used entry) --
+  * asynchronous GC-timed reaping was tried and rejected because
+  * unpersisting a SQL-cached plan while a query may still be executing
+  * corrupted results. An LRU victim is by construction the entry least
+  * likely to be referenced by an in-flight query.
   */
-class IndexQueryCache(maxEntries: Int = 200) {
+class IndexQueryCache(maxEntries: Int = 200,
+                      maxBytes: Long = QueryHistory.DefaultMaxBytes) {
   import QueryParser._
 
-  /** Entries are keyed by (index dir, index epoch, atom): one cache can
-    * safely serve several readers / survive a rebuild into the same dir
-    * without serving another index's postings.
+  /** Entries are keyed by (index dir | corpus id, index epoch, atom): one
+    * cache safely serves several readers / corpora / survives a rebuild
+    * into the same dir without serving another index's postings.
     */
   private type Key = (String, Long, Atom)
-  private val lru = new java.util.LinkedHashMap[Key, DataFrame](16, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[Key, DataFrame]): Boolean = {
-      val evict = size() > maxEntries
-      if (evict) e.getValue.unpersist()
-      evict
-    }
-  }
+  /** owned = this cache persisted the relation and may unpersist it on
+    * evict. A relation can arrive already SQL-cached (Spark's cache
+    * manager is keyed by semantic plan, so a semantically-equal relation
+    * persisted elsewhere shares one cache entry): its bytes still count
+    * against the budget (the entry pins that much storage) but eviction
+    * must not unpersist what another owner may still serve.
+    */
+  private case class Entry(df: DataFrame, bytes: Long, owned: Boolean)
+  private val lru = new java.util.LinkedHashMap[Key, Entry](16, 0.75f, true)
+  private var totalBytes = 0L
 
   var hits = 0L
   var filteredHits = 0L
   var misses = 0L
+  var evictions = 0L
 
   /** Scored relation for `atom`: exact hit, filter of a cached broader
     * prefix, or compute (+persist).
     *
-    * The monitor guards only map lookups/puts -- `compute` runs blocking
-    * driver jobs (block locate round-trips) and MUST NOT serialize a
-    * serving session's unrelated queries behind one miss. Two threads
+    * The monitor guards only map lookups/puts -- `compute`, persist and
+    * the size measurement run blocking driver jobs and MUST NOT serialize
+    * a serving session's unrelated queries behind one miss. Two threads
     * missing the same atom concurrently may both compute; the loser's
-    * (never-persisted) plan is discarded.
+    * relation (never returned to anyone) is unpersisted and discarded.
     */
   def atomScored(dir: String, epoch: Long, atom: Atom,
                  compute: Atom => DataFrame): DataFrame = {
     val key = (dir, epoch, atom)
-    val fast: Either[Unit, DataFrame] = synchronized {
+    val fast: Either[Option[DataFrame], DataFrame] = synchronized {
       val exact = lru.get(key)
-      if (exact != null) { hits += 1; Right(exact) }
+      if (exact != null) { hits += 1; Right(exact.df) }
       else {
         // copyAndFilter: the narrowing predicate for `atom` under a cached
         // broader prefix entry, if either is expressible (plan-only, no jobs)
@@ -160,48 +269,80 @@ class IndexQueryCache(maxEntries: Int = 200) {
           case _ => None
         }
         val narrowed = want.flatMap { case (text, pred) =>
-          var best: Option[(String, DataFrame)] = None
+          var best: Option[(Word, Entry)] = None
           lru.forEach { (k, v) =>
             k match {
               case (`dir`, `epoch`, c: Word) if c.prefix && !c.not &&
                   text.startsWith(c.text) &&
-                  best.forall(_._1.length < c.text.length) =>
-                best = Some((c.text, v))
+                  best.forall(_._1.text.length < c.text.length) =>
+                best = Some((c, v))
               case _ => ()
             }
           }
-          best.map { case (_, broader) => broader.filter(pred) }
+          best.map { case (broader, entry) =>
+            // deriving from the broader entry is an access: refresh its
+            // recency so the hottest base prefix is not the next LRU victim
+            lru.get((dir, epoch, broader))
+            entry.df.filter(pred)
+          }
         }
         narrowed match {
-          case Some(df) =>
-            filteredHits += 1
-            val persisted = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            lru.put(key, persisted)
-            Right(persisted)
-          case None => misses += 1; Left(())
+          case Some(df) => filteredHits += 1; Left(Some(df))
+          case None => misses += 1; Left(None)
         }
       }
     }
     fast match {
       case Right(df) => df
-      case Left(_) =>
-        val computed = compute(atom) // outside the lock: may run driver jobs
+      case Left(planOpt) =>
+        // outside the lock: may run driver jobs (block locate, decode,
+        // size measurement)
+        val plan = planOpt.getOrElse(compute(atom))
+        val owned = plan.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+        val persisted =
+          if (owned) plan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else plan // arrived persisted: owned elsewhere, never unpersist it
+        val bytes = QueryHistory.estimateBytes(persisted)
         synchronized {
           val won = lru.get(key)
-          if (won != null) won // another thread beat us; ours was never persisted
-          else {
-            val persisted =
-              computed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            lru.put(key, persisted)
+          if (won != null) {
+            // another thread beat us; ours was never shared, safe to drop
+            if (owned) persisted.unpersist()
+            won.df
+          } else {
+            lru.put(key, Entry(persisted, bytes, owned))
+            totalBytes += bytes
+            evictOverBudget()
             persisted
           }
         }
     }
   }
 
+  /** Evict least-recently-used entries while over the entry cap or byte
+    * budget; the just-inserted (youngest) entry is never the victim -- one
+    * oversized relation evicts the rest and stays cached alone rather than
+    * thrashing in and out.
+    */
+  private def evictOverBudget(): Unit = {
+    val it = lru.entrySet().iterator()
+    while ((lru.size > maxEntries || totalBytes > maxBytes) && lru.size > 1) {
+      val eldest = it.next()
+      if (eldest.getValue.owned) eldest.getValue.df.unpersist()
+      totalBytes -= eldest.getValue.bytes
+      evictions += 1
+      it.remove()
+    }
+  }
+
+  /** Current estimated cached bytes / entry count (spec hooks). */
+  def cachedBytes: Long = synchronized(totalBytes)
+  def size: Int = synchronized(lru.size)
+
   def clear(): Unit = synchronized {
-    lru.values().forEach(_.unpersist())
+    lru.values().forEach(e => if (e.owned) e.df.unpersist())
     lru.clear()
-    hits = 0; filteredHits = 0; misses = 0
+    totalBytes = 0
+    hits = 0; filteredHits = 0; misses = 0; evictions = 0
   }
 }

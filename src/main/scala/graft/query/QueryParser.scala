@@ -93,6 +93,14 @@ object QueryParser {
       case OrAtoms(inner) => inner
       case other => Seq(other)
     })
+    // join-block subqueries were parsed with the 1-arg parse (the splitter
+    // has no normalizeWords); the rewrite recurses into both sides so
+    // `[q1#q2]` words match their normalized variants like the rest of the
+    // query (reference rewriteQuery applies to the whole query string)
+    case JoinBlock(l, r) =>
+      def rw(pq: ParsedQuery): ParsedQuery =
+        ParsedQuery(pq.parts.map(p => Part(rewriteForNorm(p.atom), p.sep)))
+      JoinBlock(rw(l), rw(r))
     case other => other
   }
 

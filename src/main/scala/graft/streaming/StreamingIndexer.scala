@@ -68,43 +68,15 @@ object StreamingIndexer {
     Seq(Tuple1(dropped)).toDF("dropped_doc_terms")
       .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/drift/shard=$shardName")
 
-    val k1 = Analysis.K1
-    val b = Analysis.B
-    val blocks = joined
+    // delta shards use THE batch block encoder (IndexBuilder.encodeBlocks):
+    // one codec/framing implementation for both write paths
+    val sorted = joined
       .repartitionByRange(math.max(1, spark.sessionState.conf.numShufflePartitions / 4),
         col("term_id"), col("doc_id"))
       .sortWithinPartitions(col("term_id"), col("doc_id"))
       .as[(Long, Long, Long, Array[Int], Long)]
-      .mapPartitions { it =>
-        val partId = org.apache.spark.TaskContext.getPartitionId()
-        val buf = it.buffered
-        new Iterator[graft.index.PostingBlock] {
-          def hasNext: Boolean = buf.hasNext
-          def next(): graft.index.PostingBlock = {
-            val termId = buf.head._1
-            val docIds = scala.collection.mutable.ArrayBuffer.empty[Long]
-            val tfs = scala.collection.mutable.ArrayBuffer.empty[Long]
-            val dls = scala.collection.mutable.ArrayBuffer.empty[Long]
-            val poss = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
-            var nPost = 0L
-            var maxTfPart = 0.0
-            while (buf.hasNext && buf.head._1 == termId && nPost < IndexBuilder.DefaultBlockSize) {
-              val (_, docId, tf, positions, dl) = buf.next()
-              docIds += docId; tfs += tf; dls += dl; poss += positions
-              nPost += tf
-              val tfPart = (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
-              if (tfPart > maxTfPart) maxTfPart = tfPart
-            }
-            graft.index.PostingBlock(termId, termId / bucketSize,
-              docIds.head, docIds.last, docIds.length,
-              graft.index.Codec.encodeDeltas(docIds.toArray),
-              graft.index.Codec.encodeVarLongs(tfs.toArray),
-              graft.index.Codec.encodeVarLongs(dls.toArray),
-              graft.index.Codec.encodePositions(poss.toArray),
-              nPost, maxTfPart, partId)
-          }
-        }
-      }
+    val blocks = IndexBuilder.encodeBlocks(sorted, avgdl,
+      IndexBuilder.DefaultBlockSize, bucketSize)
     blocks.write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(s"$indexDir/blocks/shard=$shardName")
     dt.unpersist()

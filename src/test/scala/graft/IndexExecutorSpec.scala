@@ -161,6 +161,29 @@ class IndexExecutorSpec extends AnyFunSuite {
       assert(winBody === graft.api.Search.searchIndex(reader, "aachen..aargau",
         params = QueryParams(window = Some((-1, 1)))).toJson)
       assert(winBody !== get("/?q=aachen..aargau")._2) // override changes hits
+      // the rest of the reference request surface (QueryParameters.cpp:290-305)
+      assert(get("/?q=aal&f=1&h=1")._2 === graft.api.Search.searchIndex(reader,
+        "aal", k = 1, params = QueryParams(firstHit = 1)).toJson) // pagination
+      assert(get("/?q=aal&rd=1d")._2 === graft.api.Search.searchIndex(reader,
+        "aal", params = QueryParams.withRankDocs("1d")).toJson) // doc-id desc
+      assert(get("/?q=aa*&rw=3")._2 === graft.api.Search.searchIndex(reader,
+        "aa*", params = QueryParams.withRankWords("3")).toJson) // word order
+      assert(get("/?q=aal&en=2&er=1")._2 === graft.api.Search.searchIndex(reader,
+        "aal", excerptRadius = 1,
+        params = QueryParams(excerptsPerHit = 2)).toJson) // excerpts per hit
+      assert(get("/?q=aachan~&fd=0.5")._2 === graft.api.Search.searchIndex(reader,
+        "aachan~", params = QueryParams(fuzzyDamping = 0.5)).toJson) // damping
+      assert(get("/?q=aachan~&fd=0.5")._2 !== get("/?q=aachan~")._2)
+      assert(get("/?q=aal&rd=9")._1 === 400) // unknown rank enum -> client error
+      assert(get("/?q=aal&f=-1")._1 === 400) // negative offset -> client error
+      // malformed GRAMMAR (join block without '#') is a 400, not a fake 500
+      assert(get("/?q=%5Baal%20aachen%5D&h=5")._1 === 400)
+      // format=xml: the reference's default wire format on request
+      val (xc, xb) = get("/?q=babbeln%20ba*&format=xml")
+      assert(xc === 200 && xb.startsWith("<?xml"))
+      assert(xb === graft.api.Search.searchIndex(reader, "babbeln ba*").toXml())
+      assert(get("/?q=aal&format=weird")._1 === 400)
+      assert(get("/?q=aal&format=jsonp")._1 === 400) // jsonp needs callback=
     } finally server.stop(0)
   }
 

@@ -120,6 +120,27 @@ class OpsSpec extends AnyFunSuite {
     assert(m("u2").n_bytes === 7)
   }
 
+  test("makePng emits a real PNG: javax.imageio decodes it, size is closed-form") {
+    val bytes = Multimodal.makePng(17, 9)
+    assert(bytes.length === 68 + 9 * (1 + 3 * 17))
+    // full pixel decode (not just the header): the file must be genuinely valid
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null && img.getWidth === 17 && img.getHeight === 9)
+    assert(img.getRGB(16, 8) === 0xff000000) // opaque black, as encoded
+    // header-only metadata path agrees
+    assert(Multimodal.imageMeta(bytes) === Some((17, 9, "png")))
+  }
+
+  test("decodeMeta real-decodes PNG payloads (even html length) via imageio") {
+    // even-length html -> withPayload synthesizes a PNG with dims from the
+    // length rule; decodeMeta must report the REAL decoded dimensions
+    val html = "x" * 130 // n = 130: width 130%64+1 = 3, height (130/64)%64+1 = 3
+    val corpus = Seq(("u1", html.getBytes("UTF-8"))).toDF("url", "html")
+    val m = Multimodal.decodeMeta(corpus).collect().head
+    assert(m.format === "png" && m.width === 3 && m.height === 3 && m.n_frames === 1)
+    assert(m.n_bytes === 68 + 3 * (1 + 3 * 3))
+  }
+
   test("sessionize splits on >30min gaps") {
     val ev = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 10L),
