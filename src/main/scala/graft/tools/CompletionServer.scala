@@ -8,14 +8,20 @@ import org.apache.spark.sql.SparkSession
   * physical-path search facade, built on the JDK's embedded HttpServer --
   * no extra dependencies, the Spark session IS the backend.
   *
-  * GET /?q=<query>[&h=<hits>][&c=<completions>][&er=<excerpt radius>]
-  *     [&s=<4 agg chars>][&n=<a..b>][&callback=<fn>]
-  * answers the reference-shaped JSON (`SearchResult.toJson`); `callback`
-  * wraps it JSONP-style (QueryParameters formatDefault XML is not served
-  * -- JSON only, the reference's `format=json` mode). `s=` sets the four
-  * word/doc score-aggregation knobs per request
-  * (QueryParameters.cpp:141-153, e.g. `s=SMSM`); `n=a..b` overrides the
-  * `..` neighbourhood (QueryParameters.cpp:12-13, e.g. `n=-3..3`).
+  * GET /?q=<query>[&h=<hits>][&c=<completions>][&f=<first hit>]
+  *     [&er=<excerpt radius>][&en=<excerpts per hit>][&rd=<doc rank>]
+  *     [&rw=<word rank>][&fd=<fuzzy damping>][&s=<4 agg chars>]
+  *     [&n=<a..b>][&format=xml|json|jsonp][&callback=<fn>]
+  * answers the reference-shaped JSON (`SearchResult.toJson`) by default,
+  * the reference's XML wire format (`SearchResult.toXml`,
+  * CompletionServer.cpp:1468-1594) under `format=xml`, and JSONP when
+  * `callback=` is given. The parameter names and semantics are the
+  * reference's (QueryParameters.cpp:290-305):
+  * `f=` 0-based first hit (pagination window over the total order),
+  * `rd=`/`rw=` doc/word rank-mode ints + optional 'a'/'d' order char,
+  * `en=` excerpts per hit, `er=` excerpt radius, `fd=` fuzzy damping in
+  * [0.01, 1], `s=` the four score-aggregation knobs (e.g. `s=SMSM`),
+  * `n=a..b` the `..` neighbourhood override.
   * Queries run the FULL grammar off the block index through the
   * serving-session history ([[graft.query.IndexQueryCache]]), so a typing
   * stream of prefixes extends cached relations instead of re-scanning
@@ -23,41 +29,65 @@ import org.apache.spark.sql.SparkSession
   */
 object CompletionServer {
 
-  /** Start a server on `port` (0 = ephemeral); returns the bound server.
-    * One Spark session serves all requests; Spark handles intra-query
-    * parallelism, the HTTP executor stays single-threaded per the
-    * embedded server default.
+  /** Request-handler threads (reference: StartCompletionServer `-m`
+    * threads, thread-per-request forking): concurrent autocomplete
+    * keystrokes must not serialize behind one slow query. The history is
+    * written for concurrency (lock-free miss path); Spark schedules the
+    * per-query jobs fairly across threads.
     */
-  def start(spark: SparkSession, indexDir: String, port: Int): com.sun.net.httpserver.HttpServer = {
+  val DefaultHandlerThreads = 8
+
+  /** Start a server on `port` (0 = ephemeral); returns the bound server.
+    * One Spark session serves all requests across a small handler pool.
+    */
+  def start(spark: SparkSession, indexDir: String, port: Int,
+            handlerThreads: Int = DefaultHandlerThreads): com.sun.net.httpserver.HttpServer = {
     val reader = new IndexReader(spark, indexDir)
     reader.dictionary.count() // warm the dictionary before the first request
     val cache = new graft.query.IndexQueryCache()
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress(port), 0)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
+      handlerThreads,
+      (r: Runnable) => { val t = new Thread(r, "graft-http"); t.setDaemon(true); t }))
+    val CtJson = "application/json; charset=utf-8"
+    val CtJsonp = "application/javascript; charset=utf-8"
+    val CtXml = "text/xml; charset=utf-8"
     server.createContext("/", (exchange: com.sun.net.httpserver.HttpExchange) => {
-      // (status, body, jsonp?) -- ALL request processing stays inside the
-      // try so malformed input (bad %-escape, non-numeric h=, n without
+      // (status, body, content type) -- ALL request processing stays inside
+      // the try so malformed input (bad %-escape, non-numeric h=, n without
       // '..', bad s= chars, hostile callback) is a 400, never a dropped
       // connection or a fake 500
-      val response: (Int, String, Boolean) =
+      val response: (Int, String, String) =
         try {
           val params = parseQueryString(
             Option(exchange.getRequestURI.getRawQuery).getOrElse(""))
           params.get("q") match {
-            case None | Some("") => (400, """{"error":"missing q parameter"}""", false)
+            case None | Some("") => (400, """{"error":"missing q parameter"}""", CtJson)
             case Some(q) =>
               val k = params.get("h").map(_.toInt).getOrElse(10)
               val ck = params.get("c").map(_.toInt).getOrElse(10)
               val er = params.get("er").map(_.toInt).getOrElse(2)
-              val qp0 = params.get("s")
+              var qp = params.get("s")
                 .map(graft.query.QueryParams.withAggChars(_))
                 .getOrElse(graft.query.QueryParams.Default)
-              val qp = params.get("n").map { n =>
+              params.get("n").foreach { n =>
                 n.split("\\.\\.", 2) match {
-                  case Array(a, b) => qp0.copy(window = Some((a.toInt, b.toInt)))
+                  case Array(a, b) => qp = qp.copy(window = Some((a.toInt, b.toInt)))
                   case _ => throw new IllegalArgumentException(s"bad n window: $n")
                 }
-              }.getOrElse(qp0)
+              }
+              // the rest of the reference request surface
+              // (QueryParameters.cpp:290-305); QueryParams.require validates
+              // ranges, the outer catch maps violations to 400
+              params.get("f").foreach(f => qp = qp.copy(firstHit = f.toInt))
+              params.get("en").foreach(en => qp = qp.copy(excerptsPerHit = en.toInt))
+              params.get("rd").foreach(rd => qp = graft.query.QueryParams.withRankDocs(rd, qp))
+              params.get("rw").foreach(rw => qp = graft.query.QueryParams.withRankWords(rw, qp))
+              params.get("fd").foreach { fd =>
+                // reference clamps into [0.01, 1.0] (QueryParameters.cpp:320)
+                qp = qp.copy(fuzzyDamping = math.min(1.0, math.max(0.01, fd.toDouble)))
+              }
               // JSONP callback restricted to identifier chars: the value is
               // reflected into an executable response, so anything else is
               // script injection
@@ -66,27 +96,40 @@ object CompletionServer {
                 if (!c.matches("[A-Za-z0-9_$.]+"))
                   throw new IllegalArgumentException("invalid callback")
               }
+              // `format=` response format (reference setResponseFormat:
+              // XML / JSON / JSONP; QueryParameters.cpp:303). The reference
+              // DEFAULT is XML; ours is JSON (the reference's format=json
+              // mode) -- modern clients first, legacy XML on request.
+              val format = params.get("format").getOrElse(
+                if (cb.isDefined) "jsonp" else "json")
+              if (!Set("xml", "json", "jsonp").contains(format))
+                throw new IllegalArgumentException(s"unknown format: $format")
+              if (format == "jsonp" && cb.isEmpty)
+                throw new IllegalArgumentException("format=jsonp needs callback=")
               try {
                 val result = graft.api.Search.searchIndex(
                   reader, q, k = k, completionsK = ck, excerptRadius = er,
                   cache = Some(cache), params = qp)
-                cb match {
-                  case Some(c) => (200, s"$c(${result.toJson})", true)
-                  case None => (200, result.toJson, false)
+                format match {
+                  case "xml" => (200, result.toXml(qp.firstHit), CtXml)
+                  case "jsonp" => (200, s"${cb.get}(${result.toJson})", CtJsonp)
+                  case _ => (200, result.toJson, CtJson)
                 }
               } catch {
+                // parse/require failures on the QUERY itself (unclosed join
+                // block, empty part, bad grammar) are client input errors
+                case e: IllegalArgumentException =>
+                  (400, s"""{"error":"bad request: ${e.getClass.getSimpleName}"}""", CtJson)
                 case e: Throwable => // backend fault, not client input
-                  (500, s"""{"error":"${e.getClass.getSimpleName}"}""", false)
+                  (500, s"""{"error":"${e.getClass.getSimpleName}"}""", CtJson)
               }
           }
         } catch {
           case e: Throwable => // anything thrown by input handling
-            (400, s"""{"error":"bad request: ${e.getClass.getSimpleName}"}""", false)
+            (400, s"""{"error":"bad request: ${e.getClass.getSimpleName}"}""", CtJson)
         }
       val bytes = response._2.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      exchange.getResponseHeaders.set("Content-Type",
-        if (response._3) "application/javascript; charset=utf-8"
-        else "application/json; charset=utf-8")
+      exchange.getResponseHeaders.set("Content-Type", response._3)
       exchange.sendResponseHeaders(response._1, bytes.length)
       val os = exchange.getResponseBody
       try os.write(bytes) finally os.close()
