@@ -113,7 +113,18 @@ object IndexBuilder {
       buildPartitions: Int = 0,
       facetFields: Seq[String] = Nil,
       extraDocTerms: Option[DataFrame] = None,
-      normVariants: Boolean = false): DataFrame = {
+      normVariants: Boolean = false,
+      /** BY_PREFIXES block formation (reference: HYBIndex.cpp:247-264,
+        * boundary-prefix extraction applications/Makefile:231-278): when
+        * non-empty, output partition dirs (`bucket`) follow these prefix
+        * boundaries instead of fixed term-id width -- bucket = number of
+        * boundaries lexicographically <= the term. A curated boundary set
+        * aligns partition pruning with the corpus's real prefix-query
+        * distribution; BY_VOLUME-style fixed-width buckets stay the
+        * default. The boundary cut ids persist under `boundaries/` and the
+        * reader switches its bucket arithmetic automatically.
+        */
+      prefixBoundaries: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
 
     val fs = java.nio.file.Paths.get(outDir)
@@ -159,6 +170,28 @@ object IndexBuilder {
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats")
     }
     val dict = spark.read.parquet(s"$outDir/dictionary")
+
+    // BY_PREFIXES boundaries -> cut term-ids (one vocab-sized agg job;
+    // dense lexicographic ids make each boundary ONE min). Idempotent.
+    val boundariesDone = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$outDir/boundaries/_SUCCESS"))
+    if (prefixBoundaries.nonEmpty && !boundariesDone) {
+      val bs = prefixBoundaries.distinct.sorted
+      val row = timed("boundary_cuts")(dict.select(
+        bs.zipWithIndex.map { case (b, i) =>
+          min(when(col("term") >= b, col("term_id"))).as(s"c$i")
+        }: _*).head())
+      val cuts = bs.indices.flatMap(i =>
+        if (row.isNullAt(i)) None else Some((bs(i), row.getLong(i))))
+      cuts.toDF("boundary", "cut_id")
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/boundaries")
+    }
+    val cutIds: Option[Array[Long]] =
+      if (prefixBoundaries.nonEmpty || boundariesDone)
+        Some(spark.read.parquet(s"$outDir/boundaries")
+          .select(col("cut_id")).as[Long].collect().sorted)
+      else None
+
     val statsRow = spark.read.parquet(s"$outDir/stats").head()
     val avgdl = statsRow.getAs[Double]("avgdl")
     val nDocs = statsRow.getAs[Long]("n_docs")
@@ -185,7 +218,7 @@ object IndexBuilder {
         val hi = (shard + 1) * shardWidth - 1
         val shardDt = dt.toDF().filter(col("doc_id").between(lo, hi))
         val blocks = buildShard(spark, shardDt, dict, vocabSize, avgdl,
-          blockSize, bucketSize, buildPartitions).persist()
+          blockSize, bucketFn(bucketSize.toLong, cutIds), buildPartitions).persist()
         timed(s"shard${shard}_encode_write") {
           blocks.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(shardDir)
         }
@@ -250,7 +283,7 @@ object IndexBuilder {
       vocabSize: Long,
       avgdl: Double,
       blockSize: Int,
-      bucketSize: Int,
+      bucketOf: Long => Long,
       buildPartitions: Int): Dataset[PostingBlock] = {
     import spark.implicits._
 
@@ -270,7 +303,29 @@ object IndexBuilder {
       .sortWithinPartitions(col("term_id"), col("doc_id"))
       .as[(Long, Long, Long, Array[Int], Long)]
 
-    encodeBlocks(sorted, avgdl, blockSize, bucketSize.toLong)
+    encodeBlocks(sorted, avgdl, blockSize, bucketOf)
+  }
+
+  /** bucket assignment: fixed term-id width (BY_VOLUME-style default) or
+    * boundary-prefix cut ids (BY_PREFIXES -- bucket = number of cuts <=
+    * term_id, an upper-bound binary search over the tiny sorted cut
+    * array). Serializable: captured by the encode mapPartitions closure.
+    */
+  private[graft] def bucketFn(bucketSize: Long, cutIds: Option[Array[Long]]): Long => Long =
+    cutIds match {
+      case Some(cuts) => (id: Long) => upperBound(cuts, id).toLong
+      case None => (id: Long) => id / bucketSize
+    }
+
+  /** Number of elements of sorted `a` that are <= v (duplicate-safe). */
+  private[graft] def upperBound(a: Array[Long], v: Long): Int = {
+    var lo = 0
+    var hi = a.length
+    while (lo < hi) {
+      val m = (lo + hi) >>> 1
+      if (a(m) <= v) lo = m + 1 else hi = m
+    }
+    lo
   }
 
   /** Stream per-partition sorted (term_id, doc_id, tf, positions, dl) runs
@@ -281,7 +336,7 @@ object IndexBuilder {
     */
   private[graft] def encodeBlocks(
       sorted: Dataset[(Long, Long, Long, Array[Int], Long)],
-      avgdl: Double, blockSize: Int, bucketSize: Long): Dataset[PostingBlock] = {
+      avgdl: Double, blockSize: Int, bucketOf: Long => Long): Dataset[PostingBlock] = {
     import sorted.sparkSession.implicits._
     val k1 = Analysis.K1
     val b = Analysis.B
@@ -307,7 +362,7 @@ object IndexBuilder {
           }
           PostingBlock(
             term_id = termId,
-            bucket = termId / bucketSize,
+            bucket = bucketOf(termId),
             first_doc_id = docIds.head,
             last_doc_id = docIds.last,
             n_docs = docIds.length,

@@ -76,6 +76,30 @@ class IndexReader(val spark: SparkSession, val dir: String,
       statsRow.getAs[Long]("bucket_size")
     else IndexBuilder.DefaultBucketSize.toLong
 
+  /** BY_PREFIXES boundary cut ids, when the index was built with
+    * prefix-boundary block formation (HYBIndex.cpp:247-264 analog): sorted
+    * first-term-ids of each boundary group, loaded once (tiny).
+    */
+  lazy val prefixCuts: Option[Array[Long]] = {
+    val present =
+      try {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/boundaries/_SUCCESS")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      } catch { case _: Throwable => false }
+    if (!present) None
+    else Some(spark.read.parquet(s"$dir/boundaries")
+      .select(col("cut_id")).as[Long].collect().sorted)
+  }
+
+  /** Bucket of a term id under the index's block-formation mode; MONOTONE
+    * in term_id in both modes, so contiguous id ranges map to contiguous
+    * bucket ranges and every BETWEEN-based pruning predicate stays valid.
+    */
+  def bucketOf(id: Long): Long = prefixCuts match {
+    case Some(cuts) => IndexBuilder.upperBound(cuts, id).toLong
+    case None => id / bucketSize
+  }
+
   private def emptyHits: DataFrame =
     spark.range(0).select(col("id").as("doc_id"), lit(0.0).as("score"))
   /** Block segments. Cached by default for a query-serving session (the
@@ -123,13 +147,13 @@ class IndexReader(val spark: SparkSession, val dir: String,
 
   /** Pruned block scan for a term-id range. */
   def blocksForRange(lo: Long, hi: Long): DataFrame =
-    blocks.filter(col("bucket").between(lo / bucketSize, hi / bucketSize) &&
+    blocks.filter(col("bucket").between(bucketOf(lo), bucketOf(hi)) &&
       col("term_id").between(lo, hi))
 
   /** Pruned block scan for an explicit term-id set. */
   def blocksForIds(ids: Seq[Long]): DataFrame =
     blocks.filter(col("term_id").isin(ids: _*) &&
-      col("bucket").isin(ids.map(_ / bucketSize).distinct: _*))
+      col("bucket").isin(ids.map(bucketOf).distinct: _*))
 
   /** Pruned block scan for a set of contiguous term-id runs (the block
     * locate analog for SCATTERED candidate sets -- synonym groups, fuzzy
@@ -149,7 +173,7 @@ class IndexReader(val spark: SparkSession, val dir: String,
       if (ps.length == 1) ps.head
       else { val (a, b) = ps.splitAt(ps.length / 2); orTree(a) || orTree(b) }
     val bucketPreds = runs.map { case (lo, hi) =>
-      val (bLo, bHi) = (lo / bucketSize, hi / bucketSize)
+      val (bLo, bHi) = (bucketOf(lo), bucketOf(hi))
       if (bHi - bLo < IndexReader.MaxBucketLiterals)
         col("bucket").isin((bLo to bHi): _*)
       else col("bucket").between(bLo, bHi)
@@ -224,7 +248,7 @@ class IndexReader(val spark: SparkSession, val dir: String,
     def posOf(t: String): DataFrame = {
       val (tid, _) = info(t)
       decodeWithPositions(blocks.filter(col("term_id") === tid &&
-          col("bucket") === tid / bucketSize))
+          col("bucket") === bucketOf(tid)))
         .select(col("doc_id"), explode(col("positions")).as("pos"))
     }
     // self-phrase (t1 == t2): decode once, self-join two aliases

@@ -54,6 +54,16 @@ object StreamingIndexer {
         statsRow.getAs[Long]("bucket_size")
       else IndexBuilder.DefaultBucketSize.toLong
 
+    // BY_PREFIXES indexes: delta shards must follow the SAME boundary
+    // buckets as the batch shards (reader pruning depends on it)
+    val cutIds: Option[Array[Long]] =
+      if (java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$indexDir/boundaries/_SUCCESS"))) {
+        import spark.implicits._
+        Some(spark.read.parquet(s"$indexDir/boundaries")
+          .select(col("cut_id")).as[Long].collect().sorted)
+      } else None
+
     val dt = Analysis.docTerms(batch).toDF().persist()
     val joined = dt.join(broadcast(dict.select(col("term"), col("term_id"))), "term")
       .select(col("term_id").cast("long"), col("doc_id"), col("tf"), col("positions"), col("dl"))
@@ -76,7 +86,7 @@ object StreamingIndexer {
       .sortWithinPartitions(col("term_id"), col("doc_id"))
       .as[(Long, Long, Long, Array[Int], Long)]
     val blocks = IndexBuilder.encodeBlocks(sorted, avgdl,
-      IndexBuilder.DefaultBlockSize, bucketSize)
+      IndexBuilder.DefaultBlockSize, IndexBuilder.bucketFn(bucketSize, cutIds))
     blocks.write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(s"$indexDir/blocks/shard=$shardName")
     dt.unpersist()

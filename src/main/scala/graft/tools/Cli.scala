@@ -159,3 +159,50 @@ object AnswerQueriesMain {
     spark.stop()
   }
 }
+
+/** filterQueriesByVolume analog (reference
+  * filterQueriesByVolume.cpp:19-113): expand each query into its typing
+  * chain (every character step, spaces skipped), compute the volume of the
+  * last word's prefix (sum of df over the prefix's word range -- the
+  * reference sums nofDocs over prefixToRange), and print the steps whose
+  * volume is WITHIN the threshold; over-threshold steps go to stderr.
+  * All distinct prefixes resolve in ONE dictionary job (broadcast
+  * prefix-range join), not one scan per step.
+  *
+  * args: <indexDir> <queriesFile> <volumeThreshold>
+  */
+object FilterQueriesByVolumeMain {
+  /** Typing-chain steps of a query line (reference: every char position,
+    * space positions skipped), each with its last-word prefix.
+    */
+  private[graft] def steps(query: String): Seq[(String, String)] =
+    (1 to query.length).filter(j => query.charAt(j - 1) != ' ').map { j =>
+      val q = query.substring(0, j)
+      (q, q.substring(q.lastIndexOf(' ') + 1))
+    }
+
+  def main(args: Array[String]): Unit = {
+    val Array(indexDir, queriesFile, thr) = args: @unchecked
+    val threshold = thr.toLong
+    val spark = Cli.session("graft-filterQueriesByVolume")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val reader = new IndexReader(spark, indexDir)
+    val queries = scala.io.Source.fromFile(queriesFile).getLines()
+      .map(_.trim).filter(_.nonEmpty).toSeq
+    val all = queries.flatMap(steps)
+    val prefixes = all.map(_._2).distinct
+    val volumes: Map[String, Long] = reader.dictionary
+      .join(broadcast(prefixes.toDF("prefix")),
+        col("term").startsWith(col("prefix")))
+      .groupBy(col("prefix")).agg(sum(col("df")).as("volume"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    all.foreach { case (q, p) =>
+      val v = volumes.getOrElse(p, 0L)
+      if (v > threshold)
+        System.err.println(s"""! prefix "$p" of query "$q" has volume $v > $threshold""")
+      else println(q)
+    }
+    spark.stop()
+  }
+}

@@ -149,17 +149,22 @@ object CompletionServer {
   }
 }
 
-/** CLI entry: `CompletionServerMain <indexDir> [port]` (default 8181). */
+/** CLI entry: `CompletionServerMain <indexDir> [port] [threads]` (default
+  * 8181, 8 -- `threads` is the reference's `-m` handler-thread count).
+  */
 object CompletionServerMain {
   def main(args: Array[String]): Unit = {
     val Array(indexDir, rest @ _*) = args: @unchecked
     val port = rest.headOption.map(_.toInt).getOrElse(8181)
+    val threads = rest.lift(1).map(_.toInt)
+      .getOrElse(CompletionServer.DefaultHandlerThreads)
     val spark = Cli.session("graft-completionServer")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val server = CompletionServer.start(spark, indexDir, port)
+    val server = CompletionServer.start(spark, indexDir, port, threads)
     println(s"graft completion server listening on port " +
-      s"${server.getAddress.getPort} (GET /?q=<query>&h=10&c=10)")
+      s"${server.getAddress.getPort} ($threads handler threads; " +
+      "GET /?q=<query>&h=10&c=10)")
     Thread.currentThread().join() // serve until killed
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.core.{CsvField, CsvIngest}
+import graft.core.{CsvField, CsvIngest, XmlIngest}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** CsvParserTest analog (reference CsvParserTest.cpp:122-492): write a
@@ -76,5 +76,55 @@ class CsvIngestSpec extends AnyFunSuite {
       .collect().map(x => (x.getLong(0), x.getString(1))).toSet
     assert(fr.contains((1L, ":field:title:needle")))
     assert(!fr.contains((2L, ":field:title:needle")))
+  }
+
+  test("XML ingest: same field-role output shape as CSV (XmlParserNew analog)") {
+    val f = java.nio.file.Files.createTempFile("graft_xml", ".xml")
+    java.nio.file.Files.writeString(f,
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<docs>
+        |<doc>
+        |  <Titel>Der <b>Zauberberg</b></Titel>
+        |  <Autor>Mann, Thomas</Autor>
+        |  <Jahr>1924</Jahr>
+        |</doc>
+        |<doc>
+        |  <Titel>Die Verwandlung</Titel>
+        |  <Autor>Kafka; Franz</Autor>
+        |  <genre>horror</genre>
+        |  <genre>scifi</genre>
+        |  <Jahr>1915</Jahr>
+        |</doc>
+        |</docs>""".stripMargin)
+    val fields = Seq(
+      CsvField("Titel", fulltext = true, show = true, score = 2),
+      CsvField("Autor", facet = true, filter = true),
+      CsvField("genre", facet = true),
+      CsvField("Jahr", ordering = true, show = true))
+    val (words, docs) = XmlIngest.parse(spark, f.toString, fields)
+    val w = words.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    // nested markup text flattens into the field (StAX character coalescing)
+    assert(w.contains((1L, "der", 2, 0)))
+    assert(w.contains((1L, "zauberberg", 2, 1)))
+    assert(w.contains((1L, ":facet:Autor:Mann, Thomas", 1, -1)))
+    assert(w.contains((1L, ":filter:Autor:mann", 1, -1)))
+    assert(w.contains((1L, ":ordering:Jahr:1924", 1, -1)))
+    // repeated elements are multiple values of the field
+    assert(w.contains((2L, ":facet:genre:horror", 1, -1)))
+    assert(w.contains((2L, ":facet:genre:scifi", 1, -1)))
+    assert(w.contains((2L, "verwandlung", 2, 1)))
+    assert(w.contains((0L, ":info:encoding:utf-8", 1, -1)))
+    assert(w.contains((0L, ":info:facet:Autor", 1, -1)))
+    val d = docs.orderBy("doc_id").collect()
+    assert(d.map(_.getAs[String]("Titel")).toSeq === Seq("Der Zauberberg", "Die Verwandlung"))
+    assert(d.map(_.getAs[String]("Jahr")).toSeq === Seq("1924", "1915"))
+    // XXE / DTD hardening: external entities must not resolve
+    val g = java.nio.file.Files.createTempFile("graft_xxe", ".xml")
+    java.nio.file.Files.writeString(g,
+      """<!DOCTYPE r [<!ENTITY x SYSTEM "file:///etc/hostname">]>
+        |<docs><doc><Titel>&x;</Titel></doc></docs>""".stripMargin)
+    val xxe = scala.util.Try(XmlIngest.parseDocs(
+      java.nio.file.Files.readAllBytes(g), "doc").toList)
+    assert(xxe.isFailure || xxe.get.forall(_.getOrElse("Titel", "").isEmpty))
   }
 }

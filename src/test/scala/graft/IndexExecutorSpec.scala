@@ -187,6 +187,15 @@ class IndexExecutorSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("filterQueriesByVolume: reference typing-chain steps (spaces skipped)") {
+    import graft.tools.FilterQueriesByVolumeMain.steps
+    assert(steps("aal x") === Seq(("a", "a"), ("aa", "aa"), ("aal", "aal"),
+      ("aal x", "x")))
+    assert(steps("ab") === Seq(("a", "a"), ("ab", "ab")))
+    // last-word prefix resets after a space (reference: erase to rfind(' '))
+    assert(steps("a b").last === (("a b", "b")))
+  }
+
   test("scores are identical between paths (same BM25 inputs)") {
     val a = IndexExecutor.topK(reader, "aachen aal*", 10).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq

@@ -92,6 +92,38 @@ class IndexSpec extends AnyFunSuite {
     assert(hits > 0)
   }
 
+  test("BY_PREFIXES block formation: boundary buckets, pruning and queries intact") {
+    val d = java.nio.file.Files.createTempDirectory("graft_ix_bp").toString
+    IndexBuilder.build(spark, corpus, d, numShards = 1, blockSize = 256,
+      prefixBoundaries = Seq("g", "s"))
+    val r = new IndexReader(spark, d, cacheBlocks = false)
+    assert(r.prefixCuts.isDefined && r.prefixCuts.get.length === 2)
+    // bucket = number of boundaries <= term: exactly groups {0: < g, 1: [g, s), 2: >= s}
+    val byBucket = r.blocks
+      .join(r.dictionary.select(col("term_id"), col("term")), "term_id")
+      // partition discovery may infer the bucket dir column as int
+      .select(col("bucket").cast("long"), col("term")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    assert(byBucket.keySet === Set(0L, 1L, 2L))
+    assert(byBucket(0L).forall(_ < "g"))
+    assert(byBucket(1L).forall(t => t >= "g" && t < "s"))
+    assert(byBucket(2L).forall(_ >= "s"))
+    // reader arithmetic follows the boundaries: the s* prefix range prunes
+    // to bucket 2 only, and results equal the fixed-width-bucket index
+    val Some((lo, hi)) = r.prefixRange("s")
+    assert(r.bucketOf(lo) === 2L && r.bucketOf(hi) === 2L)
+    val a = r.topKPrefixDocs("s", 10).collect()
+      .map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    val b = reader.topKPrefixDocs("s", 10).collect()
+      .map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    assert(a === b)
+    val ga = graft.query.IndexExecutor.topK(r, "spark st*", 10).collect()
+      .map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    val gb = graft.query.IndexExecutor.topK(reader, "spark st*", 10).collect()
+      .map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    assert(ga === gb)
+  }
+
   test("lineage metrics exist per build partition") {
     val m = spark.read.parquet(s"$dir/metrics")
     assert(m.count() > 0)

@@ -80,6 +80,15 @@ class QueryParserSpec extends AnyFunSuite {
       Word("st", prefix = true))
     assert(QueryParser.parse("x -y", normalizeWords = true).parts(1).atom ===
       Word("y", not = true))
+    // the rewrite recurses into join-block subqueries (round-4 fix: they
+    // are parsed by the 1-arg parse, so the rewrite must be applied after)
+    val jb = QueryParser.parse("[spark#flink]", normalizeWords = true).parts(0).atom
+    jb match {
+      case JoinBlock(l, r) =>
+        assert(l.parts(0).atom === OrAtoms(Seq(Word("spark"), Word("spark:", prefix = true))))
+        assert(r.parts(0).atom === OrAtoms(Seq(Word("flink"), Word("flink:", prefix = true))))
+      case other => fail(s"expected join block, got $other")
+    }
   }
 }
 
