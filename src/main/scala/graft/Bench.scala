@@ -121,6 +121,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // size shuffle partitions by BYTES, not core count: small gate
+      // queries coalesce to few tasks (task overhead dominates them at 32
+      // partitions), while big shuffles still get full parallelism from
+      // the 64MB advisory size -- the scale-correct AQE setting
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     val spark = (if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))

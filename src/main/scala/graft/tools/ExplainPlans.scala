@@ -60,6 +60,23 @@ object ExplainPlans {
     graft.query.IndexExecutor.topK(rCold, "st*", 10, cache).collect()
     show("qpix: history filter (sta* after st*) -- no block scan below the filter",
       graft.query.IndexExecutor.topK(rCold, "sta*", 10, cache))
+
+    // round 4: f= pagination -- sort + offset + limit must fold into ONE
+    // TakeOrdered of (firstHit + k) rows, not a global sort
+    show("qpix: f= pagination (hits 20..29 of the total order)",
+      graft.query.IndexExecutor.hits(rCold, "spark", 10,
+        graft.query.QueryParams(firstHit = 20)))
+
+    // round 4: BY_PREFIXES block formation -- boundary buckets prune like
+    // fixed-width ones (PartitionFilters on the bucket dir column)
+    val bpDir = java.nio.file.Files.createTempDirectory("graft_plans_bp").toString
+    graft.index.IndexBuilder.build(spark, WebCorpus.fromDocuments(spark, sfDir),
+      bpDir, numShards = 1, prefixBoundaries = Seq("g", "s"))
+    val rBp = new graft.index.IndexReader(spark, bpDir, cacheBlocks = false)
+    show("index: BY_PREFIXES pruned scan for prefix range (boundary buckets)", {
+      val Some((lo, hi)) = rBp.prefixRange("st")
+      rBp.blocksForRange(lo, hi)
+    })
     spark.stop()
   }
 }
