@@ -184,6 +184,25 @@ class IndexExecutorSpec extends AnyFunSuite {
       assert(xb === graft.api.Search.searchIndex(reader, "babbeln ba*").toXml())
       assert(get("/?q=aal&format=weird")._1 === 400)
       assert(get("/?q=aal&format=jsonp")._1 === 400) // jsonp needs callback=
+      // concurrent serving: parallel keystrokes across the handler pool
+      // must all answer correctly through the ONE shared history
+      val paths = Seq("/?q=aal", "/?q=aa*", "/?q=babbeln%20ba*", "/?q=aachen%20aal",
+        "/?q=merge%5E", "/?q=aal--aargau")
+      val expectedBodies = paths.map(p => p -> get(p)._2).toMap
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        val results = (0 until 24).map { i =>
+          val p = paths(i % paths.size)
+          p -> pool.submit(new java.util.concurrent.Callable[(Int, String)] {
+            def call(): (Int, String) = get(p)
+          })
+        }
+        results.foreach { case (p, f) =>
+          val (code, body) = f.get(120, java.util.concurrent.TimeUnit.SECONDS)
+          assert(code === 200, s"concurrent GET $p")
+          assert(body === expectedBodies(p), s"concurrent GET $p body mismatch")
+        }
+      } finally pool.shutdownNow()
     } finally server.stop(0)
   }
 
