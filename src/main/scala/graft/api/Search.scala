@@ -3,7 +3,11 @@ package graft.api
 import graft.query.{Excerpts, Executor, QueryParser}
 import org.apache.spark.sql.DataFrame
 
-case class Hit(id: Long, score: Double, excerpt: String)
+/** One hit; url comes from the docs store / a corpus `url` column when
+  * present (reference: hits carry title+url from docs.DB,
+  * CompletionServer.cpp:1556-1563), else "".
+  */
+case class Hit(id: Long, score: Double, excerpt: String, url: String = "")
 case class Completion(text: String, score: Double, dc: Long, oc: Long)
 case class SearchResult(query: String, hits: Seq[Hit], completions: Seq[Completion]) {
 
@@ -18,7 +22,8 @@ case class SearchResult(query: String, hits: Seq[Hit], completions: Seq[Completi
     val cs = completions.map(c =>
       s"""{"text":"${esc(c.text)}","sc":${c.score},"dc":${c.dc},"oc":${c.oc}}""").mkString(",")
     val hs = hits.map(h =>
-      s"""{"id":${h.id},"score":${h.score},"excerpt":"${esc(h.excerpt)}"}""").mkString(",")
+      s"""{"id":${h.id},"score":${h.score},"url":"${esc(h.url)}",""" +
+        s""""excerpt":"${esc(h.excerpt)}"}""").mkString(",")
     s"""{"result":{"query":"${esc(query)}",""" +
       s""""completions":{"sent":${completions.size},"c":[$cs]},""" +
       s""""hits":{"sent":${hits.size},"hit":[$hs]}}}"""
@@ -28,9 +33,9 @@ case class SearchResult(query: String, hits: Seq[Hit], completions: Seq[Completi
     * (CompletionServer.cpp:1468-1594): `<result>` with `<query>`,
     * `<status>`, `<completions sent=..>` of `<c sc dc oc>` elements and
     * `<hits sent=.. first=..>` of `<hit score id>` elements carrying
-    * `<excerpt>`s. Elements we cannot fill (`<info>`/`<url>` need a hit
-    * title source; per-query log ids and timings live in the server) are
-    * omitted rather than faked.
+    * `<url>` (from the docs store) and `<excerpt>`s. Elements we cannot
+    * fill (`<info>` needs a hit title source; per-query log ids and
+    * timings live in the server) are omitted rather than faked.
     */
   def toXml(firstHit: Int = 0): String = {
     def esc(s: String) = s.flatMap {
@@ -49,6 +54,7 @@ case class SearchResult(query: String, hits: Seq[Hit], completions: Seq[Completi
     sb ++= s"""<hits sent="${hits.size}" first="$firstHit">\r\n"""
     hits.foreach { h =>
       sb ++= s"""<hit score="${h.score}" id="${h.id}">\r\n"""
+      if (h.url.nonEmpty) sb ++= s"<url>${esc(h.url)}</url>\r\n"
       if (h.excerpt.nonEmpty) sb ++= s"<excerpt>${esc(h.excerpt)}</excerpt>\r\n"
       sb ++= "</hit>\r\n"
     }
@@ -76,7 +82,8 @@ object Search {
       Executor.hits(corpus, query, k, params),
       Executor.completions(corpus, query, completionsK, params),
       (hits, ex, pf) =>
-        Excerpts.generateAll(corpus, hits, ex, pf, excerptRadius, params.excerptsPerHit))
+        Excerpts.generateAll(corpus, hits, ex, pf, excerptRadius, params.excerptsPerHit),
+      hits => if (corpus.columns.contains("url")) urlsOf(corpus, hits) else Map.empty)
 
   /** Physical-path variant: hits/completions from the block index, excerpt
     * text from its docs store; the corpus is never read. With `cache`, a
@@ -111,12 +118,24 @@ object Search {
         else hits.sparkSession.emptyDataFrame
           .select(org.apache.spark.sql.functions.lit(0L).as("doc_id"),
             org.apache.spark.sql.functions.lit("").as("excerpt"))
-          .limit(0))
+          .limit(0),
+      hits => if (reader.hasDocsStore) urlsOf(reader.docs, hits) else Map.empty)
+  }
+
+  /** Hit urls from a (doc_id, url, ...) relation: broadcast semi-join on
+    * the k hit ids, one k-sized driver round-trip.
+    */
+  private def urlsOf(docs: DataFrame, hits: DataFrame): Map[Long, String] = {
+    import org.apache.spark.sql.functions.col
+    docs.join(hits.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("url"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
   }
 
   private def assemble(query: String, k: Int, completionsK: Int,
                        hitsDf: DataFrame, completionsDf: => DataFrame,
-                       excerptsFor: (DataFrame, Seq[String], Seq[String]) => DataFrame): SearchResult = {
+                       excerptsFor: (DataFrame, Seq[String], Seq[String]) => DataFrame,
+                       urlsFor: DataFrame => Map[Long, String]): SearchResult = {
     val parsed = QueryParser.parse(query)
     // highlight terms: exact words + prefixes of the query
     val words = parsed.parts.map(_.atom).collect {
@@ -130,9 +149,11 @@ object Search {
     val prefixes = words.filter(_.prefix).map(_.text)
     val excerpts = excerptsFor(hitsDf, exact, prefixes)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val urls = urlsFor(hitsDf)
 
     val hits = hitsDf.collect().map { r =>
-      Hit(r.getLong(0), r.getDouble(1), excerpts.getOrElse(r.getLong(0), ""))
+      Hit(r.getLong(0), r.getDouble(1), excerpts.getOrElse(r.getLong(0), ""),
+        urls.getOrElse(r.getLong(0), ""))
     }.toSeq
 
     val lastIsPrefix = parsed.parts.last.atom match {

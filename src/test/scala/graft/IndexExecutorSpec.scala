@@ -264,10 +264,16 @@ class IndexExecutorSpec extends AnyFunSuite {
     val r = graft.api.Search.searchIndex(reader, "babbeln ba*", k = 10)
     assert(r.hits.map(_.id).toSet === Set(3L, 4L))
     assert(r.hits.forall(_.excerpt.contains("<hl>")))
+    // hit urls come from the index's docs store (reference: docs.DB url)
+    assert(r.hits.forall(h => h.url === s"u${h.id}"))
     assert(r.completions.map(_.text).toSet === Set("babbeln", "baby", "babyboom", "babylonisch"))
     val logical = graft.api.Search.search(corpus, "babbeln ba*", k = 10)
-    assert(r.hits === logical.hits)
+    // logical corpus has no url column -> hits match modulo the url field
+    assert(r.hits.map(_.copy(url = "")) === logical.hits)
     assert(r.completions === logical.completions)
+    // the XML wire format carries the url element
+    assert(r.toXml().contains("<url>u3</url>"))
+    assert(r.toJson.contains(""""url":"u3""""))
   }
 
   test("scattered candidate atoms prune blocks by exact id runs, not the hull") {
