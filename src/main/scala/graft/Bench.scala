@@ -143,7 +143,8 @@ object Bench {
       "main" -> (() => IndexQueries.indexDir(spark, sfDir)),
       "facet" -> (() => IndexQueries.facetIndexDir(spark, sfDir)),
       "norm" -> (() => IndexQueries.normIndexDir(spark, sfDir)),
-      "field" -> (() => IndexQueries.fieldIndexDir(spark, sfDir))
+      "field" -> (() => IndexQueries.fieldIndexDir(spark, sfDir)),
+      "byprefix" -> (() => IndexQueries.bpIndexDir(spark, sfDir))
     ).foreach { case (name, build) =>
       // per-build Try: one failed build must not silently un-warm the rest,
       // and the failure itself must be visible (the gate that needs it will

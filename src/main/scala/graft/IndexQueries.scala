@@ -29,6 +29,24 @@ object IndexQueries {
   def reader(spark: SparkSession, sfDir: String): IndexReader =
     new IndexReader(spark, indexDir(spark, sfDir))
 
+  /** Separate index built with BY_PREFIXES block formation (boundary
+    * buckets instead of fixed term-id width, HYBIndex.cpp:247-264 analog):
+    * its gate shares the fixed-width prefix oracle, so a hash match proves
+    * the boundary-bucket layout serves identical results.
+    */
+  def bpIndexDir(spark: SparkSession, sfDir: String): String = synchronized {
+    built.getOrElseUpdate(s"$sfDir#byprefix", {
+      val dir = s"/tmp/graft_index/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}_byprefix"
+      IndexBuilder.build(spark, WebCorpus.fromDocuments(spark, sfDir), dir,
+        numShards = 1, prefixBoundaries = Seq("g", "s"))
+      dir
+    })
+  }
+
+  /** Prefix top-10 from a BY_PREFIXES index (oracle: same as ix_prefix_docs). */
+  def bpPrefixDocs(spark: SparkSession, sfDir: String): DataFrame =
+    new IndexReader(spark, bpIndexDir(spark, sfDir)).topKPrefixDocs("st", 10)
+
   /** Separate index with metadata words IN the blocks (reference
     * architecture: facet words live in the HYB index next to text terms).
     * Kept apart from the text-only index so the `ix_*` round-trip gates

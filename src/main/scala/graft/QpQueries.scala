@@ -34,6 +34,20 @@ object QpQueries {
     "qp_synonym" -> ((s, d) => Executor.topK(corpus(s, d), "merge^", 10)),
     "qp_range" -> ((s, d) => Executor.topK(corpus(s, d), "batch--filter", 10)),
     "qp_completions" -> ((s, d) => Executor.completions(corpus(s, d), "spark st*", 10)),
+    // ---- round 4: the request surface (QueryParameters.cpp:290-305) ----
+    // f= pagination: hits [3, 6) of the SAME total order the un-paginated
+    // query uses (one TakeOrderedAndProject of f+k rows, PLANS §11)
+    "qp_hits_page" -> ((s, d) => Executor.hits(corpus(s, d), "spark|hash", 3,
+      QueryParams(firstHit = 3))),
+    // rd=1d: hits ranked by doc id descending
+    "qp_rd_docdesc" -> ((s, d) => Executor.hits(corpus(s, d), "spark", 10,
+      QueryParams.withRankDocs("1d"))),
+    // rw=1: completions ranked by doc count
+    "qp_rw_dc" -> ((s, d) => Executor.completions(corpus(s, d), "spark st*", 10,
+      QueryParams.withRankWords("1"))),
+    // fd=0.5: fuzzy-matched BM25 contributions damped by half
+    "qp_fuzzy_damped" -> ((s, d) => Executor.topK(corpus(s, d), "spak~", 10,
+      QueryParams(fuzzyDamping = 0.5))),
     "qp_phrase_bonus" -> ((s, d) => Executor.topK(corpus(s, d), "batch.batch", 10, bonuses = true)),
     // 3-part windowed chain: positions must be CONTIGUOUS across all three
     // parts (gates the matched-position carry, not just pairwise windows)
@@ -205,6 +219,22 @@ object QpQueries {
          |GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
     "qp_or" -> Oracles.topDocs("term IN ('spark', 'hash')"),
     "qp_fuzzy" -> Oracles.topDocs("levenshtein(term, 'spak') <= 1"),
+    // round 4 request-surface gates
+    "qp_hits_page" ->
+      s"""${Oracles.BaseCtes}
+         |SELECT doc_id, round(sum(score), 4) AS score
+         |FROM scored WHERE term IN ('spark', 'hash') GROUP BY doc_id
+         |ORDER BY score DESC, doc_id ASC LIMIT 3 OFFSET 3""".stripMargin,
+    "qp_rd_docdesc" ->
+      s"""${Oracles.BaseCtes}
+         |SELECT doc_id, round(sum(score), 4) AS score
+         |FROM scored WHERE term = 'spark' GROUP BY doc_id
+         |ORDER BY doc_id DESC LIMIT 10""".stripMargin,
+    "qp_fuzzy_damped" ->
+      s"""${Oracles.BaseCtes}
+         |SELECT doc_id, round(sum(score) * 0.5, 4) AS score
+         |FROM scored WHERE levenshtein(term, 'spak') <= 1 GROUP BY doc_id
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
     "qp_synonym" -> Oracles.topDocs(
       "term IN (" + Executor.synonymsOf("merge").toSeq.sorted.map(t => s"'$t'").mkString(", ") + ")"),
     "qp_range" -> Oracles.topDocs("term >= 'batch' AND term <= 'filter'"),
@@ -216,6 +246,15 @@ object QpQueries {
          |       CAST(count(*) AS BIGINT) AS dc, CAST(sum(s.tf) AS BIGINT) AS oc
          |FROM scored s JOIN hits USING (doc_id) WHERE s.term LIKE 'st%'
          |GROUP BY s.term ORDER BY score DESC, term ASC LIMIT 10""".stripMargin,
+    // rw=1: same completions relation, ranked by doc count
+    "qp_rw_dc" ->
+      s"""${Oracles.BaseCtes}, hits AS (
+         |${andPrefixHits("")}
+         |)
+         |SELECT s.term, round(sum(s.score), 4) AS score,
+         |       CAST(count(*) AS BIGINT) AS dc, CAST(sum(s.tf) AS BIGINT) AS oc
+         |FROM scored s JOIN hits USING (doc_id) WHERE s.term LIKE 'st%'
+         |GROUP BY s.term ORDER BY dc DESC, term ASC LIMIT 10""".stripMargin,
     "qp_excerpts_multi" ->
       s"""${Oracles.BaseCtes}, doc_toks AS (
          |  SELECT doc_id, list(term ORDER BY pos) AS toks FROM toks GROUP BY 1

@@ -24,6 +24,15 @@ object QpixQueries {
     "qpix_synonym" -> ((s, d) => IndexExecutor.topK(rd(s, d), "merge^", 10)),
     "qpix_range" -> ((s, d) => IndexExecutor.topK(rd(s, d), "batch--filter", 10)),
     "qpix_completions" -> ((s, d) => IndexExecutor.completions(rd(s, d), "spark st*", 10)),
+    // round 4: request surface off the blocks (same oracles as the qp_ twins)
+    "qpix_hits_page" -> ((s, d) => IndexExecutor.hits(rd(s, d), "spark|hash", 3,
+      QueryParams(firstHit = 3))),
+    "qpix_rd_docdesc" -> ((s, d) => IndexExecutor.hits(rd(s, d), "spark", 10,
+      QueryParams.withRankDocs("1d"))),
+    "qpix_rw_dc" -> ((s, d) => IndexExecutor.completions(rd(s, d), "spark st*", 10,
+      QueryParams.withRankWords("1"))),
+    "qpix_fuzzy_damped" -> ((s, d) => IndexExecutor.topK(rd(s, d), "spak~", 10,
+      QueryParams(fuzzyDamping = 0.5))),
     "qpix_phrase_bonus" -> ((s, d) => IndexExecutor.topK(rd(s, d), "batch.batch", 10, bonuses = true)),
     "qpix_chain3" -> ((s, d) => IndexExecutor.topK(rd(s, d), "stream.table.hash", 10)),
     "qpix_bestmatch" -> ((s, d) =>

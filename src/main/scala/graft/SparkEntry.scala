@@ -45,6 +45,7 @@ object SparkEntry {
     "ix_decoded_postings" -> IndexQueries.decodedPostings _,
     "ix_wand_topk" -> IndexQueries.wandTopK _,
     "ix_prefix_docs" -> IndexQueries.prefixDocs _,
+    "ixbp_prefix_docs" -> IndexQueries.bpPrefixDocs _,
     "ix_and" -> IndexQueries.andTopK _,
     "ix_phrase" -> IndexQueries.phraseDocs _,
     "ix_completions" -> IndexQueries.completions _,
@@ -64,6 +65,8 @@ object SparkEntry {
       s"${Oracles.BaseCtes} SELECT doc_id, term, tf FROM dt",
     "ix_wand_topk" -> Oracles.topDocs("term IN ('spark', 'hash', 'merge')"),
     "ix_prefix_docs" -> Oracles.topDocs("term LIKE 'st%'"),
+    // BY_PREFIXES-built index must serve the identical prefix results
+    "ixbp_prefix_docs" -> Oracles.topDocs("term LIKE 'st%'"),
     "ix_and" -> Oracles.all("ft_bm25_and"),
     "ix_phrase" -> Oracles.all("ft_phrase"),
     "ix_completions" -> Oracles.all("ft_completions"),
