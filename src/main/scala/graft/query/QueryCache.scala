@@ -250,7 +250,8 @@ class IndexQueryCache(maxEntries: Int = 200,
     * the size measurement run blocking driver jobs and MUST NOT serialize
     * a serving session's unrelated queries behind one miss. Two threads
     * missing the same atom concurrently may both compute; the loser's
-    * relation (never returned to anyone) is unpersisted and discarded.
+    * handle is simply dropped (its semantically-equal plan shares the
+    * winner's single Spark cache entry -- see the in-method comment).
     */
   def atomScored(dir: String, epoch: Long, atom: Atom,
                  compute: Atom => DataFrame): DataFrame = {
@@ -306,8 +307,13 @@ class IndexQueryCache(maxEntries: Int = 200,
         synchronized {
           val won = lru.get(key)
           if (won != null) {
-            // another thread beat us; ours was never shared, safe to drop
-            if (owned) persisted.unpersist()
+            // Another thread beat us to the insert. Do NOT unpersist our
+            // copy: Spark's cache is keyed by SEMANTIC plan, and the two
+            // threads' plans for one atom are semantically equal -- they
+            // share ONE cache entry, which the winner's eviction will
+            // release. Unpersisting here would yank that shared entry out
+            // from under the winner's possibly in-flight query (the
+            // round-3 corruption scenario).
             won.df
           } else {
             lru.put(key, Entry(persisted, bytes, owned))
