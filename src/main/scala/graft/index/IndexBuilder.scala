@@ -126,10 +126,6 @@ object IndexBuilder {
         */
       prefixBoundaries: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
-
-    val fs = java.nio.file.Paths.get(outDir)
-    java.nio.file.Files.createDirectories(fs)
-
     // One tokenizing pass, shared (persisted) across dictionary, stats and
     // every shard's encode stage; artificial rows union in as extra
     // doc-terms. normVariants additionally indexes the reference's
@@ -139,6 +135,76 @@ object IndexBuilder {
       else Seq(graft.core.Facets.facetRows(corpus, facetFields))) ++ extraDocTerms
     val dt = if (extras.isEmpty) dt0
       else extras.foldLeft(dt0.toDF())(_ unionByName _).as[graft.core.DocTerm]
+
+    buildCore(spark, dt, () => timed("corpus_count")(corpus.count()),
+      () => corpus.agg(max(col("doc_id"))).head().getLong(0),
+      outDir, numShards, blockSize, bucketSize, buildPartitions,
+      prefixBoundaries)
+  }
+
+  /** Build an index DIRECTLY from an ingest words relation -- the
+    * [[graft.core.CsvIngest]] / [[graft.core.XmlIngest]] output shape
+    * (doc_id, term, score, pos; pos = -1 for artificial words). This is
+    * the reference's buildIndex path for CSV/XML databases (words file ->
+    * HYB index, applications/Makefile:313-320): the full grammar,
+    * facet/filter/ordering completions and the completion server then
+    * serve a CSV/XML database with no corpus table at all.
+    *
+    * Conversion: occurrences group to (doc_id, term) postings (tf =
+    * occurrence count, positions sorted, artificial pos -1 -> 0 as in
+    * [[graft.core.Facets.facetRows]]); dl counts REAL tokens only, so
+    * ':'-namespaced words never skew the BM25 length model. The per-field
+    * ingest score is served by field-weighted ranking (`:field:` words),
+    * not carried per posting.
+    */
+  def buildFromWords(
+      spark: SparkSession,
+      words: DataFrame,
+      outDir: String,
+      numShards: Int = 1,
+      blockSize: Int = DefaultBlockSize,
+      bucketSize: Int = DefaultBucketSize,
+      buildPartitions: Int = 0,
+      prefixBoundaries: Seq[String] = Nil): DataFrame = {
+    import spark.implicits._
+    val dls = words.filter(col("pos") >= 0)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dt = words
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(greatest(col("pos"), lit(0)))).as("positions"))
+      .join(dls, Seq("doc_id"), "left_outer")
+      .select(col("doc_id").cast("long").as("doc_id"), col("term"),
+        col("tf"), col("positions").cast("array<int>").as("positions"),
+        coalesce(col("dl"), lit(0L)).as("dl"))
+      .as[graft.core.DocTerm]
+    buildCore(spark, dt,
+      // n_docs = docs that carry any real token (the ingest emits one
+      // words row per occurrence; doc 0 holds only :info: words)
+      () => dls.count(),
+      () => words.agg(max(col("doc_id").cast("long"))).head().getLong(0),
+      outDir, numShards, blockSize, bucketSize, buildPartitions,
+      prefixBoundaries)
+  }
+
+  /** The shared build pipeline from a ready doc-term relation:
+    * dictionary + stats + boundaries + sharded block encode + manifest.
+    */
+  private def buildCore(
+      spark: SparkSession,
+      dt: Dataset[graft.core.DocTerm],
+      nDocsFn: () => Long,
+      maxDocFn: () => Long,
+      outDir: String,
+      numShards: Int,
+      blockSize: Int,
+      bucketSize: Int,
+      buildPartitions: Int,
+      prefixBoundaries: Seq[String]): DataFrame = {
+    import spark.implicits._
+
+    val fs = java.nio.file.Paths.get(outDir)
+    java.nio.file.Files.createDirectories(fs)
 
     // under timing, force the shared tokenize pass separately so
     // dictionary_write shows only vocab-side cost
@@ -152,11 +218,11 @@ object IndexBuilder {
       timed("dictionary_write") {
         Analysis.dictionary(dt).write.mode(SaveMode.Overwrite).parquet(s"$outDir/dictionary")
       }
-      // stats: n_docs over the corpus (counts empty docs too); postings +
-      // vocab size from ONE vocab-sized agg over the freshly written
-      // dictionary (every sequential driver job here is the Amdahl serial
-      // term of the build -- see BENCH.md)
-      val nd = timed("corpus_count")(corpus.count())
+      // stats: n_docs from the caller (corpus count / ingest doc count);
+      // postings + vocab size from ONE vocab-sized agg over the freshly
+      // written dictionary (every sequential driver job here is the Amdahl
+      // serial term of the build -- see BENCH.md)
+      val nd = nDocsFn()
       // n_postings / avgdl count REAL words only: artificial namespaces
       // (:facet: etc.) and normalized variants (norm:lower) carry ':'
       // (a tokenizer separator, so real words never do) and must not skew
@@ -203,7 +269,7 @@ object IndexBuilder {
     // Shard by docId range: independent, resumable jobs. Single-shard
     // builds skip the max-doc-id scan entirely.
     val maxDoc = if (numShards == 1) Long.MaxValue - numShards
-      else corpus.agg(max(col("doc_id"))).head().getLong(0)
+      else maxDocFn()
     val shardWidth = (maxDoc + numShards) / numShards
     val manifest = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long, Long, Double, String)]
 

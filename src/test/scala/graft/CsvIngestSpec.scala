@@ -127,4 +127,37 @@ class CsvIngestSpec extends AnyFunSuite {
       java.nio.file.Files.readAllBytes(g), "doc").toList)
     assert(xxe.isFailure || xxe.get.forall(_.getOrElse("Titel", "").isEmpty))
   }
+
+  test("buildFromWords: a CSV database becomes a queryable index, no corpus table") {
+    val path = writeCsv(Seq(
+      "Autor\tJahr\tTitel",
+      "Mann, Thomas\t1924\tDer Zauberberg",
+      "Kafka; Franz\t1915\tDie Verwandlung"))
+    val fields = Seq(
+      CsvField("Titel", fulltext = true, show = true),
+      CsvField("Autor", facet = true),
+      CsvField("Jahr", ordering = true))
+    val (words, _) = CsvIngest.parse(spark, path, fields)
+    val dir = java.nio.file.Files.createTempDirectory("graft_wix").toString
+    graft.index.IndexBuilder.buildFromWords(spark, words, dir)
+    val r = new graft.index.IndexReader(spark, dir, cacheBlocks = false)
+    // the BM25 length model sees only real tokens (two 2-token titles);
+    // doc 0 carries only :info: words and does not count
+    assert(r.nDocs === 2L && r.avgdl === 2.0)
+    // full grammar served from the blocks
+    val hits = graft.query.IndexExecutor.topK(r, "zauberberg", 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(hits === Seq(1L))
+    // facet counting = completions of the :facet: namespace
+    val fc = r.topKCompletions(":facet:Autor:", 10)
+      .collect().map(x => (x.getString(0), x.getLong(2))).toMap
+    assert(fc === Map(":facet:Autor:Mann, Thomas" -> 1L,
+      ":facet:Autor:Kafka; Franz" -> 1L))
+    // ordering keys are word ranges over the sortable encoding
+    val yr = r.dictionary.filter(
+        org.apache.spark.sql.functions.col("term")
+          .between(":ordering:Jahr:1915", ":ordering:Jahr:1920"))
+      .count()
+    assert(yr === 1L)
+  }
 }
