@@ -206,3 +206,57 @@ object FilterQueriesByVolumeMain {
     spark.stop()
   }
 }
+
+/** buildIndex for CSV/XML databases (reference: parser step + buildIndex,
+  * applications/Makefile:231-320): parse the input with field roles, then
+  * [[graft.index.IndexBuilder.buildFromWords]] -- the resulting directory
+  * serves the full grammar, facet completions and the completion server
+  * with no corpus table.
+  *
+  * args: <csv|xml> <inputPath> <indexDir> <fieldSpec>...
+  * fieldSpec = name[:role[,role...]] with roles fulltext|show|facet|
+  * filter|ordering (e.g. `Titel:fulltext,show` `Autor:facet`).
+  */
+object BuildFromDatabaseMain {
+  private[graft] def parseFieldSpec(s: String): graft.core.CsvField = {
+    val (name, roles) = s.indexOf(':') match {
+      case -1 => (s, Seq("fulltext"))
+      case i => (s.substring(0, i), s.substring(i + 1).split(',').toSeq)
+    }
+    roles.foldLeft(graft.core.CsvField(name)) { (f, r) =>
+      r.trim match {
+        case "fulltext" => f.copy(fulltext = true)
+        case "show" => f.copy(show = true)
+        case "facet" => f.copy(facet = true)
+        case "filter" => f.copy(filter = true)
+        case "ordering" => f.copy(ordering = true)
+        case other => throw new IllegalArgumentException(s"unknown field role: $other")
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(format, inputPath, indexDir, fieldSpecs @ _*) = args: @unchecked
+    require(fieldSpecs.nonEmpty, "at least one fieldSpec required")
+    val fields = fieldSpecs.map(parseFieldSpec)
+    val spark = Cli.session("graft-buildFromDatabase")
+    val (words, docs) = format match {
+      case "csv" => graft.core.CsvIngest.parse(spark, inputPath, fields)
+      case "xml" => graft.core.XmlIngest.parse(spark, inputPath, fields)
+      case other => throw new IllegalArgumentException(s"format must be csv|xml, got $other")
+    }
+    val manifest = IndexBuilder.buildFromWords(spark, words, indexDir)
+    // docs store from the show fields, so excerpts/urls serve from the
+    // index dir (text = show fields joined; url = first show field)
+    val showCols = fields.filter(_.show).map(_.name)
+    if (showCols.nonEmpty) {
+      import org.apache.spark.sql.functions._
+      IndexBuilder.buildDocsStore(spark,
+        docs.select(col("doc_id"),
+          col(showCols.head).as("url"),
+          concat_ws(" ", showCols.map(col): _*).as("text")), indexDir)
+    }
+    manifest.show(100, truncate = false)
+    spark.stop()
+  }
+}
