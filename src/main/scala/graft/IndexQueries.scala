@@ -47,6 +47,35 @@ object IndexQueries {
   def bpPrefixDocs(spark: SparkSession, sfDir: String): DataFrame =
     new IndexReader(spark, bpIndexDir(spark, sfDir)).topKPrefixDocs("st", 10)
 
+  /** Separate index built with a non-default block codec (the reference
+    * compiles one compression algorithm per index, codes.h:27-62). Its
+    * gates share the varint-index oracles, so a hash match proves the
+    * codec's encode -> decode is lossless end to end.
+    */
+  def codecIndexDir(spark: SparkSession, sfDir: String, codec: String): String = synchronized {
+    built.getOrElseUpdate(s"$sfDir#codec=$codec", {
+      val dir = s"/tmp/graft_index/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}_$codec"
+      IndexBuilder.build(spark, WebCorpus.fromDocuments(spark, sfDir), dir,
+        numShards = 1, doclistCodec = codec)
+      dir
+    })
+  }
+
+  /** Full decode round-trip from an Elias-gamma-coded index (oracle: same
+    * as ix_decoded_postings).
+    */
+  def gammaDecodedPostings(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = new IndexReader(spark, codecIndexDir(spark, sfDir, "gamma"))
+    r.decode(r.blocks)
+      .join(broadcast(r.dictionary.select(col("term_id"), col("term"))), "term_id")
+      .select(col("doc_id"), col("term"), col("tf"))
+  }
+
+  /** WAND top-10 from a PForDelta-coded index (oracle: same as ix_wand_topk). */
+  def pforWandTopK(spark: SparkSession, sfDir: String): DataFrame =
+    new IndexReader(spark, codecIndexDir(spark, sfDir, "pfor"))
+      .topKOrWand(Seq("spark", "hash", "merge"), 10)
+
   /** Separate index with metadata words IN the blocks (reference
     * architecture: facet words live in the HYB index next to text terms).
     * Kept apart from the text-only index so the `ix_*` round-trip gates

@@ -46,6 +46,8 @@ object SparkEntry {
     "ix_wand_topk" -> IndexQueries.wandTopK _,
     "ix_prefix_docs" -> IndexQueries.prefixDocs _,
     "ixbp_prefix_docs" -> IndexQueries.bpPrefixDocs _,
+    "ixcg_decoded_postings" -> IndexQueries.gammaDecodedPostings _,
+    "ixcp_wand_topk" -> IndexQueries.pforWandTopK _,
     "ix_and" -> IndexQueries.andTopK _,
     "ix_phrase" -> IndexQueries.phraseDocs _,
     "ix_completions" -> IndexQueries.completions _,
@@ -67,6 +69,11 @@ object SparkEntry {
     "ix_prefix_docs" -> Oracles.topDocs("term LIKE 'st%'"),
     // BY_PREFIXES-built index must serve the identical prefix results
     "ixbp_prefix_docs" -> Oracles.topDocs("term LIKE 'st%'"),
+    // non-default block codecs must serve identical results (gamma: full
+    // decode round-trip; pfor: WAND top-k)
+    "ixcg_decoded_postings" ->
+      s"${Oracles.BaseCtes} SELECT doc_id, term, tf FROM dt",
+    "ixcp_wand_topk" -> Oracles.topDocs("term IN ('spark', 'hash', 'merge')"),
     "ix_and" -> Oracles.all("ft_bm25_and"),
     "ix_phrase" -> Oracles.all("ft_phrase"),
     "ix_completions" -> Oracles.all("ft_completions"),

@@ -124,7 +124,13 @@ object IndexBuilder {
         * default. The boundary cut ids persist under `boundaries/` and the
         * reader switches its bucket arithmetic automatically.
         */
-      prefixBoundaries: Seq[String] = Nil): DataFrame = {
+      prefixBoundaries: Seq[String] = Nil,
+      /** Doclist/positionlist compression algorithm, one per index like the
+        * reference's compile-time choice (codes.h:27-62): varint (default),
+        * gamma, rice, simple8b or pfor -- see [[Codec]]. Persisted in
+        * `stats/doclist_codec`; the reader dispatches automatically.
+        */
+      doclistCodec: String = "varint"): DataFrame = {
     import spark.implicits._
     // One tokenizing pass, shared (persisted) across dictionary, stats and
     // every shard's encode stage; artificial rows union in as extra
@@ -139,7 +145,7 @@ object IndexBuilder {
     buildCore(spark, dt, () => timed("corpus_count")(corpus.count()),
       () => corpus.agg(max(col("doc_id"))).head().getLong(0),
       outDir, numShards, blockSize, bucketSize, buildPartitions,
-      prefixBoundaries)
+      prefixBoundaries, doclistCodec)
   }
 
   /** Build an index DIRECTLY from an ingest words relation -- the
@@ -165,7 +171,8 @@ object IndexBuilder {
       blockSize: Int = DefaultBlockSize,
       bucketSize: Int = DefaultBucketSize,
       buildPartitions: Int = 0,
-      prefixBoundaries: Seq[String] = Nil): DataFrame = {
+      prefixBoundaries: Seq[String] = Nil,
+      doclistCodec: String = "varint"): DataFrame = {
     import spark.implicits._
     val dls = words.filter(col("pos") >= 0)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
@@ -184,7 +191,7 @@ object IndexBuilder {
       () => dls.count(),
       () => words.agg(max(col("doc_id").cast("long"))).head().getLong(0),
       outDir, numShards, blockSize, bucketSize, buildPartitions,
-      prefixBoundaries)
+      prefixBoundaries, doclistCodec)
   }
 
   /** The shared build pipeline from a ready doc-term relation:
@@ -200,8 +207,10 @@ object IndexBuilder {
       blockSize: Int,
       bucketSize: Int,
       buildPartitions: Int,
-      prefixBoundaries: Seq[String]): DataFrame = {
+      prefixBoundaries: Seq[String],
+      doclistCodec: String): DataFrame = {
     import spark.implicits._
+    Codec.idOf(doclistCodec) // validate before any work
 
     val fs = java.nio.file.Paths.get(outDir)
     java.nio.file.Files.createDirectories(fs)
@@ -231,8 +240,9 @@ object IndexBuilder {
         .agg(sum(when(!col("term").contains(":"), col("cf"))), count(lit(1))).head())
       val np = if (npRow.isNullAt(0)) 0L else npRow.getLong(0)
       Seq((nd, np, if (nd == 0) 0.0 else np.toDouble / nd, bucketSize.toLong,
-          npRow.getLong(1)))
-        .toDF("n_docs", "n_postings", "avgdl", "bucket_size", "vocab_size")
+          npRow.getLong(1), doclistCodec))
+        .toDF("n_docs", "n_postings", "avgdl", "bucket_size", "vocab_size",
+          "doclist_codec")
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats")
     }
     val dict = spark.read.parquet(s"$outDir/dictionary")
@@ -261,6 +271,12 @@ object IndexBuilder {
     val statsRow = spark.read.parquet(s"$outDir/stats").head()
     val avgdl = statsRow.getAs[Double]("avgdl")
     val nDocs = statsRow.getAs[Long]("n_docs")
+    // resumed builds MUST keep the committed codec, whatever the caller
+    // passed -- shards of one index may never mix codecs
+    val codecId = Codec.idOf(
+      if (statsRow.schema.fieldNames.contains("doclist_codec"))
+        statsRow.getAs[String]("doclist_codec")
+      else "varint")
     val vocabSize =
       if (statsRow.schema.fieldNames.contains("vocab_size"))
         statsRow.getAs[Long]("vocab_size")
@@ -284,7 +300,8 @@ object IndexBuilder {
         val hi = (shard + 1) * shardWidth - 1
         val shardDt = dt.toDF().filter(col("doc_id").between(lo, hi))
         val blocks = buildShard(spark, shardDt, dict, vocabSize, avgdl,
-          blockSize, bucketFn(bucketSize.toLong, cutIds), buildPartitions).persist()
+          blockSize, bucketFn(bucketSize.toLong, cutIds), buildPartitions,
+          codecId).persist()
         timed(s"shard${shard}_encode_write") {
           blocks.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(shardDir)
         }
@@ -350,7 +367,8 @@ object IndexBuilder {
       avgdl: Double,
       blockSize: Int,
       bucketOf: Long => Long,
-      buildPartitions: Int): Dataset[PostingBlock] = {
+      buildPartitions: Int,
+      codecId: Int): Dataset[PostingBlock] = {
     import spark.implicits._
 
     // term-id join: broadcast the dictionary when small; at web scale
@@ -369,7 +387,7 @@ object IndexBuilder {
       .sortWithinPartitions(col("term_id"), col("doc_id"))
       .as[(Long, Long, Long, Array[Int], Long)]
 
-    encodeBlocks(sorted, avgdl, blockSize, bucketOf)
+    encodeBlocks(sorted, avgdl, blockSize, bucketOf, codecId)
   }
 
   /** bucket assignment: fixed term-id width (BY_VOLUME-style default) or
@@ -402,7 +420,8 @@ object IndexBuilder {
     */
   private[graft] def encodeBlocks(
       sorted: Dataset[(Long, Long, Long, Array[Int], Long)],
-      avgdl: Double, blockSize: Int, bucketOf: Long => Long): Dataset[PostingBlock] = {
+      avgdl: Double, blockSize: Int, bucketOf: Long => Long,
+      codecId: Int = Codec.Varint): Dataset[PostingBlock] = {
     import sorted.sparkSession.implicits._
     val k1 = Analysis.K1
     val b = Analysis.B
@@ -432,10 +451,10 @@ object IndexBuilder {
             first_doc_id = docIds.head,
             last_doc_id = docIds.last,
             n_docs = docIds.length,
-            doc_deltas = Codec.encodeDeltas(docIds.toArray),
-            tfs = Codec.encodeVarLongs(tfs.toArray),
-            dls = Codec.encodeVarLongs(dls.toArray),
-            positions = Codec.encodePositions(poss.toArray),
+            doc_deltas = Codec.encodeDeltas(codecId, docIds.toArray),
+            tfs = Codec.encodeLongs(codecId, tfs.toArray),
+            dls = Codec.encodeLongs(codecId, dls.toArray),
+            positions = Codec.encodePositions(codecId, poss.toArray),
             n_postings = nPost,
             block_max_tfpart = maxTfPart,
             build_partition = partId)

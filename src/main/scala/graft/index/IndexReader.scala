@@ -75,6 +75,13 @@ class IndexReader(val spark: SparkSession, val dir: String,
     if (statsRow.schema.fieldNames.contains("bucket_size"))
       statsRow.getAs[Long]("bucket_size")
     else IndexBuilder.DefaultBucketSize.toLong
+  /** Compression codec the index was built with (persisted in stats;
+    * pre-codec-family indexes are varint).
+    */
+  lazy val doclistCodec: Int = Codec.idOf(
+    if (statsRow.schema.fieldNames.contains("doclist_codec"))
+      statsRow.getAs[String]("doclist_codec")
+    else "varint")
 
   /** BY_PREFIXES boundary cut ids, when the index was built with
     * prefix-boundary block formation (HYBIndex.cpp:247-264 analog): sorted
@@ -188,13 +195,13 @@ class IndexReader(val spark: SparkSession, val dir: String,
   def decode(blockDf: DataFrame): DataFrame =
     blockDf.select(col("term_id"),
       PostingsDecode.postingsDecode(col("n_docs"), col("doc_deltas"),
-        col("tfs"), col("dls")))
+        col("tfs"), col("dls"), doclistCodec))
 
   /** Decode including per-doc positions: (term_id, doc_id, tf, dl, positions). */
   def decodeWithPositions(blockDf: DataFrame): DataFrame =
     blockDf.select(col("term_id"),
       PostingsDecode.postingsDecodeWithPositions(col("n_docs"), col("doc_deltas"),
-        col("tfs"), col("dls"), col("positions")))
+        col("tfs"), col("dls"), col("positions"), doclistCodec))
 
   /** BM25 score column over decoded postings joined with per-term df. */
   private def scoreDecoded(decoded: DataFrame, dfByTermId: Map[Long, Long]): DataFrame = {

@@ -20,7 +20,8 @@ case class PostingsDecode(
     nDocs: Expression,
     docDeltas: Expression,
     tfs: Expression,
-    dls: Expression) extends Expression with Generator with CodegenFallback {
+    dls: Expression,
+    codec: Int = Codec.Varint) extends Expression with Generator with CodegenFallback {
 
   override def children: Seq[Expression] = Seq(nDocs, docDeltas, tfs, dls)
 
@@ -32,9 +33,9 @@ case class PostingsDecode(
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val n = nDocs.eval(input).asInstanceOf[Int]
     if (n == 0) return Iterator.empty
-    val docIds = Codec.decodeDeltas(docDeltas.eval(input).asInstanceOf[Array[Byte]], n)
-    val tfArr = Codec.decodeVarLongs(tfs.eval(input).asInstanceOf[Array[Byte]], n)
-    val dlArr = Codec.decodeVarLongs(dls.eval(input).asInstanceOf[Array[Byte]], n)
+    val docIds = Codec.decodeDeltas(codec, docDeltas.eval(input).asInstanceOf[Array[Byte]], n)
+    val tfArr = Codec.decodeLongs(codec, tfs.eval(input).asInstanceOf[Array[Byte]], n)
+    val dlArr = Codec.decodeLongs(codec, dls.eval(input).asInstanceOf[Array[Byte]], n)
     new Iterator[InternalRow] {
       private var i = 0
       private val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(3)
@@ -58,7 +59,8 @@ case class PostingsDecodeWithPositions(
     docDeltas: Expression,
     tfs: Expression,
     dls: Expression,
-    positions: Expression) extends Expression with Generator with CodegenFallback {
+    positions: Expression,
+    codec: Int = Codec.Varint) extends Expression with Generator with CodegenFallback {
 
   override def children: Seq[Expression] = Seq(nDocs, docDeltas, tfs, dls, positions)
 
@@ -71,10 +73,10 @@ case class PostingsDecodeWithPositions(
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val n = nDocs.eval(input).asInstanceOf[Int]
     if (n == 0) return Iterator.empty
-    val docIds = Codec.decodeDeltas(docDeltas.eval(input).asInstanceOf[Array[Byte]], n)
-    val tfArr = Codec.decodeVarLongs(tfs.eval(input).asInstanceOf[Array[Byte]], n)
-    val dlArr = Codec.decodeVarLongs(dls.eval(input).asInstanceOf[Array[Byte]], n)
-    val posArr = Codec.decodePositions(positions.eval(input).asInstanceOf[Array[Byte]], tfArr)
+    val docIds = Codec.decodeDeltas(codec, docDeltas.eval(input).asInstanceOf[Array[Byte]], n)
+    val tfArr = Codec.decodeLongs(codec, tfs.eval(input).asInstanceOf[Array[Byte]], n)
+    val dlArr = Codec.decodeLongs(codec, dls.eval(input).asInstanceOf[Array[Byte]], n)
+    val posArr = Codec.decodePositions(codec, positions.eval(input).asInstanceOf[Array[Byte]], tfArr)
     Iterator.tabulate(n) { i =>
       InternalRow(docIds(i), tfArr(i), dlArr(i),
         new GenericArrayData(posArr(i)))
@@ -91,12 +93,14 @@ object PostingsDecode {
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
 
   /** Column wrapper: use as df.select(col("term_id"), postings_decode(...)) */
-  def postingsDecode(nDocs: Column, docDeltas: Column, tfs: Column, dls: Column): Column =
+  def postingsDecode(nDocs: Column, docDeltas: Column, tfs: Column, dls: Column,
+                     codec: Int = Codec.Varint): Column =
     column(PostingsDecode(expression(nDocs), expression(docDeltas),
-      expression(tfs), expression(dls)))
+      expression(tfs), expression(dls), codec))
 
   def postingsDecodeWithPositions(nDocs: Column, docDeltas: Column, tfs: Column,
-                                  dls: Column, positions: Column): Column =
+                                  dls: Column, positions: Column,
+                                  codec: Int = Codec.Varint): Column =
     column(PostingsDecodeWithPositions(expression(nDocs), expression(docDeltas),
-      expression(tfs), expression(dls), expression(positions)))
+      expression(tfs), expression(dls), expression(positions), codec))
 }

@@ -53,6 +53,11 @@ object StreamingIndexer {
       if (statsRow.schema.fieldNames.contains("bucket_size"))
         statsRow.getAs[Long]("bucket_size")
       else IndexBuilder.DefaultBucketSize.toLong
+    // delta shards must use the SAME codec the batch index committed
+    val codecId = graft.index.Codec.idOf(
+      if (statsRow.schema.fieldNames.contains("doclist_codec"))
+        statsRow.getAs[String]("doclist_codec")
+      else "varint")
 
     // BY_PREFIXES indexes: delta shards must follow the SAME boundary
     // buckets as the batch shards (reader pruning depends on it)
@@ -86,7 +91,8 @@ object StreamingIndexer {
       .sortWithinPartitions(col("term_id"), col("doc_id"))
       .as[(Long, Long, Long, Array[Int], Long)]
     val blocks = IndexBuilder.encodeBlocks(sorted, avgdl,
-      IndexBuilder.DefaultBlockSize, IndexBuilder.bucketFn(bucketSize, cutIds))
+      IndexBuilder.DefaultBlockSize, IndexBuilder.bucketFn(bucketSize, cutIds),
+      codecId)
     blocks.write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(s"$indexDir/blocks/shard=$shardName")
     dt.unpersist()

@@ -84,6 +84,30 @@ object Words2WordIdsMain {
   }
 }
 
+/** sortWordidsFile analog (reference tool of the same name: the external
+  * sort step between words2wordids and buildIndex, applications/Makefile:
+  * 313-320): globally sort a (doc_id, term_id, ...) wordids relation by
+  * (term_id, doc_id) -- the posting order the index builder consumes.
+  * repartitionByRange + sortWithinPartitions IS the distributed external
+  * sort; the written files are range-partitioned and sorted, so a
+  * downstream consumer can stream them in global order.
+  * args: <wordidsParquet> <outParquet> [partitions]
+  */
+object SortWordidsFileMain {
+  def main(args: Array[String]): Unit = {
+    val Array(inPath, outPath, rest @ _*) = args: @unchecked
+    val spark = Cli.session("graft-sortWordidsFile")
+    import org.apache.spark.sql.functions._
+    val in = spark.read.parquet(inPath)
+    val nPart = rest.headOption.map(_.toInt)
+      .getOrElse(spark.sessionState.conf.numShufflePartitions)
+    in.repartitionByRange(nPart, col("term_id"), col("doc_id"))
+      .sortWithinPartitions(col("term_id"), col("doc_id"))
+      .write.mode("overwrite").parquet(outPath)
+    spark.stop()
+  }
+}
+
 /** Batch query driver (answerQueries analog, answerQueries.cpp:19-60):
   * reads one query per line -- `or:a,b,c` runs the physical WAND path,
   * `prefix:p` the pruned prefix path, anything else is parsed as the FULL

@@ -124,6 +124,40 @@ class IndexSpec extends AnyFunSuite {
     assert(ga === gb)
   }
 
+  test("every block codec serves identical postings, positions and top-k") {
+    for (codec <- Seq("gamma", "rice", "simple8b", "pfor")) {
+      val d = java.nio.file.Files.createTempDirectory(s"graft_ix_$codec").toString
+      IndexBuilder.build(spark, corpus, d, numShards = 1, blockSize = 256,
+        doclistCodec = codec)
+      val r = new IndexReader(spark, d, cacheBlocks = false)
+      assert(r.doclistCodec === graft.index.Codec.idOf(codec))
+      val dec = r.decodeWithPositions(r.blocks)
+        .select(col("term_id"), col("doc_id"), col("tf"), col("positions"))
+        .collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getSeq[Int](3).toSeq)).toSet
+      val ref = reader.decodeWithPositions(reader.blocks)
+        .select(col("term_id"), col("doc_id"), col("tf"), col("positions"))
+        .collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getSeq[Int](3).toSeq)).toSet
+      assert(dec === ref, s"codec $codec decode mismatch")
+      val wand = r.topKOrWand(Seq("spark", "hash", "merge"), 10).collect()
+        .map(x => (x.getLong(0), x.getDouble(1))).toSeq
+      val base = reader.topKOrWand(Seq("spark", "hash", "merge"), 10).collect()
+        .map(x => (x.getLong(0), x.getDouble(1))).toSeq
+      assert(wand === base, s"codec $codec wand mismatch")
+    }
+  }
+
+  test("resumed build keeps the committed codec even if the caller changes it") {
+    val d = java.nio.file.Files.createTempDirectory("graft_ix_keepcodec").toString
+    IndexBuilder.build(spark, corpus, d, numShards = 1, doclistCodec = "gamma")
+    // second call asks for pfor; the committed stats say gamma and win
+    IndexBuilder.build(spark, corpus, d, numShards = 1, doclistCodec = "pfor")
+    val r = new IndexReader(spark, d, cacheBlocks = false)
+    assert(r.doclistCodec === graft.index.Codec.Gamma)
+    assert(r.decode(r.blocks).count() > 0)
+  }
+
   test("lineage metrics exist per build partition") {
     val m = spark.read.parquet(s"$dir/metrics")
     assert(m.count() > 0)

@@ -49,4 +49,20 @@ class StreamingIndexSpec extends AnyFunSuite {
     assert(drift.columns.toSet === Set("dropped_doc_terms", "shard"))
     assert(drift.agg(sum(col("dropped_doc_terms"))).head().getLong(0) === 1L)
   }
+
+  test("delta shards follow the batch index's committed codec") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_codec").toString
+    val base = WebCorpus.fromDocuments(spark, "/root/testdata/sf0.001")
+    IndexBuilder.build(spark, base, dir, numShards = 1, doclistCodec = "pfor")
+    val maxDoc = base.agg(max(col("doc_id"))).head().getLong(0)
+    StreamingIndexer.appendBatch(spark,
+      Seq((maxDoc + 1, "spark merge stream")).toDF("doc_id", "text"),
+      dir, "stream-codec-test")
+    // the appended shard's bytes decode correctly under the index codec --
+    // a varint-encoded shard would decode to garbage or throw
+    val r = new IndexReader(spark, dir, cacheBlocks = false)
+    assert(r.doclistCodec === graft.index.Codec.PFor)
+    val hits = r.topKOrFull(Seq("spark"), 10000).collect().map(_.getLong(0)).toSet
+    assert(hits.contains(maxDoc + 1))
+  }
 }
