@@ -10,8 +10,9 @@ import scala.collection.mutable.ArrayBuffer
   * We mirror that as a per-index choice persisted in `stats/doclist_codec`
   * and dispatched once per decode expression:
   *
-  *   - varint   (default): unsigned LEB128 over gaps -- branch-light,
-  *                         byte-aligned; the north rule's "varint" option.
+  *   - varint   : unsigned LEB128 over gaps -- branch-light, byte-aligned;
+  *                the north rule's "varint" option and the pre-codec-family
+  *                on-disk format (indexes without stats/doclist_codec).
   *   - gamma    : Elias-gamma bit code (codes.h Elias analog) -- best for
   *                tiny gaps (dense posting lists), no parameter.
   *   - rice     : Golomb-Rice with per-list parameter k (codes.h Golomb
@@ -20,10 +21,11 @@ import scala.collection.mutable.ArrayBuffer
   *   - simple8b : word-aligned packing, 16 selectors over 60-bit payloads
   *                (Anh & Moffat "Index compression using 64-bit words" --
   *                the 64-bit successor of the reference's Simple9).
-  *   - pfor     : patched frame-of-reference over 128-value chunks (Zukowski
-  *                et al. PForDelta) -- the north rule's explicit scale
-  *                option: fixed-width bit-packing for the 90th percentile,
-  *                varint-patched exceptions.
+  *   - pfor     (default): patched frame-of-reference over 128-value chunks
+  *                (Zukowski et al. PForDelta) -- the north rule's explicit
+  *                scale option: fixed-width bit-packing for the 90th
+  *                percentile, varint-patched exceptions. Measured ~35%
+  *                smaller and ~2x faster to decode than varint (BENCH.md).
   *
   * All methods are allocation-conscious pure Scala so they can run inside
   * mapPartitions/Generator hot loops and be property-tested without Spark.
@@ -352,8 +354,15 @@ object Codec {
         bits(j) = bitsNeeded(v)
         j += 1
       }
-      val sortedBits = bits.sorted
-      val b = sortedBits(math.max(0, math.ceil(0.9 * m).toInt - 1))
+      // b = smallest width covering >= 90% of the chunk (histogram of bit
+      // widths; no per-chunk sort in the encode hot loop)
+      val hist = new Array[Int](61)
+      j = 0
+      while (j < m) { hist(bits(j)) += 1; j += 1 }
+      val target = math.ceil(0.9 * m).toInt
+      var b = 0
+      var cum = hist(0)
+      while (cum < target) { b += 1; cum += hist(b) }
       var nExc = 0
       j = 0
       while (j < m) { if (bits(j) > b) nExc += 1; j += 1 }

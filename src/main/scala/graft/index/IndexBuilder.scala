@@ -5,7 +5,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One compressed posting block: all postings of one term whose docIds fall
-  * in [first_doc_id, last_doc_id], sorted by docId, delta-varint encoded.
+  * in [first_doc_id, last_doc_id], sorted by docId, delta-encoded with the
+  * index's codec (stats/doclist_codec; PForDelta by default, [[Codec]]).
   *
   * HYB-block analog (reference HYBIndex.cpp:32-229 writeCurrentBlock):
   * where the reference cuts blocks by word-range boundaries, we cut by
@@ -73,6 +74,12 @@ object IndexBuilder {
 
   val DefaultBlockSize = 65536 // postings per block (reference default 200k, Globals.cpp:8)
   val DefaultBucketSize = 1024 // term ids per output partition dir
+  /** PForDelta by default: measured at bench scale ~35% smaller and ~2x
+    * faster to decode than LEB128 varint (BENCH.md codec table); also the
+    * north rule's named option. Existing indexes keep their committed
+    * codec via stats/doclist_codec.
+    */
+  val DefaultDoclistCodec = "pfor"
 
   def indexPath(dir: String, part: String): String = s"$dir/$part"
 
@@ -126,11 +133,11 @@ object IndexBuilder {
         */
       prefixBoundaries: Seq[String] = Nil,
       /** Doclist/positionlist compression algorithm, one per index like the
-        * reference's compile-time choice (codes.h:27-62): varint (default),
-        * gamma, rice, simple8b or pfor -- see [[Codec]]. Persisted in
+        * reference's compile-time choice (codes.h:27-62): pfor (default),
+        * varint, gamma, rice or simple8b -- see [[Codec]]. Persisted in
         * `stats/doclist_codec`; the reader dispatches automatically.
         */
-      doclistCodec: String = "varint"): DataFrame = {
+      doclistCodec: String = DefaultDoclistCodec): DataFrame = {
     import spark.implicits._
     // One tokenizing pass, shared (persisted) across dictionary, stats and
     // every shard's encode stage; artificial rows union in as extra
@@ -172,7 +179,7 @@ object IndexBuilder {
       bucketSize: Int = DefaultBucketSize,
       buildPartitions: Int = 0,
       prefixBoundaries: Seq[String] = Nil,
-      doclistCodec: String = "varint"): DataFrame = {
+      doclistCodec: String = DefaultDoclistCodec): DataFrame = {
     import spark.implicits._
     val dls = words.filter(col("pos") >= 0)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))

@@ -84,6 +84,45 @@ object Words2WordIdsMain {
   }
 }
 
+/** Codec diagnostics: build one index per block codec over the same corpus
+  * and print encoded bytes + full-decode and WAND latencies -- the
+  * measurement behind the default-codec choice (BENCH.md records the
+  * results). args: <sfDir> [reps]
+  */
+object CodecBenchMain {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, rest @ _*) = args: @unchecked
+    val reps = rest.headOption.map(_.toInt).getOrElse(3)
+    val spark = Cli.session("graft-codecBench")
+    val corpus = WebCorpus.fromDocuments(spark, sfDir)
+    println(f"${"codec"}%-10s ${"block_bytes"}%12s ${"bytes/post"}%10s ${"decode_ms"}%10s ${"wand_ms"}%8s")
+    for (codec <- Seq("varint", "gamma", "rice", "simple8b", "pfor")) {
+      val dir = s"/tmp/graft_codecbench/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}_$codec"
+      IndexBuilder.build(spark, corpus, dir, numShards = 1, doclistCodec = codec)
+      val r = new IndexReader(spark, dir, cacheBlocks = false)
+      val enc = spark.read.parquet(s"$dir/blocks")
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("doc_deltas")) +
+          org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("tfs")) +
+          org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("dls")) +
+          org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("positions"))))
+        .head().getLong(0)
+      val nPost = spark.read.parquet(s"$dir/stats").head().getAs[Long]("n_postings")
+      def time(f: => Unit): Double = {
+        f // warm
+        val ts = (1 to reps).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
+        }
+        ts.min
+      }
+      val decodeMs = time(r.decode(r.blocks).count())
+      val wandMs = time(r.topKOrWand(Seq("spark", "hash", "merge"), 10).count())
+      println(f"$codec%-10s $enc%12d ${enc.toDouble / nPost}%10.2f $decodeMs%10.1f $wandMs%8.1f")
+    }
+    spark.stop()
+  }
+}
+
 /** sortWordidsFile analog (reference tool of the same name: the external
   * sort step between words2wordids and buildIndex, applications/Makefile:
   * 313-320): globally sort a (doc_id, term_id, ...) wordids relation by

@@ -10,19 +10,18 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ExtensionsSpec extends AnyFunSuite {
 
+  /** The shared test session may already exist (suite ordering), in which
+    * case withExtensions would be silently ignored -- register on the live
+    * session instead, which is also what a shell user with an existing
+    * session must do.
+    */
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-ext-test")
-      .withExtensions(new GraftExtensions)
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
+    val s = SparkTestSession.spark
+    GraftExtensions.register(s)
     s
   }
 
-  test("graft_postings_decode works from SQL") {
+  test("graft_postings_decode works from SQL (default pfor index, codec arg)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ext_ix").toString
     val corpus = WebCorpus.fromDocuments(spark, "/root/testdata/sf0.001")
     IndexBuilder.build(spark, corpus, dir, numShards = 1)
@@ -30,6 +29,23 @@ class ExtensionsSpec extends AnyFunSuite {
     val viaSql = spark.sql(
       """SELECT term_id, p.doc_id, p.tf
         |FROM blocks
+        |LATERAL VIEW graft_postings_decode(n_docs, doc_deltas, tfs, dls, 'pfor') p
+        |""".stripMargin)
+    val viaScala = new graft.index.IndexReader(spark, dir, cacheBlocks = false)
+    val a = viaSql.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = viaScala.decode(viaScala.blocks)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a === b && a.nonEmpty)
+  }
+
+  test("codec-less SQL call decodes varint blocks (back-compat form)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ext_ix_v").toString
+    val corpus = WebCorpus.fromDocuments(spark, "/root/testdata/sf0.001")
+    IndexBuilder.build(spark, corpus, dir, numShards = 1, doclistCodec = "varint")
+    spark.read.parquet(s"$dir/blocks").createOrReplaceTempView("blocks_v")
+    val viaSql = spark.sql(
+      """SELECT term_id, p.doc_id, p.tf
+        |FROM blocks_v
         |LATERAL VIEW graft_postings_decode(n_docs, doc_deltas, tfs, dls) p
         |""".stripMargin)
     val viaScala = new graft.index.IndexReader(spark, dir, cacheBlocks = false)

@@ -53,15 +53,17 @@ class StreamingIndexSpec extends AnyFunSuite {
   test("delta shards follow the batch index's committed codec") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_codec").toString
     val base = WebCorpus.fromDocuments(spark, "/root/testdata/sf0.001")
-    IndexBuilder.build(spark, base, dir, numShards = 1, doclistCodec = "pfor")
+    // non-default codec: the delta shard must follow the COMMITTED codec,
+    // not the build-time default
+    IndexBuilder.build(spark, base, dir, numShards = 1, doclistCodec = "gamma")
     val maxDoc = base.agg(max(col("doc_id"))).head().getLong(0)
     StreamingIndexer.appendBatch(spark,
       Seq((maxDoc + 1, "spark merge stream")).toDF("doc_id", "text"),
       dir, "stream-codec-test")
     // the appended shard's bytes decode correctly under the index codec --
-    // a varint-encoded shard would decode to garbage or throw
+    // a default-encoded shard would decode to garbage or throw
     val r = new IndexReader(spark, dir, cacheBlocks = false)
-    assert(r.doclistCodec === graft.index.Codec.PFor)
+    assert(r.doclistCodec === graft.index.Codec.Gamma)
     val hits = r.topKOrFull(Seq("spark"), 10000).collect().map(_.getLong(0)).toSet
     assert(hits.contains(maxDoc + 1))
   }
