@@ -144,7 +144,9 @@ object Bench {
       "facet" -> (() => IndexQueries.facetIndexDir(spark, sfDir)),
       "norm" -> (() => IndexQueries.normIndexDir(spark, sfDir)),
       "field" -> (() => IndexQueries.fieldIndexDir(spark, sfDir)),
-      "byprefix" -> (() => IndexQueries.bpIndexDir(spark, sfDir))
+      "byprefix" -> (() => IndexQueries.bpIndexDir(spark, sfDir)),
+      "codec_gamma" -> (() => IndexQueries.codecIndexDir(spark, sfDir, "gamma")),
+      "codec_pfor" -> (() => IndexQueries.codecIndexDir(spark, sfDir, "pfor"))
     ).foreach { case (name, build) =>
       // per-build Try: one failed build must not silently un-warm the rest,
       // and the failure itself must be visible (the gate that needs it will

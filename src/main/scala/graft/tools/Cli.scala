@@ -85,20 +85,42 @@ object Words2WordIdsMain {
 }
 
 /** Codec diagnostics: build one index per block codec over the same corpus
-  * and print encoded bytes + full-decode and WAND latencies -- the
-  * measurement behind the default-codec choice (BENCH.md records the
-  * results). args: <sfDir> [reps]
+  * and print build throughput, encoded bytes and full-decode / WAND
+  * latencies -- the measurement behind the default-codec choice (BENCH.md
+  * records the results). Builds interleave round-robin across
+  * `buildReps` rounds (best counts), so JIT warm-up and slow host drift
+  * hit every codec equally. args: <sfDir> [reps] [buildReps]
+  * (SPARK_GRAFT_REPL replicates the corpus for a longer build, default 10)
   */
 object CodecBenchMain {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, rest @ _*) = args: @unchecked
     val reps = rest.headOption.map(_.toInt).getOrElse(3)
+    val buildReps = rest.lift(1).map(_.toInt).getOrElse(1)
     val spark = Cli.session("graft-codecBench")
-    val corpus = WebCorpus.fromDocuments(spark, sfDir)
-    println(f"${"codec"}%-10s ${"block_bytes"}%12s ${"bytes/post"}%10s ${"decode_ms"}%10s ${"wand_ms"}%8s")
-    for (codec <- Seq("varint", "gamma", "rice", "simple8b", "pfor")) {
-      val dir = s"/tmp/graft_codecbench/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}_$codec"
+    val repl = sys.env.getOrElse("SPARK_GRAFT_REPL", "10").toInt
+    val corpus = graft.Bench.replicatedCorpus(spark, sfDir, repl).cache()
+    val nDocs = corpus.count()
+    val codecs = Seq("varint", "gamma", "rice", "simple8b", "pfor")
+    val bestBuild = scala.collection.mutable.Map.empty[String, Double]
+    val lastDir = scala.collection.mutable.Map.empty[String, String]
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    for (_ <- 1 to buildReps; codec <- codecs) {
+      graft.core.AnalysisCacheReset.reset()
+      val dir = (if (java.nio.file.Files.isWritable(shm))
+        java.nio.file.Files.createTempDirectory(shm, s"graft_cb_$codec")
+      else java.nio.file.Files.createTempDirectory(s"graft_cb_$codec")).toString
+      val t0 = System.nanoTime()
       IndexBuilder.build(spark, corpus, dir, numShards = 1, doclistCodec = codec)
+      val dps = nDocs / ((System.nanoTime() - t0) / 1e9)
+      if (dps > bestBuild.getOrElse(codec, 0.0)) bestBuild(codec) = dps
+      lastDir.get(codec).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+      lastDir(codec) = dir
+    }
+    println(f"${"codec"}%-10s ${"build_docs_s"}%12s ${"block_bytes"}%12s ${"bytes/post"}%10s ${"decode_ms"}%10s ${"wand_ms"}%8s")
+    for (codec <- codecs) {
+      val dir = lastDir(codec)
       val r = new IndexReader(spark, dir, cacheBlocks = false)
       val enc = spark.read.parquet(s"$dir/blocks")
         .agg(org.apache.spark.sql.functions.sum(
@@ -117,7 +139,7 @@ object CodecBenchMain {
       }
       val decodeMs = time(r.decode(r.blocks).count())
       val wandMs = time(r.topKOrWand(Seq("spark", "hash", "merge"), 10).count())
-      println(f"$codec%-10s $enc%12d ${enc.toDouble / nPost}%10.2f $decodeMs%10.1f $wandMs%8.1f")
+      println(f"$codec%-10s ${bestBuild(codec)}%12.0f $enc%12d ${enc.toDouble / nPost}%10.2f $decodeMs%10.1f $wandMs%8.1f")
     }
     spark.stop()
   }
