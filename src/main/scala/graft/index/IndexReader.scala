@@ -134,22 +134,65 @@ class IndexReader(val spark: SparkSession, val dir: String,
 
   def idf(df: Long): Double = math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
 
-  /** term -> (term_id, df); driver-side lookup of a handful of terms. */
-  def termInfo(terms: Seq[String]): Map[String, (Long, Long)] =
-    dictionary.filter(col("term").isin(terms: _*))
-      .select(col("term"), col("term_id"), col("df"))
-      .collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
-      .toMap
+  /** Driver-side vocabulary memo (the reference holds its whole vocabulary
+    * in RAM, Vocabulary.h): term -> (term_id, df) and prefix -> id range
+    * resolve through a bounded in-JVM map, so a WARM serving session pays
+    * ZERO dictionary jobs per query. Safe because a reader's dictionary is
+    * immutable: streaming delta shards reuse the batch dictionary (unseen
+    * terms are dropped and counted as drift), and rebuilds into the same
+    * dir are a new reader (indexEpoch). Negative answers memoize too --
+    * repeated misses (typos, drift terms) are the common case in serving.
+    * On overflow the maps reset wholesale; bound is entries, not bytes
+    * (keys are query-sized strings).
+    */
+  private val VocabMemoMax = 1 << 20
+  private val termInfoMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[(Long, Long)]]()
+  private val prefixRangeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[(Long, Long)]]()
+  private val blockCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[Seq[Long], java.lang.Long]()
+
+  /** term -> (term_id, df); driver-side lookup of a handful of terms.
+    * Memoized per reader; only uncached terms touch the dictionary.
+    */
+  def termInfo(terms: Seq[String]): Map[String, (Long, Long)] = {
+    val hits = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    val misses = scala.collection.mutable.ArrayBuffer.empty[String]
+    terms.distinct.foreach { t =>
+      termInfoMemo.get(t) match {
+        case null => misses += t
+        case cached => cached.foreach(v => hits(t) = v)
+      }
+    }
+    if (misses.nonEmpty) {
+      if (termInfoMemo.size() > VocabMemoMax) termInfoMemo.clear()
+      val found = dictionary.filter(col("term").isin(misses.toSeq: _*))
+        .select(col("term"), col("term_id"), col("df"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      misses.foreach { t =>
+        termInfoMemo.put(t, found.get(t))
+        found.get(t).foreach(v => hits(t) = v)
+      }
+    }
+    hits.toMap
+  }
 
   /** prefix -> contiguous term_id range [lo, hi] (prefixToRange analog,
     * CompleterBase.cpp:2505-2636; dense lexicographic ids make any prefix
-    * a contiguous id range).
+    * a contiguous id range). Memoized per reader.
     */
   def prefixRange(prefix: String): Option[(Long, Long)] = {
+    val cached = prefixRangeMemo.get(prefix)
+    if (cached != null) return cached
+    if (prefixRangeMemo.size() > VocabMemoMax) prefixRangeMemo.clear()
     val r = dictionary.filter(col("term").startsWith(prefix))
       .agg(min(col("term_id")), max(col("term_id"))).head()
-    if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+    val res = if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+    prefixRangeMemo.put(prefix, res)
+    res
   }
 
   /** Pruned block scan for a term-id range. */
@@ -306,9 +349,13 @@ class IndexReader(val spark: SparkSession, val dir: String,
     // All per-block state stays DISTRIBUTED throughout -- a head term at
     // 10^12 docs has millions of blocks and the driver must never see one
     // row (or one expression-tree node) per block. Driver round-trips are
-    // bounded: one count, k phase-1 rows, one count, the k results.
+    // bounded: one count, k phase-1 rows, one count, the k results. The
+    // first count is memoized per term-id set: the blocks relation is
+    // frozen per reader (cached at first scan; delta shards appear to a
+    // NEW reader), so a warm repeated query skips the job entirely.
     val qBlocks = blocksForIds(ids)
-    val totalBlocks = qBlocks.count()
+    val totalBlocks = blockCountMemo.computeIfAbsent(ids.sorted,
+      _ => java.lang.Long.valueOf(qBlocks.count())).longValue()
     if (totalBlocks == 0) return (emptyHits, 0L, 0L)
     if (totalBlocks <= wandMinBlocks)
       return (fullWithInfo(info, k), totalBlocks, totalBlocks)

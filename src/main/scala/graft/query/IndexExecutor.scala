@@ -105,7 +105,7 @@ class IndexAtomSource(reader: IndexReader) extends AtomSource {
   }
 
   protected def vocabContains(w: String): Boolean =
-    !reader.dictionary.filter(col("term") === w).isEmpty
+    reader.termInfo(Seq(w)).contains(w) // per-reader vocab memo: warm = 0 jobs
 
   protected def closestVocabWord(w: String, thr: Int): Option[String] =
     reader.dictionary
