@@ -27,6 +27,9 @@ object OpsQueries {
     "dd_jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(docs(s, d), n = 5, threshold = 0.5)),
     "dd_lsh_pairs" -> ((s, d) => Dedup.lshCandidatePairs(docs(s, d), n = 5, nHashes = 8, bands = 4)),
     "dd_simhash" -> ((s, d) => Dedup.simhash(docs(s, d), bits = 16)),
+    "dd_embcos_pairs" -> ((s, d) => Dedup.embeddingCosPairs(embs(s, d), planes = 8, tau = 0.35)),
+    "dd_embcos_keep" -> ((s, d) => Dedup.embeddingKeepSet(embs(s, d), planes = 8, tau = 0.35)
+      .orderBy(col("vec_id"))),
     "sim_cosine_topk" -> ((s, d) => Similarity.cosineTopK(embs(s, d), queryId = 0L, k = 10)),
     "sim_lsh_buckets" -> ((s, d) => Similarity.lshBuckets(embs(s, d), planes = 8)),
     "sim_lsh_pairs" -> ((s, d) => Similarity.lshPairs(embs(s, d), planes = 8, tau = 0.3)),
@@ -111,6 +114,27 @@ object OpsQueries {
       |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM exp GROUP BY 1
       |)""".stripMargin
 
+  /** Sign-LSH bucketed cosine pairs as a reusable CTE chain, ending with
+    * `cospairs(a, b, cos)` where a < b and cos >= tau (mirrors
+    * Similarity.lshPairs / Dedup.embeddingCosPairs).
+    */
+  private def embCosPairsCtes(tau: Double): String =
+    s"""$EmbExpCtes, b AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(${
+      (0 until 8).map(j => s"(CASE WHEN embedding[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    } AS BIGINT) AS bucket FROM embeddings
+       |), pairs AS (
+       |  SELECT x.vec_id AS a, y.vec_id AS b FROM b x JOIN b y USING (bucket) WHERE x.vec_id < y.vec_id
+       |), dots AS (
+       |  SELECT p.a, p.b, sum(ea.x * eb.x) AS dot
+       |  FROM pairs p JOIN exp ea ON ea.vec_id = p.a JOIN exp eb ON eb.vec_id = p.b AND ea.i = eb.i
+       |  GROUP BY 1, 2
+       |), cospairs AS (
+       |  SELECT d.a, d.b, round(d.dot / (na.nrm * nb.nrm), 4) AS cos
+       |  FROM dots d JOIN norms na ON na.vec_id = d.a JOIN norms nb ON nb.vec_id = d.b
+       |  WHERE round(d.dot / (na.nrm * nb.nrm), 4) >= $tau
+       |)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "dd_exact" ->
       """SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_docs,
@@ -165,21 +189,28 @@ object OpsQueries {
           .mkString(" + ") +
         " AS BIGINT) AS bucket FROM embeddings"),
     "sim_lsh_pairs" ->
-      s"""$EmbExpCtes, b AS (
-         |  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(${
-        (0 until 8).map(j => s"(CASE WHEN embedding[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-      } AS BIGINT) AS bucket FROM embeddings
-         |), pairs AS (
-         |  SELECT x.vec_id AS a, y.vec_id AS b FROM b x JOIN b y USING (bucket) WHERE x.vec_id < y.vec_id
-         |), dots AS (
-         |  SELECT p.a, p.b, sum(ea.x * eb.x) AS dot
-         |  FROM pairs p JOIN exp ea ON ea.vec_id = p.a JOIN exp eb ON eb.vec_id = p.b AND ea.i = eb.i
-         |  GROUP BY 1, 2
+      s"""${embCosPairsCtes(0.3)}
+         |SELECT a, b, cos FROM cospairs ORDER BY a, b""".stripMargin,
+    "dd_embcos_pairs" ->
+      s"""${embCosPairsCtes(0.35)}
+         |SELECT a, b, cos FROM cospairs ORDER BY a, b""".stripMargin,
+    "dd_embcos_keep" ->
+      s"""${embCosPairsCtes(0.35)}, edges AS (
+         |  SELECT a AS x, b AS y FROM cospairs UNION SELECT b, a FROM cospairs
+         |), reach (x, r) AS (
+         |  SELECT x, x FROM (SELECT DISTINCT x FROM edges)
+         |  UNION
+         |  SELECT e.x, reach.r FROM edges e JOIN reach ON e.y = reach.x
+         |), clusters AS (
+         |  SELECT x, min(r) AS c FROM reach GROUP BY x
+         |), keep1 AS (
+         |  SELECT CAST(min(x) AS BIGINT) AS vec_id FROM clusters GROUP BY c
+         |), unpaired AS (
+         |  SELECT CAST(vec_id AS BIGINT) AS vec_id FROM embeddings
+         |  WHERE vec_id NOT IN (SELECT x FROM clusters)
          |)
-         |SELECT d.a, d.b, round(d.dot / (na.nrm * nb.nrm), 4) AS cos
-         |FROM dots d JOIN norms na ON na.vec_id = d.a JOIN norms nb ON nb.vec_id = d.b
-         |WHERE round(d.dot / (na.nrm * nb.nrm), 4) >= 0.3
-         |ORDER BY a, b""".stripMargin,
+         |SELECT vec_id FROM keep1 UNION ALL SELECT vec_id FROM unpaired
+         |ORDER BY vec_id""".stripMargin.replaceFirst("^WITH ", "WITH RECURSIVE "),
     "sim_ivf_cells" ->
       s"""$EmbExpCtes, cids AS (
          |  SELECT DISTINCT vec_id FROM exp ORDER BY vec_id ASC LIMIT 16

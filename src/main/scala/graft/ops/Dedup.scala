@@ -206,4 +206,29 @@ object Dedup {
     }.reduce(_ + _)
     sums.select(col("doc_id"), sh.as("simhash"))
   }
+
+  /** Embedding-cosine near-duplicate pairs -- the fifth dedup flavor,
+    * over the embeddings table instead of the text. Candidate generation
+    * is sign-LSH bucketing (the quadratic join never leaves a bucket,
+    * the same 100 TB shape as the MinHash path); exact cosine filters
+    * inside the bucket. Returns (a, b, cos) with a < b, cos >= tau.
+    */
+  def embeddingCosPairs(embeddings: DataFrame, planes: Int = 8,
+                        tau: Double = 0.9): DataFrame =
+    Similarity.lshPairs(embeddings, planes, tau)
+
+  /** Keep set under embedding-cosine near-dup: one canonical vec (min
+    * vec_id) per connected component of `embeddingCosPairs`, plus every
+    * unpaired vec -- mirrors `nearDupKeepSet` with cosine candidates.
+    */
+  def embeddingKeepSet(embeddings: DataFrame, planes: Int = 8,
+                       tau: Double = 0.9, maxIter: Int = 10): DataFrame = {
+    val pairs = embeddingCosPairs(embeddings, planes, tau).select(col("a"), col("b"))
+    val clusters = duplicateClusters(pairs, maxIter)
+    val keepFromClusters = clusters.groupBy(col("cluster"))
+      .agg(min(col("doc_id")).as("vec_id")).select(col("vec_id"))
+    val unpaired = embeddings.select(col("vec_id").cast("long").as("vec_id"))
+      .join(clusters.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_anti")
+    keepFromClusters.unionByName(unpaired)
+  }
 }

@@ -96,6 +96,23 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(r(3L) - 0.7071) < 1e-9)
   }
 
+  test("embedding-cosine near-dup: bucketed pairs above tau; keep = canonical + unpaired") {
+    val embs = Seq(
+      (0L, Array(1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f)),
+      (1L, Array(1f, 1f, 1f, 1f, 1f, 1f, 1f, 0.9f)), // near-dup of 0
+      (2L, Array(0.9f, 1f, 1f, 1f, 1f, 1f, 1f, 1f)), // near-dup of 0 and 1
+      (3L, Array(1f, 0.01f, 0.01f, 0.01f, 0.01f, 0.01f, 0.01f, 1f)), // same bucket, cos ~0.5
+      (4L, Array(-1f, -1f, -1f, -1f, -1f, -1f, -1f, -1f)), // bucket 0
+      (5L, Array(-0.5f, -0.5f, -0.5f, -0.5f, -0.5f, -0.5f, -0.5f, -0.5f)) // colinear with 4
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingCosPairs(embs, planes = 8, tau = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L), (0L, 2L), (1L, 2L), (4L, 5L)))
+    val keep = Dedup.embeddingKeepSet(embs, planes = 8, tau = 0.9).collect()
+      .map(_.getLong(0)).toSet
+    assert(keep === Set(0L, 3L, 4L))
+  }
+
   test("langid picks the language with most marker hits") {
     val r = TextAnalysis.langId(docs).collect()
       .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("lang_pred")).toMap
