@@ -148,10 +148,13 @@ object CodecBenchMain {
 /** sortWordidsFile analog (reference tool of the same name: the external
   * sort step between words2wordids and buildIndex, applications/Makefile:
   * 313-320): globally sort a (doc_id, term_id, ...) wordids relation by
-  * (term_id, doc_id) -- the posting order the index builder consumes.
+  * (term_id, doc_id) -- the posting order the index builder consumes --
+  * with exact duplicate rows removed (sortWordidsFile.cpp:16-19 writes
+  * "sorted pairs, with duplicates removed").
   * repartitionByRange + sortWithinPartitions IS the distributed external
   * sort; the written files are range-partitioned and sorted, so a
-  * downstream consumer can stream them in global order.
+  * downstream consumer can stream them in global order (the stxxl
+  * main-memory budget knob maps to the partition count).
   * args: <wordidsParquet> <outParquet> [partitions]
   */
 object SortWordidsFileMain {
@@ -162,7 +165,8 @@ object SortWordidsFileMain {
     val in = spark.read.parquet(inPath)
     val nPart = rest.headOption.map(_.toInt)
       .getOrElse(spark.sessionState.conf.numShufflePartitions)
-    in.repartitionByRange(nPart, col("term_id"), col("doc_id"))
+    in.distinct()
+      .repartitionByRange(nPart, col("term_id"), col("doc_id"))
       .sortWithinPartitions(col("term_id"), col("doc_id"))
       .write.mode("overwrite").parquet(outPath)
     spark.stop()
