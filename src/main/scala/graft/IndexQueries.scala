@@ -61,6 +61,41 @@ object IndexQueries {
     })
   }
 
+  /** Index built from the EVEN half of the corpus, the odd half appended
+    * as two streaming delta shards, then compacted ([[IndexBuilder.compact]]:
+    * commit + GC -- the visible shards are the batch shard plus one
+    * `compact-0`). Exercises the full streaming-append + crash-safe
+    * compaction lifecycle on the gate path.
+    */
+  def compactIndexDir(spark: SparkSession, sfDir: String): String = synchronized {
+    built.getOrElseUpdate(s"$sfDir#compact", {
+      val dir = s"/tmp/graft_index/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}_compact"
+      val corpus = WebCorpus.fromDocuments(spark, sfDir)
+      IndexBuilder.build(spark, corpus.filter(col("doc_id") % 2 === 0), dir,
+        numShards = 1)
+      val odd = corpus.filter(col("doc_id") % 2 === 1)
+      graft.streaming.StreamingIndexer.appendBatch(spark,
+        odd.filter(col("doc_id") % 4 === 1), dir, "stream-0")
+      graft.streaming.StreamingIndexer.appendBatch(spark,
+        odd.filter(col("doc_id") % 4 === 3), dir, "stream-1")
+      require(IndexBuilder.compact(spark, dir).contains("compact-0"),
+        "compaction of the two delta shards did not commit")
+      dir
+    })
+  }
+
+  /** Full decode of every VISIBLE block after compaction; the oracle is
+    * the corpus doc-term relation restricted to the batch (even-doc)
+    * vocabulary -- streamed postings of unseen terms are dropped as
+    * documented dictionary drift.
+    */
+  def compactedPostings(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = new IndexReader(spark, compactIndexDir(spark, sfDir))
+    r.decode(r.blocks)
+      .join(broadcast(r.dictionary.select(col("term_id"), col("term"))), "term_id")
+      .select(col("doc_id"), col("term"), col("tf"))
+  }
+
   /** Full decode round-trip from an Elias-gamma-coded index (oracle: same
     * as ix_decoded_postings).
     */

@@ -46,6 +46,7 @@ object SparkEntry {
     "ix_wand_topk" -> IndexQueries.wandTopK _,
     "ix_prefix_docs" -> IndexQueries.prefixDocs _,
     "ixbp_prefix_docs" -> IndexQueries.bpPrefixDocs _,
+    "ixc_compact_postings" -> IndexQueries.compactedPostings _,
     "ixcg_decoded_postings" -> IndexQueries.gammaDecodedPostings _,
     "ixcp_wand_topk" -> IndexQueries.pforWandTopK _,
     "ix_and" -> IndexQueries.andTopK _,
@@ -71,6 +72,12 @@ object SparkEntry {
     "ixbp_prefix_docs" -> Oracles.topDocs("term LIKE 'st%'"),
     // non-default block codecs must serve identical results (gamma: full
     // decode round-trip; pfor: WAND top-k)
+    // streamed-then-compacted index: every posting survives the append ->
+    // compact -> commit -> GC lifecycle; terms outside the batch (even-doc)
+    // vocabulary are dropped as documented dictionary drift
+    "ixc_compact_postings" ->
+      s"""${Oracles.BaseCtes} SELECT doc_id, term, tf FROM dt
+         |WHERE term IN (SELECT DISTINCT term FROM toks WHERE doc_id % 2 = 0)""".stripMargin,
     "ixcg_decoded_postings" ->
       s"${Oracles.BaseCtes} SELECT doc_id, term, tf FROM dt",
     "ixcp_wand_topk" -> Oracles.topDocs("term IN ('spark', 'hash', 'merge')"),

@@ -222,6 +222,25 @@ object IndexBuilder {
     val fs = java.nio.file.Paths.get(outDir)
     java.nio.file.Files.createDirectories(fs)
 
+    // A full (re)build is a NEW index generation: it re-derives every
+    // posting from the corpus, so delta shards and the compaction commit
+    // log of any previous generation at this path are stale -- left in
+    // place they would hide freshly appended deltas (the census treats a
+    // committed merge as forever-invisible). Reset them before writing.
+    {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(outDir)
+      val hfs = root.getFileSystem(hconf)
+      hfs.delete(new org.apache.hadoop.fs.Path(s"$outDir/compactions"), true)
+      val blocksP = new org.apache.hadoop.fs.Path(s"$outDir/blocks")
+      if (hfs.exists(blocksP))
+        hfs.listStatus(blocksP).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("shard=stream-") || n.startsWith("shard=compact-"))
+            hfs.delete(st.getPath, true)
+        }
+    }
+
     // under timing, force the shared tokenize pass separately so
     // dictionary_write shows only vocab-side cost
     if (sys.env.contains("SPARK_GRAFT_BUILD_TIMING"))
@@ -361,6 +380,72 @@ object IndexBuilder {
         col("text"))
       base.write.mode(SaveMode.Overwrite).parquet(s"$outDir/docs")
     }
+  }
+
+  /** Minor compaction of delta shards (LSM-style): merge every VISIBLE
+    * `stream-*` / `compact-*` shard into one new batch-shaped
+    * `compact-<n>` shard. The base `shard=<i>` shards are untouched, so
+    * the cost is proportional to the accumulated DELTA size only -- at
+    * production scale the streaming appends are folded continuously while
+    * the base is re-sharded rarely (a full rebuild). Query results are
+    * IDENTICAL before and after by construction (same postings, same
+    * codec, same bucket layout), so serving caches keyed on the index
+    * epoch stay valid.
+    *
+    * Crash-safe by metadata commit, not by operation ordering: the merged
+    * shard is written FIRST but stays invisible to readers until the
+    * commit dir (`compactions/commit=<n>`, rows (new_shard,
+    * merged_shard)) lands with its _SUCCESS ([[IndexReader.shardCensus]]).
+    * A crash before the commit leaves the old shards serving and the
+    * half-written dir ignored (and overwritten by the retry, which reuses
+    * the id); a crash after the commit leaves the merged dirs as garbage
+    * that readers already skip -- the best-effort delete below is pure
+    * space reclamation. A re-delivered streaming batch that re-creates a
+    * merged `stream-<id>` dir is likewise invisible: the commit log wins,
+    * preserving exactly-once.
+    *
+    * The reference has no analog -- its index is rebuilt offline
+    * (applications/Makefile full-build targets); this is the
+    * Spark-native lifecycle the streaming appends need.
+    *
+    * @return the new shard name, or None when fewer than two delta shards
+    *         are visible (nothing worth folding).
+    */
+  def compact(spark: SparkSession, indexDir: String): Option[String] = {
+    import spark.implicits._
+    val census = IndexReader.shardCensus(spark, indexDir)
+    val deltas = census.visible.filter(s =>
+      s.startsWith("stream-") || s.startsWith("compact-"))
+    if (deltas.size < 2) return None
+    val r = new IndexReader(spark, indexDir, cacheBlocks = false)
+    val blocks = spark.read.option("basePath", s"$indexDir/blocks")
+      .parquet(deltas.map(s => s"$indexDir/blocks/shard=$s"): _*)
+    val decoded = blocks.select(col("term_id"),
+      PostingsDecode.postingsDecodeWithPositions(col("n_docs"), col("doc_deltas"),
+        col("tfs"), col("dls"), col("positions"), r.doclistCodec))
+    val sorted = decoded
+      .select(col("term_id"), col("doc_id"), col("tf"), col("positions"), col("dl"))
+      .repartitionByRange(
+        math.max(1, spark.sessionState.conf.numShufflePartitions / 4),
+        col("term_id"), col("doc_id"))
+      .sortWithinPartitions(col("term_id"), col("doc_id"))
+      .as[(Long, Long, Long, Array[Int], Long)]
+    val newName = s"compact-${census.nextCompactId}"
+    encodeBlocks(sorted, r.avgdl, DefaultBlockSize,
+      bucketFn(r.bucketSize, r.prefixCuts), r.doclistCodec)
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(s"$indexDir/blocks/shard=$newName")
+    deltas.map(s => (newName, s)).toDF("new_shard", "merged_shard")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$indexDir/compactions/commit=${census.nextCompactId}")
+    // GC: merged dirs are invisible from here on; reclaim space best-effort
+    val fsPath = new org.apache.hadoop.fs.Path(s"$indexDir/blocks")
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    deltas.foreach { s =>
+      try fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/blocks/shard=$s"), true)
+      catch { case _: Throwable => () }
+    }
+    Some(newName)
   }
 
   /** Encode one shard's posting blocks from the (already tokenized)

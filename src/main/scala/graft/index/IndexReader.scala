@@ -117,7 +117,16 @@ class IndexReader(val spark: SparkSession, val dir: String,
     * pulled through the block cache by a naive caller.
     */
   lazy val blocks: DataFrame = {
-    val b = spark.read.parquet(s"$dir/blocks")
+    // compaction visibility (frozen at first scan, like the shard list
+    // itself): hide shards merged by a committed compaction whose dirs
+    // the GC has not removed yet, and half-written `compact-*` shards
+    // whose commit never landed. The common case -- nothing hidden --
+    // reads the dir whole; otherwise only the visible shard dirs are
+    // listed (a torn file in a crashed shard must not even be footered).
+    val census = IndexReader.shardCensus(spark, dir)
+    val b = if (census.hidden.isEmpty) spark.read.parquet(s"$dir/blocks")
+      else spark.read.option("basePath", s"$dir/blocks")
+        .parquet(census.visible.map(s => s"$dir/blocks/shard=$s"): _*)
     val maxBytes = spark.conf.getOption("graft.index.cacheBlocksMaxBytes")
       .map(_.toLong).getOrElse(IndexReader.CacheBlocksMaxBytes)
     // size through the Hadoop FileSystem API, so hdfs:// and s3a:// indexes
@@ -470,4 +479,50 @@ object IndexReader {
     * plan size).
     */
   val MaxBucketLiterals: Long = 256L
+
+  /** Shard visibility under the compaction log.
+    * @param present  every `shard=` dir currently under blocks/
+    * @param visible  the shards a reader must serve: present, minus shards
+    *                 merged by a COMMITTED compaction, minus `compact-*`
+    *                 shards whose commit never landed (crash mid-compact)
+    * @param nextCompactId  1 + highest committed compaction id
+    */
+  case class ShardCensus(present: Seq[String], visible: Seq[String],
+                         nextCompactId: Long) {
+    def hidden: Seq[String] = present.filterNot(visible.toSet)
+  }
+
+  /** Resolve shard visibility for an index dir (driver-side; one FS
+    * listing + one tiny read of the committed compaction log -- row count
+    * == shards ever merged). The log is the COMMIT, not the data move:
+    * [[graft.index.IndexBuilder.compact]] writes the merged shard first
+    * (invisible here until its commit dir gains _SUCCESS), so a crash at
+    * any point leaves a census that serves exactly the old postings.
+    */
+  def shardCensus(spark: SparkSession, dir: String): ShardCensus = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def subdirs(path: String, prefix: String): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix)).sorted
+    }
+    def committed(path: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+      p.getFileSystem(conf).exists(p)
+    }
+    val present = subdirs(s"$dir/blocks", "shard=")
+    val commits = subdirs(s"$dir/compactions", "commit=")
+      .filter(n => committed(s"$dir/compactions/commit=$n"))
+    val merged: Set[String] =
+      if (commits.isEmpty) Set.empty
+      else spark.read.parquet(commits.map(n => s"$dir/compactions/commit=$n"): _*)
+        .select("merged_shard").collect().map(_.getString(0)).toSet
+    val committedCompacts = commits.map(n => s"compact-$n").toSet
+    val visible = present.filterNot(merged)
+      .filterNot(s => s.startsWith("compact-") && !committedCompacts(s))
+    ShardCensus(present, visible,
+      commits.map(_.toLong).maxOption.getOrElse(-1L) + 1L)
+  }
 }

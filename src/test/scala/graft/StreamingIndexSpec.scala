@@ -50,6 +50,62 @@ class StreamingIndexSpec extends AnyFunSuite {
     assert(drift.agg(sum(col("dropped_doc_terms"))).head().getLong(0) === 1L)
   }
 
+  test("compaction folds delta shards, preserves every result, survives crash debris") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_ix").toString
+    val base = WebCorpus.fromDocuments(spark, "/root/testdata/sf0.001")
+    IndexBuilder.build(spark, base, dir, numShards = 1)
+    val maxDoc = base.agg(max(col("doc_id"))).head().getLong(0)
+    StreamingIndexer.appendBatch(spark,
+      Seq((maxDoc + 1, "spark spark merge window")).toDF("doc_id", "text"), dir, "stream-0")
+    StreamingIndexer.appendBatch(spark,
+      Seq((maxDoc + 2, "spark join batch")).toDF("doc_id", "text"), dir, "stream-1")
+    StreamingIndexer.appendBatch(spark,
+      Seq((maxDoc + 3, "merge stream")).toDF("doc_id", "text"), dir, "stream-2")
+
+    def snapshot(): (Seq[(Long, Long, Long)], Seq[(Long, Double)]) = {
+      val r = new IndexReader(spark, dir, cacheBlocks = false)
+      val dec = r.decode(r.blocks).select(col("term_id"), col("doc_id"), col("tf"))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq.sorted
+      val top = r.topKOrFull(Seq("spark", "merge"), 20)
+        .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+      (dec, top)
+    }
+    val before = snapshot()
+
+    assert(IndexBuilder.compact(spark, dir) === Some("compact-0"))
+    val census1 = IndexReader.shardCensus(spark, dir)
+    assert(census1.visible.sorted === Seq("0", "compact-0"))
+    assert(census1.present.sorted === Seq("0", "compact-0")) // merged dirs GC'd
+    assert(snapshot() === before)
+
+    // one remaining delta -> nothing worth folding
+    assert(IndexBuilder.compact(spark, dir) === None)
+
+    // crash debris: a half-written compact shard with a TORN file must be
+    // invisible (no commit) and must not even be footered by the reader
+    val torn = java.nio.file.Paths.get(s"$dir/blocks/shard=compact-9/bucket=0")
+    java.nio.file.Files.createDirectories(torn)
+    java.nio.file.Files.write(torn.resolve("part-00000.parquet"),
+      Array.fill[Byte](64)(0x5a))
+    assert(snapshot() === before)
+
+    // streaming re-delivery of a MERGED shard: the commit log wins, the
+    // re-created dir stays invisible -- exactly-once is preserved
+    StreamingIndexer.appendBatch(spark,
+      Seq((maxDoc + 1, "spark spark merge window")).toDF("doc_id", "text"), dir, "stream-0")
+    assert(snapshot() === before)
+
+    // a NEW delta + the old compact shard fold again (chained compaction)
+    StreamingIndexer.appendBatch(spark,
+      Seq((maxDoc + 4, "spark stream")).toDF("doc_id", "text"), dir, "stream-3")
+    assert(IndexBuilder.compact(spark, dir) === Some("compact-1"))
+    val after = snapshot()
+    assert(after._1.size === before._1.size + 2) // spark + stream postings
+    val r2 = new IndexReader(spark, dir, cacheBlocks = false)
+    assert(r2.topKOrFull(Seq("spark"), 100).collect().map(_.getLong(0)).toSet
+      .contains(maxDoc + 4))
+  }
+
   test("delta shards follow the batch index's committed codec") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_codec").toString
     val base = WebCorpus.fromDocuments(spark, "/root/testdata/sf0.001")
