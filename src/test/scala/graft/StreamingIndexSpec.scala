@@ -104,6 +104,18 @@ class StreamingIndexSpec extends AnyFunSuite {
     val r2 = new IndexReader(spark, dir, cacheBlocks = false)
     assert(r2.topKOrFull(Seq("spark"), 100).collect().map(_.getLong(0)).toSet
       .contains(maxDoc + 4))
+
+    // a full REBUILD at the path is a new index generation: the stale
+    // compaction log and delta shards are reset (they would otherwise hide
+    // freshly re-appended deltas forever); streamed postings re-enter via
+    // the streaming checkpoint's idempotent re-delivery, not the rebuild
+    IndexBuilder.build(spark, base, dir, numShards = 1)
+    val census2 = IndexReader.shardCensus(spark, dir)
+    assert(census2.present === Seq("0"))
+    assert(census2.nextCompactId === 0L)
+    StreamingIndexer.appendBatch(spark,
+      Seq((maxDoc + 1, "spark spark merge window")).toDF("doc_id", "text"), dir, "stream-0")
+    assert(IndexReader.shardCensus(spark, dir).visible.sorted === Seq("0", "stream-0"))
   }
 
   test("delta shards follow the batch index's committed codec") {
