@@ -49,8 +49,28 @@ object OpsQueries {
         .select(col("url"), col("n_frames").cast("long").as("n_frames"),
           col("frame_idx").cast("long").as("frame_idx"))),
     "st_window_agg" -> ((s, d) => Events.streamWindowAgg(s, d)),
-    "st_sessions" -> ((s, d) => Events.sessionize(s.read.parquet(s"$d/events.parquet")))
+    "st_sessions" -> ((s, d) => Events.sessionize(s.read.parquet(s"$d/events.parquet"))),
+    "ta_repetition" -> ((s, d) => TextAnalysis.repetition(docs(s, d))),
+    "dd_url_keep" -> ((s, d) => Dedup.urlKeepLatest(urlVariantCorpus(s, d))
+      .orderBy(col("doc_id")))
   )
+
+  /** Crawl-style URL-variant corpus for the `dd_url_keep` gate: every page
+    * appears twice — once under its canonical synthetic URL, once under a
+    * noisy re-fetch one second later (uppercase scheme, `www.`, trailing
+    * slash, `utm_` tracking param, fragment). `Dedup.canonicalUrl` must
+    * map both to the same key and the re-fetch must win.
+    */
+  private def urlVariantCorpus(s: SparkSession, d: String): DataFrame = {
+    val c = WebCorpus.fromDocuments(s, d)
+      .select(col("url"), col("warc_ts"), col("doc_id"))
+    val variant = c.select(
+      concat(lit("HTTP://www."), regexp_replace(col("url"), "^https://", ""),
+        lit("/?utm_source=feed#frag")).as("url"),
+      (col("warc_ts") + expr("INTERVAL 1 SECOND")).as("warc_ts"),
+      (col("doc_id") + lit(1000000L)).as("doc_id"))
+    c.unionByName(variant)
+  }
 
   // ---- oracle SQL ----
 
@@ -357,6 +377,59 @@ object OpsQueries {
         |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
         |       CAST(count(*) AS BIGINT) AS n_events,
         |       min(ts) AS session_start, max(ts) AS session_end
-        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ta_repetition" ->
+      s"""${Oracles.BaseCtes},
+         |uc AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2),
+         |ua AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |       CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_u
+         |       FROM uc GROUP BY 1),
+         |bg AS (SELECT doc_id,
+         |       term || ' ' || lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+         |       FROM toks),
+         |bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg
+         |       WHERE bigram IS NOT NULL GROUP BY 1, 2),
+         |ba AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         |       CAST(max(c) AS BIGINT) AS top_c,
+         |       CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_b
+         |       FROM bc GROUP BY 1)
+         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         |  COALESCE(ua.n_tokens, 0) AS n_tokens,
+         |  round(CAST(COALESCE(ua.dup_u, 0) AS DOUBLE) / greatest(COALESCE(ua.n_tokens, 0), 1), 4) AS dup_word_frac,
+         |  COALESCE(ba.n_bigrams, 0) AS n_bigrams,
+         |  round(CAST(COALESCE(ba.top_c, 0) AS DOUBLE) / greatest(COALESCE(ba.n_bigrams, 0), 1), 4) AS top_bigram_frac,
+         |  round(CAST(COALESCE(ba.dup_b, 0) AS DOUBLE) / greatest(COALESCE(ba.n_bigrams, 0), 1), 4) AS dup_bigram_frac
+         |FROM documents d
+         |LEFT JOIN ua ON d.doc_id = ua.doc_id
+         |LEFT JOIN ba ON d.doc_id = ba.doc_id""".stripMargin,
+    "dd_url_keep" ->
+      """WITH v AS (
+        |  SELECT 'https://example.org/' || source || '/doc/' || doc_id AS url,
+        |         CAST(doc_id AS BIGINT) AS ts_ord, CAST(doc_id AS BIGINT) AS doc_id
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'HTTP://www.example.org/' || source || '/doc/' || doc_id
+        |           || '/?utm_source=feed#frag' AS url,
+        |         CAST(doc_id + 1 AS BIGINT) AS ts_ord,
+        |         CAST(doc_id + 1000000 AS BIGINT) AS doc_id
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, ts_ord,
+        |    regexp_replace(url, '(?i)^[a-z][a-z0-9+.-]*://', '') AS s1,
+        |    lower(regexp_extract(s1, '^([^/]*)', 1)) || regexp_replace(s1, '^[^/]*', '') AS s2,
+        |    regexp_replace(s2, '^www\.', '') AS s3,
+        |    regexp_replace(s3, '#.*$', '') AS s4,
+        |    regexp_replace(s4, '([?&])utm_[^&#]*', '\1', 'g') AS s5,
+        |    regexp_replace(regexp_replace(s5, '\?&+', '?', 'g'), '&{2,}', '&', 'g') AS s6,
+        |    regexp_replace(s6, '[?&]+$', '') AS s7,
+        |    regexp_replace(s7, '/index\.html?$', '/') AS s8,
+        |    regexp_replace(s8, '/$', '') AS canon_url
+        |  FROM v
+        |), r AS (
+        |  SELECT canon_url, doc_id,
+        |    row_number() OVER (PARTITION BY canon_url ORDER BY ts_ord DESC, doc_id DESC) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY canon_url) AS BIGINT) AS n_versions
+        |  FROM c)
+        |SELECT canon_url, doc_id, n_versions FROM r WHERE rk = 1""".stripMargin
   )
 }

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.core.Tokenizer
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Large-scale training-data deduplication operators over the documents
@@ -230,5 +230,50 @@ object Dedup {
     val unpaired = embeddings.select(col("vec_id").cast("long").as("vec_id"))
       .join(clusters.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_anti")
     keepFromClusters.unionByName(unpaired)
+  }
+
+  /** Canonical form of a web URL for crawl-level dedup (the CCNet /
+    * RefinedWeb first pass: the same page is fetched many times under
+    * trivially-different URLs). Pure Catalyst string ops: lowercase the
+    * scheme+host, drop the scheme, a leading `www.`, the `#fragment`,
+    * `utm_*` tracking params (and a then-empty `?`), a trailing
+    * `index.html`, and a trailing slash.
+    */
+  def canonicalUrl(url: Column): Column = {
+    // lowercase scheme+host only: everything up to the first '/' after '//'
+    val noScheme = regexp_replace(url, "(?i)^[a-z][a-z0-9+.-]*://", "")
+    val hostLower = concat(
+      lower(regexp_extract(noScheme, "^([^/]*)", 1)),
+      regexp_replace(noScheme, "^[^/]*", ""))
+    val noWww = regexp_replace(hostLower, "^www\\.", "")
+    val noFrag = regexp_replace(noWww, "#.*$", "")
+    val noUtm = regexp_replace(noFrag, "([?&])utm_[^&#]*", "$1")
+    // repair the query string the utm removal may have mangled:
+    // "?&x" -> "?x", "a&&b" -> "a&b", then a dangling "?"/"&" tail goes
+    val cleanQ = regexp_replace(
+      regexp_replace(regexp_replace(noUtm, "\\?&+", "?"), "&{2,}", "&"),
+      "[?&]+$", "")
+    val noIndex = regexp_replace(cleanQ, "/index\\.html?$", "/")
+    regexp_replace(noIndex, "/$", "")
+  }
+
+  /** One row per canonical URL: the newest fetch wins (max `warc_ts`,
+    * ties to max `doc_id` — both total orders, so the choice is
+    * deterministic). Returns (canon_url, doc_id, n_versions). One shuffle
+    * keyed on canon_url; the per-key window never sees more rows than the
+    * re-fetch count of a single page.
+    */
+  def urlKeepLatest(corpus: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("canon_url"))
+      .orderBy(col("warc_ts").desc, col("doc_id").desc)
+    corpus
+      .select(canonicalUrl(col("url")).as("canon_url"),
+        col("warc_ts"), col("doc_id").cast("long").as("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_versions", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("canon_url"))))
+      .where(col("rk") === 1)
+      .select(col("canon_url"), col("doc_id"), col("n_versions").cast("long").as("n_versions"))
   }
 }

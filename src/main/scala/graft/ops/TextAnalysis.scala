@@ -73,6 +73,53 @@ object TextAnalysis {
       ws.cast("long").as("n_ws"), ref.cast("long").as("n_ref"), bpe.cast("long").as("n_bpe"))
   }
 
+  /** Repetition signals per doc (the Gopher-rule family: repeated text is
+    * the strongest single low-quality indicator for web-scale training
+    * data): fraction of token occurrences whose token repeats within the
+    * doc, and the bigram concentration (top-bigram share + duplicated-
+    * bigram share). Computed by explode + two hash aggregations keyed on
+    * (doc_id, gram) — the shuffle key contains doc_id, so the work spreads
+    * over the cluster no matter how long individual documents are (an
+    * all-array per-row formulation would be O(len^2) on the longest doc).
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val toks = filter(
+      split(lower(col("text")), "[!\"#$%&'()*+,\\-./@\\[\\\\\\]^{|}~:;<=>? ]+"),
+      t => t =!= "")
+    val base = docs
+      .select(col("doc_id").cast("long").as("doc_id"), posexplode(toks).as(Seq("pos", "term")))
+    val uniAgg = base.groupBy(col("doc_id"), col("term")).count()
+      .groupBy(col("doc_id")).agg(
+        sum(col("count")).as("n_tokens"),
+        sum(when(col("count") > 1, col("count")).otherwise(0L)).as("dup_u"))
+    // bigrams from consecutive positions; the window is partitioned by
+    // doc_id (never a global sort)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val biAgg = base
+      .withColumn("nxt", lead(col("term"), 1).over(w))
+      .where(col("nxt").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("term"), col("nxt")).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).count()
+      .groupBy(col("doc_id")).agg(
+        sum(col("count")).as("n_bigrams"),
+        max(col("count")).as("top_c"),
+        sum(when(col("count") > 1, col("count")).otherwise(0L)).as("dup_b"))
+    docs.select(col("doc_id").cast("long").as("doc_id"))
+      .join(uniAgg, Seq("doc_id"), "left")
+      .join(biAgg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(coalesce(col("dup_u"), lit(0L)).cast("double")
+          / greatest(coalesce(col("n_tokens"), lit(0L)), lit(1L)), 4).as("dup_word_frac"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(coalesce(col("top_c"), lit(0L)).cast("double")
+          / greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L)), 4).as("top_bigram_frac"),
+        round(coalesce(col("dup_b"), lit(0L)).cast("double")
+          / greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L)), 4).as("dup_bigram_frac"))
+  }
+
   /** Positional document fingerprint: sum over tokens of
     * (pos+1) * (md5-derived 32-bit token hash), mod 1e9+7. Order-sensitive,
     * pure integer arithmetic -> bit-exact in any engine.

@@ -169,4 +169,53 @@ class OpsSpec extends AnyFunSuite {
     assert(s.length === 2)
     assert(s.map(_.getAs[Long]("n_events")).toSeq === Seq(2L, 2L))
   }
+
+  test("repetition signals: dup-word and bigram concentration fractions") {
+    val d = Seq((1L, "a b a b c"), (2L, "x y z"), (3L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // doc 1: tokens a,b,a,b,c -> 4 of 5 occurrences repeat; bigrams
+    // "a b","b a","a b","b c" -> top "a b" covers 2/4, dups cover 2/4
+    assert(r(1L).getAs[Long]("n_tokens") === 5)
+    assert(r(1L).getAs[Double]("dup_word_frac") === 0.8)
+    assert(r(1L).getAs[Long]("n_bigrams") === 4)
+    assert(r(1L).getAs[Double]("top_bigram_frac") === 0.5)
+    assert(r(1L).getAs[Double]("dup_bigram_frac") === 0.5)
+    // doc 2: no repetition; top bigram still covers 1/2
+    assert(r(2L).getAs[Double]("dup_word_frac") === 0.0)
+    assert(r(2L).getAs[Double]("top_bigram_frac") === 0.5)
+    assert(r(2L).getAs[Double]("dup_bigram_frac") === 0.0)
+    // doc 3: empty -> all zeros, no division blowup
+    assert(r(3L).getAs[Long]("n_tokens") === 0)
+    assert(r(3L).getAs[Double]("top_bigram_frac") === 0.0)
+  }
+
+  test("canonicalUrl normalizes scheme, www, fragment, utm params, index.html") {
+    val urls = Seq(
+      "HTTP://www.Example.COM/path/index.html?utm_source=x#top",
+      "https://example.com/a?b=2&utm_c=3&d=4",
+      "https://example.com/a?utm_only=1",
+      "https://example.com/",
+      "example.com/already/bare").toDF("url")
+    val got = urls.select(Dedup.canonicalUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq(
+      "example.com/path",
+      "example.com/a?b=2&d=4",
+      "example.com/a",
+      "example.com",
+      "example.com/already/bare"))
+  }
+
+  test("urlKeepLatest keeps the newest fetch per canonical url") {
+    val rows = Seq(
+      ("https://example.com/p", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L),
+      ("http://www.example.com/p/", java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 2L),
+      ("https://example.com/q", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 3L)
+    ).toDF("url", "warc_ts", "doc_id")
+    val kept = Dedup.urlKeepLatest(rows).collect()
+      .map(r => r.getAs[String]("canon_url") ->
+        ((r.getAs[Long]("doc_id"), r.getAs[Long]("n_versions")))).toMap
+    assert(kept === Map("example.com/p" -> ((2L, 2L)), "example.com/q" -> ((3L, 1L))))
+  }
 }
