@@ -52,7 +52,9 @@ object OpsQueries {
     "st_sessions" -> ((s, d) => Events.sessionize(s.read.parquet(s"$d/events.parquet"))),
     "ta_repetition" -> ((s, d) => TextAnalysis.repetition(docs(s, d))),
     "dd_url_keep" -> ((s, d) => Dedup.urlKeepLatest(urlVariantCorpus(s, d))
-      .orderBy(col("doc_id")))
+      .orderBy(col("doc_id"))),
+    "dd_substr_spans" -> ((s, d) => Dedup.duplicatedSpans(docs(s, d), n = 4)
+      .orderBy(col("doc_id"), col("span_start")))
   )
 
   /** Crawl-style URL-variant corpus for the `dd_url_keep` gate: every page
@@ -430,6 +432,24 @@ object OpsQueries {
         |    row_number() OVER (PARTITION BY canon_url ORDER BY ts_ord DESC, doc_id DESC) AS rk,
         |    CAST(count(*) OVER (PARTITION BY canon_url) AS BIGINT) AS n_versions
         |  FROM c)
-        |SELECT canon_url, doc_id, n_versions FROM r WHERE rk = 1""".stripMargin
+        |SELECT canon_url, doc_id, n_versions FROM r WHERE rk = 1""".stripMargin,
+    "dd_substr_spans" ->
+      s"""${Oracles.BaseCtes},
+         |sh AS (SELECT doc_id, pos,
+         |  array_to_string(list(term) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING), ' ') AS g,
+         |  len(list(term) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)) AS glen
+         |  FROM toks),
+         |f AS (SELECT doc_id, pos, md5(g) AS g FROM sh WHERE glen = 4),
+         |dup AS (SELECT g FROM f GROUP BY g HAVING count(*) > 1),
+         |hits AS (SELECT doc_id, pos FROM f WHERE g IN (SELECT g FROM dup)),
+         |isl AS (SELECT doc_id, pos,
+         |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |        FROM hits)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |       CAST(max(pos) + 3 AS BIGINT) AS span_end,
+         |       CAST(max(pos) - min(pos) + 4 AS BIGINT) AS span_tokens
+         |FROM isl GROUP BY doc_id, grp""".stripMargin
   )
 }

@@ -102,24 +102,27 @@ object Dedup {
       .distinct().cache()
     var labels = edges.select(col("x")).distinct()
       .select(col("x"), col("x").as("lbl")).cache()
+    var prevCache = labels
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // candidate label = min(own, min over neighbors' labels)
+      // candidate label = min(own, min over neighbors' labels); the own
+      // label rides along as `old` so the convergence check below is a
+      // filter over the cached result, not another join against `labels`
       val propagated = edges
         .join(labels.withColumnRenamed("x", "y").withColumnRenamed("lbl", "nlbl"), "y")
         .groupBy(col("x")).agg(min(col("nlbl")).as("minn"))
         .join(labels, "x")
-        .select(col("x"), least(col("lbl"), col("minn")).as("lbl"))
+        .select(col("x"), col("lbl").as("old"), least(col("lbl"), col("minn")).as("lbl"))
       // pointer jumping: follow the label's own label one level
       val next = propagated
         .join(propagated.select(col("x").as("lbl"), col("lbl").as("plbl")), Seq("lbl"), "left_outer")
-        .select(col("x"), least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
+        .select(col("x"), col("old"), least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
         .cache()
-      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "x")
-        .filter(col("lbl") =!= col("old")).limit(1).count()
-      labels.unpersist()
-      labels = next
+      val changed = next.filter(col("lbl") =!= col("old")).limit(1).count()
+      prevCache.unpersist()
+      prevCache = next
+      labels = next.select(col("x"), col("lbl"))
       converged = changed == 0
       i += 1
     }
@@ -129,7 +132,7 @@ object Dedup {
     // bounded by the paired docs, the iterative plan behind it is not
     val out = labels.select(col("x").as("doc_id"), col("lbl").as("cluster"))
       .localCheckpoint(true)
-    labels.unpersist()
+    prevCache.unpersist()
     edges.unpersist()
     out
   }
@@ -230,6 +233,46 @@ object Dedup {
     val unpaired = embeddings.select(col("vec_id").cast("long").as("vec_id"))
       .join(clusters.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_anti")
     keepFromClusters.unionByName(unpaired)
+  }
+
+  /** Exact-substring duplicated spans (the suffix-array dedup family:
+    * "Deduplicating Training Data Makes Language Models Better", Lee et
+    * al. 2022 — any token run of length >= n that occurs more than once
+    * in the corpus, including within one doc, is a duplicated span).
+    * Spark shape instead of a suffix array: every n-token shingle with
+    * its position, one hash aggregation over md5(shingle) to find grams
+    * occurring > 1 time, a semi-join back, then per-doc island merge of
+    * overlapping hit positions (the pos - row_number trick). All windows
+    * are partitioned by doc_id; the corpus-wide state is only the
+    * duplicated-gram key set. Returns (doc_id, span_start, span_end,
+    * span_tokens) with positions in reference-tokenizer token offsets.
+    */
+  def duplicatedSpans(docs: DataFrame, n: Int = 10): DataFrame = {
+    val toks = filter(
+      split(lower(col("text")), "[!\"#$%&'()*+,\\-./@\\[\\\\\\]^{|}~:;<=>? ]+"),
+      t => t =!= "")
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
+      posexplode(toks).as(Seq("pos", "term")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("term"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, n - 1)
+    val grams = base
+      .withColumn("gl", collect_list(col("term")).over(wg))
+      .where(size(col("gl")) === n)
+      .select(col("doc_id"), col("pos"), md5(concat_ws(" ", col("gl"))).as("g"))
+    val dupGrams = grams.groupBy(col("g")).count()
+      .where(col("count") > 1).select(col("g"))
+    val hits = grams.join(dupGrams, Seq("g"), "left_semi")
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits
+      .withColumn("grp", col("pos") - row_number().over(wd).cast("long"))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(n - 1).cast("long")).as("span_end"),
+        (max(col("pos")) - min(col("pos")) + lit(n).cast("long")).as("span_tokens"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("span_tokens"))
   }
 
   /** Canonical form of a web URL for crawl-level dedup (the CCNet /

@@ -190,6 +190,20 @@ class OpsSpec extends AnyFunSuite {
     assert(r(3L).getAs[Double]("top_bigram_frac") === 0.0)
   }
 
+  test("duplicatedSpans finds and merges exact n-token repeats") {
+    val d = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x x a b c d q a b c d")).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(d, n = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("span_tokens"))).toSet
+    // "a b c d" occurs three times (doc1 pos0, doc2 pos2 and pos7): its two
+    // 3-gram hits per site merge into one 4-token island each
+    assert(spans === Set((1L, 0L, 3L, 4L), (2L, 2L, 5L, 4L), (2L, 7L, 10L, 4L)))
+    // n larger than any repeat -> no spans
+    assert(Dedup.duplicatedSpans(d, n = 5).count() === 0)
+  }
+
   test("canonicalUrl normalizes scheme, www, fragment, utm params, index.html") {
     val urls = Seq(
       "HTTP://www.Example.COM/path/index.html?utm_source=x#top",
