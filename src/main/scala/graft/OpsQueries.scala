@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.WebCorpus
-import graft.ops.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Events, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -54,7 +54,8 @@ object OpsQueries {
     "dd_url_keep" -> ((s, d) => Dedup.urlKeepLatest(urlVariantCorpus(s, d))
       .orderBy(col("doc_id"))),
     "dd_substr_spans" -> ((s, d) => Dedup.duplicatedSpans(docs(s, d), n = 4)
-      .orderBy(col("doc_id"), col("span_start")))
+      .orderBy(col("doc_id"), col("span_start"))),
+    "cu_audit" -> ((s, d) => Curation.audit(docs(s, d)).orderBy(col("doc_id")))
   )
 
   /** Crawl-style URL-variant corpus for the `dd_url_keep` gate: every page
@@ -450,6 +451,50 @@ object OpsQueries {
          |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
          |       CAST(max(pos) + 3 AS BIGINT) AS span_end,
          |       CAST(max(pos) - min(pos) + 4 AS BIGINT) AS span_tokens
-         |FROM isl GROUP BY doc_id, grp""".stripMargin
+         |FROM isl GROUP BY doc_id, grp""".stripMargin,
+    "cu_audit" -> {
+      val langs = TextAnalysis.LangMarkers.toSeq.sortBy(_._1)
+      val scoreCols = langs.map { case (l, toks) =>
+        toks.map(t => s"len(regexp_extract_all(lower(text), '\\b$t\\b'))").mkString(" + ") +
+          s" AS score_$l"
+      }.mkString(", ")
+      val m = "greatest(" + langs.map(l => s"score_${l._1}").mkString(", ") + ")"
+      val pick = langs.map(_._1).map(l => s"WHEN score_$l = m THEN '$l'").mkString(" ")
+      s"""${Oracles.BaseCtes},
+         |tl AS (SELECT d.doc_id, CAST(COALESCE(t.c, 0) AS BIGINT) AS nt
+         |       FROM documents d LEFT JOIN
+         |         (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t
+         |       ON d.doc_id = t.doc_id),
+         |ls AS (SELECT doc_id, $scoreCols FROM documents),
+         |lb AS (SELECT doc_id, $m AS m, * FROM ls),
+         |lp AS (SELECT doc_id, CASE WHEN m = 0 THEN 'und' $pick END AS lang_pred FROM lb),
+         |bgc AS (SELECT doc_id,
+         |        term || ' ' || lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+         |        FROM toks),
+         |bcc AS (SELECT doc_id, bigram, count(*) AS c FROM bgc
+         |        WHERE bigram IS NOT NULL GROUP BY 1, 2),
+         |bac AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb,
+         |        CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup
+         |        FROM bcc GROUP BY 1),
+         |rep AS (SELECT d.doc_id,
+         |        round(CAST(COALESCE(b.dup, 0) AS DOUBLE) / greatest(COALESCE(b.nb, 0), 1), 4) AS dbf
+         |        FROM documents d LEFT JOIN bac b ON d.doc_id = b.doc_id),
+         |hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+         |cn AS (SELECT hx.doc_id,
+         |       CASE WHEN hx.doc_id = mn.cdoc THEN 1 ELSE 0 END AS is_can
+         |       FROM hx JOIN (SELECT h, min(doc_id) AS cdoc FROM hx GROUP BY 1) mn
+         |       ON hx.h = mn.h)
+         |SELECT CAST(tl.doc_id AS BIGINT) AS doc_id,
+         |  CAST(CASE WHEN tl.nt >= 20 THEN 1 ELSE 0 END AS BIGINT) AS pass_len,
+         |  CAST(CASE WHEN lp.lang_pred = 'en' THEN 1 ELSE 0 END AS BIGINT) AS pass_lang,
+         |  CAST(CASE WHEN rep.dbf <= 0.1 THEN 1 ELSE 0 END AS BIGINT) AS pass_rep,
+         |  CAST(cn.is_can AS BIGINT) AS is_canonical,
+         |  CAST(CASE WHEN tl.nt >= 20 AND lp.lang_pred = 'en' AND rep.dbf <= 0.1
+         |            AND cn.is_can = 1 THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM tl
+         |JOIN lp ON tl.doc_id = lp.doc_id
+         |JOIN rep ON tl.doc_id = rep.doc_id
+         |JOIN cn ON tl.doc_id = cn.doc_id""".stripMargin
+    }
   )
 }

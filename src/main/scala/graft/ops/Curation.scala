@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation: the composed filter chain a training-data
+  * pipeline actually runs (the C4/Gopher/RefinedWeb recipe) — length
+  * gate, language gate, repetition gate, exact-dedup canonicalization —
+  * as ONE audited relation instead of opaque drops. Every per-doc signal
+  * comes from the gated operators in [[TextAnalysis]] / [[Dedup]]; this
+  * module only composes them, so the audit is exactly as trustworthy as
+  * its parts.
+  *
+  * Scale shape: four doc_id-keyed equi-joins over per-doc aggregates
+  * (each input relation is one row per doc). The only corpus-wide state
+  * is the md5(text) exact-dup grouping — a hash aggregation keyed on the
+  * digest, never a pairwise comparison.
+  */
+object Curation {
+
+  /** Per-doc audit: which gates each document passes and whether it is
+    * kept. A document is kept iff it passes all gates AND is the
+    * canonical (minimum doc_id) copy of its exact-text group. Flags are
+    * 0/1 longs so the relation round-trips bit-exactly through any
+    * engine.
+    */
+  def audit(docs: DataFrame, minTokens: Long = 20,
+            maxDupBigramFrac: Double = 0.1,
+            keepLang: String = "en"): DataFrame = {
+    val len = TextAnalysis.quality(docs)
+      .select(col("doc_id"), (col("n_tokens") >= minTokens).as("pass_len"))
+    val lang = TextAnalysis.langId(docs)
+      .select(col("doc_id"), (col("lang_pred") === keepLang).as("pass_lang"))
+    val rep = TextAnalysis.repetition(docs)
+      .select(col("doc_id"),
+        (col("dup_bigram_frac") <= maxDupBigramFrac).as("pass_rep"))
+    val hashed = docs.select(col("doc_id").cast("long").as("doc_id"),
+      md5(col("text")).as("h"))
+    val canon = hashed
+      .join(hashed.groupBy(col("h")).agg(min(col("doc_id")).as("cdoc")), "h")
+      .select(col("doc_id"), (col("doc_id") === col("cdoc")).as("is_canonical"))
+    len.join(lang, "doc_id").join(rep, "doc_id").join(canon, "doc_id")
+      .select(
+        col("doc_id"),
+        col("pass_len").cast("long").as("pass_len"),
+        col("pass_lang").cast("long").as("pass_lang"),
+        col("pass_rep").cast("long").as("pass_rep"),
+        col("is_canonical").cast("long").as("is_canonical"),
+        (col("pass_len") && col("pass_lang") && col("pass_rep")
+          && col("is_canonical")).cast("long").as("kept"))
+  }
+
+  /** The kept set: doc_ids surviving the full chain. */
+  def kept(docs: DataFrame, minTokens: Long = 20,
+           maxDupBigramFrac: Double = 0.1,
+           keepLang: String = "en"): DataFrame =
+    audit(docs, minTokens, maxDupBigramFrac, keepLang)
+      .where(col("kept") === 1L).select(col("doc_id"))
+}

@@ -221,6 +221,29 @@ class OpsSpec extends AnyFunSuite {
       "example.com/already/bare"))
   }
 
+  test("curation audit: every gate discriminates and kept composes them") {
+    val longEn = "the quick brown fox jumps over a lazy dog and then " +
+      "the small bird flies far away of its old barn while the sun is warm"
+    val d = Seq(
+      (1L, longEn),                          // passes everything, canonical
+      (2L, longEn),                          // exact dup of 1 -> not canonical
+      (3L, "the cat sat"),                   // too short
+      (4L, "der hund und die katze das ist gut und so ist der hund und die " +
+           "katze denn der hund und die katze sind gut"), // German
+      (5L, "spark row spark row spark row spark row spark row spark row " +
+           "spark row spark row spark row spark row the of a")) // repetitive
+      .toDF("doc_id", "text")
+    val a = Curation.audit(d, minTokens = 10, maxDupBigramFrac = 0.5).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(a(1L).getAs[Long]("kept") === 1)
+    assert(a(2L).getAs[Long]("is_canonical") === 0 && a(2L).getAs[Long]("kept") === 0)
+    assert(a(3L).getAs[Long]("pass_len") === 0 && a(3L).getAs[Long]("kept") === 0)
+    assert(a(4L).getAs[Long]("pass_lang") === 0 && a(4L).getAs[Long]("kept") === 0)
+    assert(a(5L).getAs[Long]("pass_rep") === 0 && a(5L).getAs[Long]("kept") === 0)
+    assert(Curation.kept(d, minTokens = 10, maxDupBigramFrac = 0.5)
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("urlKeepLatest keeps the newest fetch per canonical url") {
     val rows = Seq(
       ("https://example.com/p", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L),
