@@ -97,6 +97,10 @@ object QpQueries {
     // reference's OR merge (QueryResult.cpp:316-415) is load-bearing
     "qp_or_complex" -> ((s, d) =>
       Executor.topK(corpus(s, d), "spark batch--filter|data*", 10)),
+    // n-ary join block (reference folds [q1#q2#q3] pairwise,
+    // CompleterBase.cpp:592-609): s* completions common to ALL three sides
+    "qp_joinblock3" -> ((s, d) =>
+      Executor.topK(corpus(s, d), "[window s*#hash s*#batch s*]", 10)),
     // normalization-aware matching: bare `stream` finds the `stréam` docs
     // through the indexed `stream:stréam` variants
     "qp_norm" -> ((s, d) => Executor.topK(normCorpus(s, d), "stream", 10,
@@ -343,6 +347,34 @@ object QpQueries {
          |HAVING bool_or(term = 'spark')
          |   AND bool_or((term >= 'batch' AND term <= 'filter') OR term LIKE 'data%')
          |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "qp_joinblock3" ->
+      s"""${Oracles.BaseCtes}, d1 AS (
+         |  SELECT doc_id FROM scored WHERE term = 'window' OR term LIKE 's%'
+         |  GROUP BY doc_id HAVING bool_or(term = 'window') AND bool_or(term LIKE 's%')
+         |), d2 AS (
+         |  SELECT doc_id FROM scored WHERE term = 'hash' OR term LIKE 's%'
+         |  GROUP BY doc_id HAVING bool_or(term = 'hash') AND bool_or(term LIKE 's%')
+         |), d3 AS (
+         |  SELECT doc_id FROM scored WHERE term = 'batch' OR term LIKE 's%'
+         |  GROUP BY doc_id HAVING bool_or(term = 'batch') AND bool_or(term LIKE 's%')
+         |), r1 AS (
+         |  SELECT s.doc_id, s.term, s.score FROM scored s JOIN d1 USING (doc_id)
+         |  WHERE s.term LIKE 's%'
+         |), r2 AS (
+         |  SELECT s.doc_id, s.term, s.score FROM scored s JOIN d2 USING (doc_id)
+         |  WHERE s.term LIKE 's%'
+         |), r3 AS (
+         |  SELECT s.doc_id, s.term, s.score FROM scored s JOIN d3 USING (doc_id)
+         |  WHERE s.term LIKE 's%'
+         |), common AS (
+         |  SELECT DISTINCT term FROM r1
+         |  WHERE term IN (SELECT term FROM r2) AND term IN (SELECT term FROM r3)
+         |), unioned AS (
+         |  SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+         |)
+         |SELECT doc_id, round(sum(score), 4) AS score FROM unioned
+         |WHERE term IN (SELECT term FROM common)
+         |GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
     "qp_norm" ->
       s"""$NormCtes
          |SELECT doc_id, round(sum(score), 4) AS score

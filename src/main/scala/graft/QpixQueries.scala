@@ -42,6 +42,9 @@ object QpixQueries {
     // term, scores re-aggregated (CompleterBase.Join.cpp)
     "qpix_joinblock" -> ((s, d) =>
       IndexExecutor.topK(rd(s, d), "[window s*#hash s*]", 10)),
+    // n-ary join block from the blocks (same oracle as qp_joinblock3)
+    "qpix_joinblock3" -> ((s, d) =>
+      IndexExecutor.topK(rd(s, d), "[window s*#hash s*#batch s*]", 10)),
     "qpix_excerpts" -> ((s, d) => IndexExecutor.excerpts(rd(s, d), "spark st*", 10,
       exact = Seq("spark"), prefixes = Seq("st"), radius = 2)),
     "qpix_excerpts_multi" -> ((s, d) => {

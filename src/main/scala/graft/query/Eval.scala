@@ -230,11 +230,11 @@ object Eval {
       }
     }
     def partDocScores(a: Atom, bm: Double): DataFrame = a match {
-      case JoinBlock(l, r) => evalJoinBlock(src, l, r)
+      case JoinBlock(ps) => evalJoinBlock(src, ps)
       case _ => aggScores(a, bm)
     }
     def partPositions(a: Atom): DataFrame = a match {
-      case JoinBlock(_, _) => null
+      case JoinBlock(_) => null
       case _ => src.atomScoredCached(a)
         .select(col("doc_id"), explode(col("positions")).as("pos"))
     }
@@ -380,18 +380,19 @@ object Eval {
     * occur in BOTH results (CompleterBase.Join.cpp hash join); docs of
     * either side containing a common term, scores re-aggregated.
     */
-  private def evalJoinBlock(src: AtomSource, l: ParsedQuery, r: ParsedQuery): DataFrame = {
+  private def evalJoinBlock(src: AtomSource, parts: Seq[ParsedQuery]): DataFrame = {
     def side(pq: ParsedQuery): DataFrame = {
       val docs = evalDocs(src, pq).select(col("doc_id"))
       src.atomScoredCached(pq.parts.last.atom)
         .join(docs, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("term"), col("score"))
     }
-    val ls = side(l)
-    val rs = side(r)
-    val commonTerms = ls.select(col("term")).distinct()
-      .join(rs.select(col("term")).distinct(), Seq("term"), "left_semi")
-    ls.unionByName(rs)
+    val sides = parts.map(side)
+    // terms common to ALL parts: a chain of semi-joins over the (small)
+    // distinct-term sets -- the reference's pairwise fold flattened
+    val commonTerms = sides.map(_.select(col("term")).distinct())
+      .reduce((a, b) => a.join(b, Seq("term"), "left_semi"))
+    sides.reduce(_ unionByName _)
       .join(broadcast(commonTerms), Seq("term"), "left_semi")
       .groupBy(col("doc_id")).agg(sum(col("score")).as("score"))
   }

@@ -57,7 +57,15 @@ object QueryParser {
     * postings (see class doc).
     */
   case class OrAtoms(alts: Seq[Atom]) extends Atom
-  case class JoinBlock(left: ParsedQuery, right: ParsedQuery) extends Atom
+
+  /** `[q1#q2#...#qn]` join block, n >= 2: completions common to ALL
+    * sub-results (the reference folds n-part blocks pairwise,
+    * CompleterBase.cpp:592-609 `xyz [q1#q2#q3] -> xyz [q1#q2]`; the
+    * flat n-ary form evaluates to the same common-term set).
+    */
+  case class JoinBlock(parts: Seq[ParsedQuery]) extends Atom {
+    require(parts.length >= 2, "join block needs at least two parts")
+  }
 
   /** sep is the separator BETWEEN this part and the previous one
     * (None for the first part).
@@ -97,10 +105,10 @@ object QueryParser {
     // has no normalizeWords); the rewrite recurses into both sides so
     // `[q1#q2]` words match their normalized variants like the rest of the
     // query (reference rewriteQuery applies to the whole query string)
-    case JoinBlock(l, r) =>
+    case JoinBlock(ps) =>
       def rw(pq: ParsedQuery): ParsedQuery =
         ParsedQuery(pq.parts.map(p => Part(rewriteForNorm(p.atom), p.sep)))
-      JoinBlock(rw(l), rw(r))
+      JoinBlock(ps.map(rw))
     case other => other
   }
 
@@ -153,9 +161,9 @@ object QueryParser {
   private def parseAtom(s: String): Atom = {
     if (s.startsWith("[") && s.endsWith("]")) {
       val inner = s.substring(1, s.length - 1)
-      val hash = topLevelIndexOf(inner, '#')
-      require(hash >= 0, s"join block without '#': $s")
-      return JoinBlock(parse(inner.substring(0, hash)), parse(inner.substring(hash + 1)))
+      val pieces = topLevelSplit(inner, '#')
+      require(pieces.length >= 2, s"join block without '#': $s")
+      return JoinBlock(pieces.map(parse))
     }
     // '|' binds LOOSER than '--': `a--b|c*` is (range a--b) OR (prefix c)
     if (s.contains('|'))
@@ -169,6 +177,21 @@ object QueryParser {
       val Array(lo, hi) = s.split("--", 2)
       WordRange(lo, hi)
     } else parseWord(s)
+  }
+
+  /** Split on every occurrence of `ch` at depth 0 (outside [..]). */
+  private def topLevelSplit(s: String, ch: Char): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach { c =>
+      if (c == '[') { depth += 1; cur.append(c) }
+      else if (c == ']') { depth -= 1; cur.append(c) }
+      else if (c == ch && depth == 0) { out += cur.toString; cur.clear() }
+      else cur.append(c)
+    }
+    out += cur.toString
+    out.toSeq
   }
 
   private def topLevelIndexOf(s: String, ch: Char): Int = {

@@ -36,10 +36,19 @@ class QueryParserSpec extends AnyFunSuite {
   test("join blocks nest full queries") {
     val q = QueryParser.parse("[a b*#c]")
     q.parts(0).atom match {
-      case JoinBlock(l, r) =>
+      case JoinBlock(Seq(l, r)) =>
         assert(l.parts.length === 2 && r.parts.length === 1)
         assert(l.parts(1).atom === Word("b", prefix = true))
       case other => fail(s"expected JoinBlock, got $other")
+    }
+    // n-ary blocks split at every top-level '#' (reference folds
+    // [q1#q2#q3] pairwise, CompleterBase.cpp:592-609)
+    QueryParser.parse("[a#b c#d*]").parts(0).atom match {
+      case JoinBlock(ps) =>
+        assert(ps.length === 3)
+        assert(ps(1).parts.length === 2)
+        assert(ps(2).parts(0).atom === Word("d", prefix = true))
+      case other => fail(s"expected 3-part JoinBlock, got $other")
     }
   }
 
@@ -84,7 +93,7 @@ class QueryParserSpec extends AnyFunSuite {
     // are parsed by the 1-arg parse, so the rewrite must be applied after)
     val jb = QueryParser.parse("[spark#flink]", normalizeWords = true).parts(0).atom
     jb match {
-      case JoinBlock(l, r) =>
+      case JoinBlock(Seq(l, r)) =>
         assert(l.parts(0).atom === OrAtoms(Seq(Word("spark"), Word("spark:", prefix = true))))
         assert(r.parts(0).atom === OrAtoms(Seq(Word("flink"), Word("flink:", prefix = true))))
       case other => fail(s"expected join block, got $other")
