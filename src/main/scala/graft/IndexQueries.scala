@@ -47,6 +47,48 @@ object IndexQueries {
   def bpPrefixDocs(spark: SparkSession, sfDir: String): DataFrame =
     new IndexReader(spark, bpIndexDir(spark, sfDir)).topKPrefixDocs("st", 10)
 
+  /** The partial-words gates' secondary dictionary — the reference's
+    * "general language dictionary" role (partialwords/PartialWords.h,
+    * american-english.vocabulary). Literal so the oracle can inline it.
+    */
+  val PartialDict: Seq[String] = Seq("par", "tab", "val", "art", "ash", "ort", "ream")
+
+  private def corpusVocab(spark: SparkSession, sfDir: String): DataFrame =
+    graft.core.Analysis.docTermsCached(WebCorpus.fromDocuments(spark, sfDir))
+      .toDF().select(col("term").as("word")).distinct()
+
+  /** PartialWordsMain analog: which dictionary words occur inside corpus
+    * vocabulary words (substring-length equi-join, never a cross join).
+    */
+  def partialPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.core.PartialWords.pairs(
+        corpusVocab(spark, sfDir), PartialDict.toDF("word"), minLen = 3)
+      .orderBy(col("word"), col("partial"))
+  }
+
+  /** Index with partial-word postings merged in (the applications-Makefile
+    * step: partial words emitted at the containing word's positions).
+    */
+  def partialIndexDir(spark: SparkSession, sfDir: String): String = synchronized {
+    built.getOrElseUpdate(s"$sfDir#partial", {
+      val dir = s"/tmp/graft_index/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}_partial"
+      import spark.implicits._
+      val corpus = WebCorpus.fromDocuments(spark, sfDir)
+      val pairs = graft.core.PartialWords.pairs(
+        corpusVocab(spark, sfDir), PartialDict.toDF("word"), minLen = 3)
+      val extra = graft.core.PartialWords.expandDocTerms(
+        graft.core.Analysis.docTerms(corpus).toDF(), pairs)
+      IndexBuilder.build(spark, corpus, dir, numShards = 1,
+        extraDocTerms = Some(extra))
+      dir
+    })
+  }
+
+  /** Querying a partial word serves the docs of its containing words. */
+  def partialDocs(spark: SparkSession, sfDir: String): DataFrame =
+    new IndexReader(spark, partialIndexDir(spark, sfDir)).topKAnd(Seq("tab"), 10)
+
   /** Separate index built with a non-default block codec (the reference
     * compiles one compression algorithm per index, codes.h:27-62). Its
     * gates share the varint-index oracles, so a hash match proves the

@@ -58,7 +58,9 @@ object SparkEntry {
     "fcix_ordering" -> IndexQueries.orderingRange _,
     "fcix_info" -> IndexQueries.infoWords _,
     "fw_title" -> FtQueries.fieldWeighted _,
-    "fwix_title" -> IndexQueries.fieldWeightedIx _
+    "fwix_title" -> IndexQueries.fieldWeightedIx _,
+    "pw_pairs" -> IndexQueries.partialPairs _,
+    "pwix_partial_docs" -> IndexQueries.partialDocs _
   ) ++ OpsQueries.queries ++ QpQueries.queries ++ QpixQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -70,6 +72,45 @@ object SparkEntry {
     "ix_prefix_docs" -> Oracles.topDocs("term LIKE 'st%'"),
     // BY_PREFIXES-built index must serve the identical prefix results
     "ixbp_prefix_docs" -> Oracles.topDocs("term LIKE 'st%'"),
+    // partial words (reference partialwords/): dictionary words contained
+    // in corpus vocabulary words, with 1-based first-occurrence position
+    "pw_pairs" -> {
+      val dict = IndexQueries.PartialDict.map(w => s"'$w'").mkString(", ")
+      s"""${Oracles.BaseCtes},
+         |voc AS (SELECT DISTINCT term AS word FROM toks),
+         |dict AS (SELECT unnest([$dict]) AS word)
+         |SELECT v.word, d.word AS partial,
+         |       CAST(strpos(v.word, d.word) AS BIGINT) AS pos
+         |FROM voc v JOIN dict d
+         |ON strpos(v.word, d.word) > 0 AND v.word <> d.word""".stripMargin
+    },
+    // index with partial-word postings merged in: querying 'tab' serves
+    // the 'table' docs, scored BM25 over the EXPANDED index (partial
+    // postings are bare words, so df and the document-length model see
+    // them exactly as the reference's merged words file would)
+    "pwix_partial_docs" -> {
+      val dict = IndexQueries.PartialDict.map(w => s"'$w'").mkString(", ")
+      s"""${Oracles.BaseCtes},
+         |pm AS (SELECT t.word, d.word AS partial
+         |       FROM (SELECT DISTINCT term AS word FROM toks) t
+         |       JOIN (SELECT unnest([$dict]) AS word) d
+         |       ON strpos(t.word, d.word) > 0 AND t.word <> d.word),
+         |pdt AS (SELECT dt.doc_id, pm.partial, CAST(sum(dt.tf) AS BIGINT) AS tf
+         |        FROM dt JOIN pm ON dt.term = pm.word GROUP BY 1, 2),
+         |pdfs AS (SELECT partial, CAST(count(*) AS BIGINT) AS df FROM pdt GROUP BY 1),
+         |pnp AS (SELECT CAST((SELECT sum(tf) FROM dt) +
+         |                    (SELECT COALESCE(sum(tf), 0) FROM pdt) AS DOUBLE) AS np),
+         |pscored AS (
+         |  SELECT pdt.doc_id, pdt.partial AS term,
+         |         ${graft.core.Analysis.bm25Sql("pdt.tf", "pdfs.df", "dls.dl",
+                      "st.n", "(pnp.np / st.n)")} AS score
+         |  FROM pdt JOIN pdfs USING (partial)
+         |  JOIN dls ON pdt.doc_id = dls.doc_id
+         |  CROSS JOIN st CROSS JOIN pnp)
+         |SELECT doc_id, round(sum(score), 4) AS score FROM pscored
+         |WHERE term = 'tab'
+         |GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
     // non-default block codecs must serve identical results (gamma: full
     // decode round-trip; pfor: WAND top-k)
     // streamed-then-compacted index: every posting survives the append ->
