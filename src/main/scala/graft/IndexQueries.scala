@@ -47,6 +47,26 @@ object IndexQueries {
   def bpPrefixDocs(spark: SparkSession, sfDir: String): DataFrame =
     new IndexReader(spark, bpIndexDir(spark, sfDir)).topKPrefixDocs("st", 10)
 
+  /** BY_PREFIX_SIZE: boundaries derived as the vocabulary's distinct
+    * length-2 prefixes (one bucket per prefix group) instead of a
+    * hand-written boundary list.
+    */
+  def bpsIndexDir(spark: SparkSession, sfDir: String): String = synchronized {
+    built.getOrElseUpdate(s"$sfDir#byprefixsize", {
+      val dir = s"/tmp/graft_index/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}_byprefixsize"
+      val corpus = WebCorpus.fromDocuments(spark, sfDir)
+      val boundaries = IndexBuilder.prefixSizeBoundaries(
+        graft.core.Analysis.docTermsCached(corpus).toDF(), k = 2)
+      IndexBuilder.build(spark, corpus, dir, numShards = 1,
+        prefixBoundaries = boundaries)
+      dir
+    })
+  }
+
+  /** Prefix top-10 from a BY_PREFIX_SIZE index (same oracle again). */
+  def bpsPrefixDocs(spark: SparkSession, sfDir: String): DataFrame =
+    new IndexReader(spark, bpsIndexDir(spark, sfDir)).topKPrefixDocs("st", 10)
+
   /** The partial-words gates' secondary dictionary — the reference's
     * "general language dictionary" role (partialwords/PartialWords.h,
     * american-english.vocabulary). Literal so the oracle can inline it.

@@ -50,6 +50,7 @@ object OpsQueries {
           col("frame_idx").cast("long").as("frame_idx"))),
     "st_window_agg" -> ((s, d) => Events.streamWindowAgg(s, d)),
     "st_sessions" -> ((s, d) => Events.sessionize(s.read.parquet(s"$d/events.parquet"))),
+    "st_dedup" -> ((s, d) => Events.streamDedupCounts(s, d)),
     "ta_repetition" -> ((s, d) => TextAnalysis.repetition(docs(s, d))),
     "dd_url_keep" -> ((s, d) => Dedup.urlKeepLatest(urlVariantCorpus(s, d))
       .orderBy(col("doc_id"))),
@@ -381,6 +382,10 @@ object OpsQueries {
         |       CAST(count(*) AS BIGINT) AS n_events,
         |       min(ts) AS session_start, max(ts) AS session_end
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // doubled delivery collapsed by streaming dedup == plain batch counts
+    "st_dedup" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1""".stripMargin,
     "ta_repetition" ->
       s"""${Oracles.BaseCtes},
          |uc AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2),

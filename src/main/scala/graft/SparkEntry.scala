@@ -46,6 +46,7 @@ object SparkEntry {
     "ix_wand_topk" -> IndexQueries.wandTopK _,
     "ix_prefix_docs" -> IndexQueries.prefixDocs _,
     "ixbp_prefix_docs" -> IndexQueries.bpPrefixDocs _,
+    "ixbps_prefix_docs" -> IndexQueries.bpsPrefixDocs _,
     "ixc_compact_postings" -> IndexQueries.compactedPostings _,
     "ixcg_decoded_postings" -> IndexQueries.gammaDecodedPostings _,
     "ixcp_wand_topk" -> IndexQueries.pforWandTopK _,
@@ -72,6 +73,8 @@ object SparkEntry {
     "ix_prefix_docs" -> Oracles.topDocs("term LIKE 'st%'"),
     // BY_PREFIXES-built index must serve the identical prefix results
     "ixbp_prefix_docs" -> Oracles.topDocs("term LIKE 'st%'"),
+    // BY_PREFIX_SIZE (boundaries = the vocab's length-2 prefixes) likewise
+    "ixbps_prefix_docs" -> Oracles.topDocs("term LIKE 'st%'"),
     // partial words (reference partialwords/): dictionary words contained
     // in corpus vocabulary words, with 1-based first-occurrence position
     "pw_pairs" -> {

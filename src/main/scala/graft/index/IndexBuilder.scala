@@ -155,6 +155,18 @@ object IndexBuilder {
       prefixBoundaries, doclistCodec)
   }
 
+  /** BY_PREFIX_SIZE block formation (the third reference mode,
+    * HYBIndex.cpp:247-264, plus its boundary-prefix extraction step,
+    * applications/Makefile:231-278: vocab -> length-k prefixes, sort -u):
+    * the sorted distinct length-k prefixes of a term relation, ready for
+    * `build(prefixBoundaries = ...)` -- every length-k prefix group gets
+    * its own bucket. The collected list is prefix-alphabet-bounded
+    * (driver-held exactly like the reference's boundary file).
+    */
+  def prefixSizeBoundaries(terms: DataFrame, k: Int): Seq[String] =
+    terms.select(substring(col("term"), 1, k).as("p")).distinct()
+      .orderBy(col("p")).collect().map(_.getString(0)).toSeq
+
   /** Build an index DIRECTLY from an ingest words relation -- the
     * [[graft.core.CsvIngest]] / [[graft.core.XmlIngest]] output shape
     * (doc_id, term, score, pos; pos = -1 for artificial words). This is

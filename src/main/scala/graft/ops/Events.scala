@@ -57,6 +57,35 @@ object Events {
     spark.table(name)
   }
 
+  /** At-least-once delivery made exactly-once, as a REAL streaming query:
+    * the stream is unioned with itself (every event delivered twice — the
+    * redelivery simulation) and streaming `dropDuplicates` on event_id
+    * collapses it back, so per-type counts equal the batch counts. The
+    * dedup is the query's single stateful operator (append mode into the
+    * memory sink; counting happens batch-side over the sink) and the
+    * watermark bounds its per-key state at production scale.
+    */
+  def streamDedupCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = staged.computeIfAbsent(stagedKey(sfDir), _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_events").toString
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+    val stream = spark.readStream.schema(batch.schema).parquet(src)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val deduped = stream.unionByName(stream)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+    val name = s"dedup_${System.nanoTime()}"
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+  }
+
   /** Gap sessionization (30-min inactivity): declarative window functions
     * -- lag + cumulative sum of break flags -- one shuffle by user_id.
     */

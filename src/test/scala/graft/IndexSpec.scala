@@ -124,6 +124,26 @@ class IndexSpec extends AnyFunSuite {
     assert(ga === gb)
   }
 
+  test("BY_PREFIX_SIZE: boundaries are the vocab's length-k prefixes; results intact") {
+    val bs = IndexBuilder.prefixSizeBoundaries(
+      graft.core.Analysis.docTerms(corpus).toDF(), k = 2)
+    // sorted, distinct, and exactly the vocabulary's length-2 prefixes
+    assert(bs === bs.sorted && bs.distinct === bs)
+    val expect = graft.core.Analysis.docTerms(corpus).toDF()
+      .select(substring(col("term"), 1, 2)).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(bs === expect)
+    val d = java.nio.file.Files.createTempDirectory("graft_ix_bps").toString
+    IndexBuilder.build(spark, corpus, d, numShards = 1, blockSize = 256,
+      prefixBoundaries = bs)
+    val r = new IndexReader(spark, d, cacheBlocks = false)
+    val a = r.topKPrefixDocs("s", 10).collect()
+      .map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    val b = reader.topKPrefixDocs("s", 10).collect()
+      .map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    assert(a === b)
+  }
+
   test("every block codec serves identical postings, positions and top-k") {
     // reference index `dir` uses the default codec (pfor); compare every
     // other family against it

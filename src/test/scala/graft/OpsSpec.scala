@@ -158,6 +158,19 @@ class OpsSpec extends AnyFunSuite {
     assert(m.n_bytes === 68 + 3 * (1 + 3 * 3))
   }
 
+  test("streaming dedup collapses redelivered events to exact counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ev_spec").toString
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "click", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 1L, "click", 2.0, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 2L, "error", 3.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Events.streamDedupCounts(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    assert(got === Map("click" -> 2L, "error" -> 1L))
+  }
+
   test("sessionize splits on >30min gaps") {
     val ev = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 10L),
