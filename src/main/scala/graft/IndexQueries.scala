@@ -67,6 +67,24 @@ object IndexQueries {
   def bpsPrefixDocs(spark: SparkSession, sfDir: String): DataFrame =
     new IndexReader(spark, bpsIndexDir(spark, sfDir)).topKPrefixDocs("st", 10)
 
+  /** Positions-off index (IndexBuilder storePositions=false — the
+    * reference's positions-off words file, WordsFile.h:44-62): doc-level
+    * scoring must be byte-identical while positionlists all but vanish.
+    */
+  def npIndexDir(spark: SparkSession, sfDir: String): String = synchronized {
+    built.getOrElseUpdate(s"$sfDir#nopos", {
+      val dir = s"/tmp/graft_index/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}_nopos"
+      IndexBuilder.build(spark, WebCorpus.fromDocuments(spark, sfDir), dir,
+        numShards = 1, storePositions = false)
+      dir
+    })
+  }
+
+  /** WAND top-10 from the positions-off index (same oracle as ix_wand_topk). */
+  def npWandTopK(spark: SparkSession, sfDir: String): DataFrame =
+    new IndexReader(spark, npIndexDir(spark, sfDir))
+      .topKOrWand(Seq("spark", "hash", "merge"), 10)
+
   /** The partial-words gates' secondary dictionary — the reference's
     * "general language dictionary" role (partialwords/PartialWords.h,
     * american-english.vocabulary). Literal so the oracle can inline it.

@@ -47,6 +47,7 @@ object SparkEntry {
     "ix_prefix_docs" -> IndexQueries.prefixDocs _,
     "ixbp_prefix_docs" -> IndexQueries.bpPrefixDocs _,
     "ixbps_prefix_docs" -> IndexQueries.bpsPrefixDocs _,
+    "ixnp_wand_topk" -> IndexQueries.npWandTopK _,
     "ixc_compact_postings" -> IndexQueries.compactedPostings _,
     "ixcg_decoded_postings" -> IndexQueries.gammaDecodedPostings _,
     "ixcp_wand_topk" -> IndexQueries.pforWandTopK _,
@@ -75,6 +76,8 @@ object SparkEntry {
     "ixbp_prefix_docs" -> Oracles.topDocs("term LIKE 'st%'"),
     // BY_PREFIX_SIZE (boundaries = the vocab's length-2 prefixes) likewise
     "ixbps_prefix_docs" -> Oracles.topDocs("term LIKE 'st%'"),
+    // positions-off index: doc-level WAND scoring identical to the full one
+    "ixnp_wand_topk" -> Oracles.topDocs("term IN ('spark', 'hash', 'merge')"),
     // partial words (reference partialwords/): dictionary words contained
     // in corpus vocabulary words, with 1-based first-occurrence position
     "pw_pairs" -> {

@@ -137,7 +137,15 @@ object IndexBuilder {
         * varint, gamma, rice or simple8b -- see [[Codec]]. Persisted in
         * `stats/doclist_codec`; the reader dispatches automatically.
         */
-      doclistCodec: String = DefaultDoclistCodec): DataFrame = {
+      doclistCodec: String = DefaultDoclistCodec,
+      /** false = positions-off index (the reference's positions-off words
+        * file, WordsFile.h:44-62): every posting stores zero positions
+        * (zero gaps cost ~0 bytes under any gap codec, so positionlists
+        * all but vanish), doc-level queries (AND/OR/NOT, completions,
+        * WAND, facets) are untouched, and the reader REFUSES windowed /
+        * phrase queries instead of answering them wrongly.
+        */
+      storePositions: Boolean = true): DataFrame = {
     import spark.implicits._
     // One tokenizing pass, shared (persisted) across dictionary, stats and
     // every shard's encode stage; artificial rows union in as extra
@@ -152,7 +160,7 @@ object IndexBuilder {
     buildCore(spark, dt, () => timed("corpus_count")(corpus.count()),
       () => corpus.agg(max(col("doc_id"))).head().getLong(0),
       outDir, numShards, blockSize, bucketSize, buildPartitions,
-      prefixBoundaries, doclistCodec)
+      prefixBoundaries, doclistCodec, storePositions)
   }
 
   /** BY_PREFIX_SIZE block formation (the third reference mode,
@@ -227,7 +235,8 @@ object IndexBuilder {
       bucketSize: Int,
       buildPartitions: Int,
       prefixBoundaries: Seq[String],
-      doclistCodec: String): DataFrame = {
+      doclistCodec: String,
+      storePositions: Boolean = true): DataFrame = {
     import spark.implicits._
     Codec.idOf(doclistCodec) // validate before any work
 
@@ -278,9 +287,9 @@ object IndexBuilder {
         .agg(sum(when(!col("term").contains(":"), col("cf"))), count(lit(1))).head())
       val np = if (npRow.isNullAt(0)) 0L else npRow.getLong(0)
       Seq((nd, np, if (nd == 0) 0.0 else np.toDouble / nd, bucketSize.toLong,
-          npRow.getLong(1), doclistCodec))
+          npRow.getLong(1), doclistCodec, storePositions))
         .toDF("n_docs", "n_postings", "avgdl", "bucket_size", "vocab_size",
-          "doclist_codec")
+          "doclist_codec", "store_positions")
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats")
     }
     val dict = spark.read.parquet(s"$outDir/dictionary")
@@ -336,7 +345,12 @@ object IndexBuilder {
         val t0 = System.nanoTime()
         val lo = shard * shardWidth
         val hi = (shard + 1) * shardWidth - 1
-        val shardDt = dt.toDF().filter(col("doc_id").between(lo, hi))
+        // positions-off: zero every position (tf framing intact; zero
+        // gaps encode to near-nothing under any gap codec)
+        val shardDt0 = dt.toDF().filter(col("doc_id").between(lo, hi))
+        val shardDt = if (storePositions) shardDt0
+          else shardDt0.withColumn("positions",
+            expr("array_repeat(0, cast(tf as int))"))
         val blocks = buildShard(spark, shardDt, dict, vocabSize, avgdl,
           blockSize, bucketFn(bucketSize.toLong, cutIds), buildPartitions,
           codecId).persist()

@@ -83,6 +83,13 @@ class IndexReader(val spark: SparkSession, val dir: String,
       statsRow.getAs[String]("doclist_codec")
     else "varint")
 
+  /** false = positions-off index (IndexBuilder storePositions=false):
+    * doc-level queries are untouched; windowed/phrase queries refuse.
+    */
+  lazy val hasPositions: Boolean =
+    !statsRow.schema.fieldNames.contains("store_positions") ||
+      statsRow.getAs[Boolean]("store_positions")
+
   /** BY_PREFIXES boundary cut ids, when the index was built with
     * prefix-boundary block formation (HYBIndex.cpp:247-264 analog): sorted
     * first-term-ids of each boundary group, loaded once (tiny).
@@ -301,6 +308,8 @@ class IndexReader(val spark: SparkSession, val dir: String,
     * blocks, window theta-join (Separator semantics).
     */
   def proximityDocs(t1: String, t2: String, lo: Int, hi: Int): DataFrame = {
+    require(hasPositions,
+      "positions-off index: windowed/phrase queries need storePositions=true")
     val info = termInfo(Seq(t1, t2).distinct)
     if (info.size < Seq(t1, t2).distinct.size)
       return spark.range(0).select(col("id").as("doc_id"), lit(0L).as("n_matches"))

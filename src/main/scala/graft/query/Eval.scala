@@ -41,6 +41,12 @@ trait AtomSource {
   final def atomScoredCached(atom: Atom): DataFrame =
     scoredMemo.computeIfAbsent(atom, a => atomScored(a))
 
+  /** false when the backing index stores no positions (IndexBuilder
+    * storePositions=false): windowed separators must refuse instead of
+    * matching against the stored zeros.
+    */
+  def hasPositions: Boolean = true
+
   private val scoredMemo =
     new java.util.concurrent.ConcurrentHashMap[Atom, DataFrame]()
 
@@ -257,6 +263,8 @@ object Eval {
         case _ => sep.window
       }
       val window = if (positionless) None else part.sep.flatMap(windowOf)
+      require(window.isEmpty || src.hasPositions,
+        "positions-off index: windowed/phrase separators need storePositions=true")
       if (isNot(part.atom)) {
         // NOT: anti-join on matching docs (OUTPUT_NON_MATCHES)
         val negDocs = src.atomScoredCached(part.atom).select(col("doc_id")).distinct()

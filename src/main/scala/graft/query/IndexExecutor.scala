@@ -20,6 +20,8 @@ import QueryParser._
   */
 class IndexAtomSource(reader: IndexReader) extends AtomSource {
 
+  override def hasPositions: Boolean = reader.hasPositions
+
   private def emptyScored: DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("term", StringType),

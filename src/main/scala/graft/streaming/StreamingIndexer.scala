@@ -69,7 +69,15 @@ object StreamingIndexer {
           .select(col("cut_id")).as[Long].collect().sorted)
       } else None
 
-    val dt = Analysis.docTerms(batch).toDF().persist()
+    // positions-off base index: delta shards follow (decode framing and
+    // the reader's windowed-query refusal stay consistent across shards)
+    val storePositions =
+      !statsRow.schema.fieldNames.contains("store_positions") ||
+        statsRow.getAs[Boolean]("store_positions")
+    val dt0 = Analysis.docTerms(batch).toDF()
+    val dt = (if (storePositions) dt0
+      else dt0.withColumn("positions",
+        expr("array_repeat(0, cast(tf as int))"))).persist()
     val joined = dt.join(broadcast(dict.select(col("term"), col("term_id"))), "term")
       .select(col("term_id").cast("long"), col("doc_id"), col("tf"), col("positions"), col("dl"))
 

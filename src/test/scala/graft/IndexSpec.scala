@@ -144,6 +144,31 @@ class IndexSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("positions-off index: doc-level results identical, tiny positionlists, phrase refuses") {
+    val d = java.nio.file.Files.createTempDirectory("graft_ix_nopos").toString
+    IndexBuilder.build(spark, corpus, d, numShards = 1, blockSize = 256,
+      storePositions = false)
+    val r = new IndexReader(spark, d, cacheBlocks = false)
+    assert(!r.hasPositions)
+    // WAND / AND / completions byte-identical to the full index
+    val a = r.topKOrWand(Seq("spark", "hash"), 10).collect()
+      .map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    val b = reader.topKOrWand(Seq("spark", "hash"), 10).collect()
+      .map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    assert(a === b)
+    val ca = r.topKCompletions("s", 10).collect().map(_.toSeq).toSeq
+    val cb = reader.topKCompletions("s", 10).collect().map(_.toSeq).toSeq
+    assert(ca === cb)
+    // positionlists shrink to near-nothing (zero gaps under the gap codec)
+    def posBytes(rd: IndexReader): Long = rd.blocks
+      .agg(sum(length(col("positions")))).head().getLong(0)
+    assert(posBytes(r) < posBytes(reader) / 4)
+    // windowed / phrase queries refuse instead of answering wrongly
+    intercept[IllegalArgumentException](r.proximityDocs("batch", "batch", 1, 1))
+    intercept[IllegalArgumentException](
+      graft.query.IndexExecutor.topK(r, "batch.batch", 10).collect())
+  }
+
   test("every block codec serves identical postings, positions and top-k") {
     // reference index `dir` uses the default codec (pfor); compare every
     // other family against it
