@@ -154,7 +154,8 @@ object Bench {
       "codec_gamma" -> (() => IndexQueries.codecIndexDir(spark, sfDir, "gamma")),
       "codec_pfor" -> (() => IndexQueries.codecIndexDir(spark, sfDir, "pfor")),
       "byprefixsize" -> (() => IndexQueries.bpsIndexDir(spark, sfDir)),
-      "partial" -> (() => IndexQueries.partialIndexDir(spark, sfDir))
+      "partial" -> (() => IndexQueries.partialIndexDir(spark, sfDir)),
+      "nopos" -> (() => IndexQueries.npIndexDir(spark, sfDir))
     ).foreach { case (name, build) =>
       // per-build Try: one failed build must not silently un-warm the rest,
       // and the failure itself must be visible (the gate that needs it will
