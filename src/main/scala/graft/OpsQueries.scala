@@ -52,6 +52,7 @@ object OpsQueries {
     "st_sessions" -> ((s, d) => Events.sessionize(s.read.parquet(s"$d/events.parquet"))),
     "st_dedup" -> ((s, d) => Events.streamDedupCounts(s, d)),
     "ta_repetition" -> ((s, d) => TextAnalysis.repetition(docs(s, d))),
+    "ta_perplexity" -> ((s, d) => TextAnalysis.unigramPerplexity(docs(s, d))),
     "dd_url_keep" -> ((s, d) => Dedup.urlKeepLatest(urlVariantCorpus(s, d))
       .orderBy(col("doc_id"))),
     "dd_substr_spans" -> ((s, d) => Dedup.duplicatedSpans(docs(s, d), n = 4)
@@ -410,6 +411,17 @@ object OpsQueries {
          |FROM documents d
          |LEFT JOIN ua ON d.doc_id = ua.doc_id
          |LEFT JOIN ba ON d.doc_id = ba.doc_id""".stripMargin,
+    "ta_perplexity" ->
+      s"""${Oracles.BaseCtes},
+         |cfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS c FROM toks GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM toks),
+         |p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |      round(exp(avg(-ln(c / t))), 4) AS perplexity
+         |      FROM toks JOIN cfs USING (term) CROSS JOIN tot GROUP BY doc_id)
+         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         |  COALESCE(p.n_tokens, 0) AS n_tokens,
+         |  COALESCE(p.perplexity, 0.0) AS perplexity
+         |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id""".stripMargin,
     "dd_url_keep" ->
       """WITH v AS (
         |  SELECT 'https://example.org/' || source || '/doc/' || doc_id AS url,

@@ -120,6 +120,35 @@ object TextAnalysis {
           / greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L)), 4).as("dup_bigram_frac"))
   }
 
+  /** Unigram language-model perplexity per doc — the CCNet-style quality
+    * signal (low perplexity under an in-domain LM = fluent text; high =
+    * noise). The LM here is the corpus's own unigram distribution
+    * (cf/total), so the operator is self-contained and bit-reproducible;
+    * at production scale the `cf` relation is swapped for a trained LM
+    * table with the same (term, cf) shape. ppl = exp(mean over tokens of
+    * -ln p(token)). One (doc_id, term)-free explode + a vocabulary-sized
+    * join; the totals relation is a 1-row cross join, never a driver
+    * scalar baked into the plan.
+    */
+  def unigramPerplexity(docs: DataFrame): DataFrame = {
+    val toks = filter(
+      split(lower(col("text")), "[!\"#$%&'()*+,\\-./@\\[\\\\\\]^{|}~:;<=>? ]+"),
+      t => t =!= "")
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
+      explode(toks).as("term"))
+    val cf = base.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    val tot = base.agg(count(lit(1)).cast("double").as("tot"))
+    val perDoc = base.join(cf, "term").crossJoin(tot)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(exp(avg(-log(col("cf") / col("tot")))), 4).as("perplexity"))
+    docs.select(col("doc_id").cast("long").as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("perplexity"), lit(0.0)).as("perplexity"))
+  }
+
   /** Positional document fingerprint: sum over tokens of
     * (pos+1) * (md5-derived 32-bit token hash), mod 1e9+7. Order-sensitive,
     * pure integer arithmetic -> bit-exact in any engine.

@@ -217,6 +217,18 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.duplicatedSpans(d, n = 5).count() === 0)
   }
 
+  test("unigram perplexity: uniform text maxes it, repeated tokens lower it") {
+    val d = Seq((1L, "a b c d"), (2L, "a a a a"), (3L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.unigramPerplexity(d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // corpus cfs: a=5, b=1, c=1, d=1 over 8 tokens
+    // doc 2 (all 'a', p=5/8) is far less perplexing than doc 1's mix
+    assert(r(2L).getAs[Double]("perplexity") === 1.6) // exp(-ln(5/8)) = 8/5
+    assert(r(1L).getAs[Double]("perplexity") > r(2L).getAs[Double]("perplexity"))
+    assert(r(3L).getAs[Long]("n_tokens") === 0
+      && r(3L).getAs[Double]("perplexity") === 0.0)
+  }
+
   test("canonicalUrl normalizes scheme, www, fragment, utm params, index.html") {
     val urls = Seq(
       "HTTP://www.Example.COM/path/index.html?utm_source=x#top",
