@@ -57,8 +57,29 @@ object OpsQueries {
       .orderBy(col("doc_id"))),
     "dd_substr_spans" -> ((s, d) => Dedup.duplicatedSpans(docs(s, d), n = 4)
       .orderBy(col("doc_id"), col("span_start"))),
-    "cu_audit" -> ((s, d) => Curation.audit(docs(s, d)).orderBy(col("doc_id")))
+    "cu_audit" -> ((s, d) => Curation.audit(docs(s, d)).orderBy(col("doc_id"))),
+    // eval set = every 50th doc's full text, i.e. deliberately leaked
+    // benchmark items: those docs (and any near-dups sharing a 5-gram)
+    // must come back flagged
+    "cu_decontam" -> ((s, d) => Curation.contamination(
+        docs(s, d), docs(s, d).filter(col("doc_id") % 50 === 0), n = 5)
+      .orderBy(col("doc_id"))),
+    "ta_pii" -> ((s, d) => TextAnalysis.pii(piiCorpus(s, d)).orderBy(col("doc_id"))),
+    "sim_kmeans_cells" -> ((s, d) => Similarity.kmeansAssign(embs(s, d), k = 8, iters = 2))
   )
+
+  /** Corpus with deterministic PII appended (the synthetic documents carry
+    * none): every doc gains exactly one email / phone / IPv4 by doc_id
+    * residue, so detection counts and the redacted hash are predictable.
+    */
+  private def piiCorpus(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+        .when(col("doc_id") % 3 === 1, lit(" call 555-867-5309"))
+        .otherwise(concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")))
+      ).as("text"))
 
   /** Crawl-style URL-variant corpus for the `dd_url_keep` gate: every page
     * appears twice — once under its canonical synthetic URL, once under a
@@ -469,6 +490,69 @@ object OpsQueries {
          |       CAST(max(pos) + 3 AS BIGINT) AS span_end,
          |       CAST(max(pos) - min(pos) + 4 AS BIGINT) AS span_tokens
          |FROM isl GROUP BY doc_id, grp""".stripMargin,
+    // 5-gram decontamination vs the leaked eval set (doc_id % 50 = 0):
+    // the gram window mirrors dd_substr_spans' list-window construction
+    "cu_decontam" ->
+      s"""${Oracles.BaseCtes},
+         |gr AS (SELECT doc_id, pos,
+         |  md5(array_to_string(list(term) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING), ' ')) AS g,
+         |  len(list(term) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)) AS glen
+         |  FROM toks),
+         |g5 AS (SELECT doc_id, pos, g FROM gr WHERE glen = 5),
+         |ev AS (SELECT DISTINCT g FROM g5 WHERE doc_id % 50 = 0),
+         |t AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM g5 GROUP BY 1),
+         |h AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+         |      FROM g5 WHERE g IN (SELECT g FROM ev) GROUP BY 1)
+         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         |  COALESCE(t.n_grams, 0) AS n_grams,
+         |  COALESCE(h.n_hit, 0) AS n_hit,
+         |  CAST(CASE WHEN COALESCE(h.n_hit, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+         |FROM documents d
+         |LEFT JOIN t ON d.doc_id = t.doc_id
+         |LEFT JOIN h ON d.doc_id = h.doc_id""".stripMargin,
+    // same RE2-safe patterns, same fixed redaction order (email, IP, phone)
+    "ta_pii" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, text || CASE
+         |    WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         |    WHEN doc_id % 3 = 1 THEN ' call 555-867-5309'
+         |    ELSE ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' END AS text
+         |  FROM documents)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.Ipv4Re}')) AS BIGINT) AS n_ip,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.Ipv4Re}', '<IP>', 'g'),
+         |    '${TextAnalysis.PhoneRe}', '<PHONE>', 'g')) AS redacted_hash
+         |FROM p""".stripMargin,
+    // two unrolled Lloyd iterations (init = first 8 vec_ids, every cosine
+    // and centroid component rounded to 6dp), then the final assignment
+    "sim_kmeans_cells" -> {
+      def iterCtes(t: Int): String =
+        s"""cn$t AS (SELECT cid, sqrt(sum(y * y)) AS cnrm FROM c$t GROUP BY 1),
+           |cos$t AS (
+           |  SELECT e.vec_id, c.cid, round(sum(e.x * c.y) / (n.nrm * cn.cnrm), 6) AS cos
+           |  FROM exp e JOIN c$t c USING (i)
+           |  JOIN norms n ON n.vec_id = e.vec_id JOIN cn$t cn ON cn.cid = c.cid
+           |  GROUP BY e.vec_id, c.cid, n.nrm, cn.cnrm),
+           |a$t AS (SELECT vec_id, cid FROM (
+           |  SELECT vec_id, cid,
+           |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rk
+           |  FROM cos$t) WHERE rk = 1),
+           |c${t + 1} AS (SELECT a.cid, e.i, round(avg(e.x), 6) AS y
+           |  FROM exp e JOIN a$t a USING (vec_id) GROUP BY 1, 2)""".stripMargin
+      s"""$EmbExpCtes, c0 AS (
+         |  SELECT vec_id AS cid, i, round(x, 6) AS y FROM exp
+         |  WHERE vec_id IN (SELECT DISTINCT vec_id FROM exp ORDER BY vec_id ASC LIMIT 8)),
+         |${iterCtes(0)},
+         |${iterCtes(1)},
+         |${iterCtes(2)}
+         |SELECT vec_id, CAST(cid AS BIGINT) AS cell FROM a2""".stripMargin
+    },
     "cu_audit" -> {
       val langs = TextAnalysis.LangMarkers.toSeq.sortBy(_._1)
       val scoreCols = langs.map { case (l, toks) =>

@@ -56,4 +56,32 @@ object Curation {
            keepLang: String = "en"): DataFrame =
     audit(docs, minTokens, maxDupBigramFrac, keepLang)
       .where(col("kept") === 1L).select(col("doc_id"))
+
+  /** Benchmark decontamination: per training document, how many of its
+    * token n-gram positions also occur in the evaluation set (any doc).
+    * The standard pre-training hygiene pass (the GPT-3 appendix / PaLM
+    * recipe): a training doc sharing any n-gram with an eval item is
+    * flagged so the trainer can drop or scrub it.
+    *
+    * Scale shape: the eval-set gram table is tiny relative to the corpus
+    * (benchmarks are 10^3-10^5 items vs 10^12 docs), so it is broadcast
+    * and the check is a map-side semi-join over the training grams —
+    * never a corpus-sized shuffle. Returns one row per training doc:
+    * (doc_id, n_grams, n_hit, contaminated 0/1).
+    */
+  def contamination(docs: DataFrame, evalDocs: DataFrame, n: Int = 5): DataFrame = {
+    val trainGrams = Dedup.gramHashes(docs, n)
+    val evalGrams = Dedup.gramHashes(evalDocs, n).select(col("g")).distinct()
+    val totals = trainGrams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val hits = trainGrams.join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    docs.select(col("doc_id").cast("long").as("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) > 0L).cast("long").as("contaminated"))
+  }
 }

@@ -235,6 +235,28 @@ object Dedup {
     keepFromClusters.unionByName(unpaired)
   }
 
+  /** Per-position n-gram hashes of a (doc_id, text) relation: (doc_id,
+    * pos, g = md5 of the space-joined n consecutive reference-tokenizer
+    * tokens starting at pos). The shared shingle shape for substring-level
+    * dedup and decontamination; every window is partitioned by doc_id, so
+    * the work spreads with the corpus (never a global sort).
+    */
+  private[ops] def gramHashes(docs: DataFrame, n: Int): DataFrame = {
+    val toks = filter(
+      split(lower(col("text")), "[!\"#$%&'()*+,\\-./@\\[\\\\\\]^{|}~:;<=>? ]+"),
+      t => t =!= "")
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
+      posexplode(toks).as(Seq("pos", "term")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("term"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, n - 1)
+    base
+      .withColumn("gl", collect_list(col("term")).over(wg))
+      .where(size(col("gl")) === n)
+      .select(col("doc_id"), col("pos"), md5(concat_ws(" ", col("gl"))).as("g"))
+  }
+
   /** Exact-substring duplicated spans (the suffix-array dedup family:
     * "Deduplicating Training Data Makes Language Models Better", Lee et
     * al. 2022 — any token run of length >= n that occurs more than once
@@ -248,19 +270,7 @@ object Dedup {
     * span_tokens) with positions in reference-tokenizer token offsets.
     */
   def duplicatedSpans(docs: DataFrame, n: Int = 10): DataFrame = {
-    val toks = filter(
-      split(lower(col("text")), "[!\"#$%&'()*+,\\-./@\\[\\\\\\]^{|}~:;<=>? ]+"),
-      t => t =!= "")
-    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
-      posexplode(toks).as(Seq("pos", "term")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("term"))
-    val wg = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, n - 1)
-    val grams = base
-      .withColumn("gl", collect_list(col("term")).over(wg))
-      .where(size(col("gl")) === n)
-      .select(col("doc_id"), col("pos"), md5(concat_ws(" ", col("gl"))).as("g"))
+    val grams = gramHashes(docs, n)
     val dupGrams = grams.groupBy(col("g")).count()
       .where(col("count") > 1).select(col("g"))
     val hits = grams.join(dupGrams, Seq("g"), "left_semi")

@@ -96,8 +96,9 @@ object Similarity {
 
   /** IVF cell assignment with a DETERMINISTIC coarse quantizer: the
     * centroids are the first `nCells` vectors by vec_id rank (engine-
-    * neutral, no iterative k-means -- swap in trained centroids at
-    * production scale; the plan shape is identical). Assignment = argmax
+    * neutral, no iterative k-means -- [[kmeansCentroids]] is the trained
+    * alternative and yields the same (cid, i, y) relation shape, so the
+    * downstream plan is identical). Assignment = argmax
     * cosine, ties by centroid id; cosine rounded to 6dp so float-sum
     * ordering can't flip the argmax across engines.
     */
@@ -118,6 +119,62 @@ object Similarity {
       .orderBy(col("cos").desc, col("cid").asc)
     cos.withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+  }
+
+  /** Argmax-cosine assignment of every vector to a centroid relation of
+    * shape (cid, i, y): cosine rounded to 6dp (so float-sum ordering can't
+    * flip the argmax across engines), ties to the lowest cid. The centroid
+    * relation is k*dims rows — broadcast, so assignment is one map-side
+    * join + a (vec_id, cid)-keyed aggregation.
+    */
+  private def argmaxCosine(exp: DataFrame, norms: DataFrame, cent: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnorms = cent.groupBy(col("cid")).agg(sqrt(sum(col("y") * col("y"))).as("cnrm"))
+    val cos = exp.join(broadcast(cent), "i")
+      .groupBy(col("vec_id"), col("cid")).agg(sum(col("x") * col("y")).as("dot"))
+      .join(norms, "vec_id").join(broadcast(cnorms), "cid")
+      .select(col("vec_id"), col("cid"),
+        round(col("dot") / (col("nrm") * col("cnrm")), 6).as("cos"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid").asc)
+    cos.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cid"))
+  }
+
+  /** TRAINED coarse quantizer for IVF: Lloyd's k-means over the embedding
+    * corpus, deterministic end to end (init = the first k vectors by
+    * vec_id rank; every cosine and every centroid component rounded to 6dp
+    * so the result is engine-reproducible). Returns the centroid relation
+    * (cid, i, y) — the same shape `ivfAssign`'s deterministic quantizer
+    * uses, so trained centroids drop straight into the IVF plan.
+    *
+    * Scale shape per iteration: one broadcast join (centroids are k*dims
+    * rows) + one (vec_id, cid) aggregation + one (cid, i) aggregation —
+    * two shuffles of at most corpus-and-k*dims size, no driver state. For
+    * many iterations add a localCheckpoint every few rounds to cut the
+    * growing lineage (the label-propagation lesson); the default 2 rounds
+    * don't need it.
+    */
+  def kmeansCentroids(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val (exp, norms) = exploded(embeddings)
+    val init = exp.join(broadcast(centroidIds(embeddings, k)), "vec_id")
+      .select(col("vec_id").as("cid"), col("i"), round(col("x"), 6).as("y"))
+    (1 to iters).foldLeft(init) { (cent, _) =>
+      val assign = argmaxCosine(exp, norms, cent)
+      exp.join(assign, "vec_id")
+        .groupBy(col("cid"), col("i"))
+        .agg(round(avg(col("x")), 6).as("y"))
+    }
+  }
+
+  /** Cell assignment under the k-means-trained quantizer: (vec_id, cell).
+    * Empty cells (centroids that lost all members during training) simply
+    * stop existing, exactly as in any IVF build.
+    */
+  def kmeansAssign(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val (exp, norms) = exploded(embeddings)
+    argmaxCosine(exp, norms, kmeansCentroids(embeddings, k, iters))
       .select(col("vec_id"), col("cid").as("cell"))
   }
 

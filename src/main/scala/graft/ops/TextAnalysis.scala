@@ -149,6 +149,35 @@ object TextAnalysis {
         coalesce(col("perplexity"), lit(0.0)).as("perplexity"))
   }
 
+  /** PII patterns — RE2-safe (no backrefs / lookarounds) so the same
+    * pattern text runs identically under Java regex (Spark) and RE2
+    * (DuckDB oracle, and most scale-out scrubbing stacks).
+    */
+  val EmailRe: String = """[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"""
+  val PhoneRe: String = """\b\d{3}-\d{3}-\d{4}\b"""
+  val Ipv4Re: String = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+
+  /** PII detection + redaction per doc: counts of emails / NANP-style
+    * phone numbers / IPv4 addresses, plus the md5 of the text with each
+    * occurrence replaced by a typed placeholder. Redaction order is fixed
+    * (email, then IP, then phone) so engines agree when patterns could
+    * overlap. Pure Catalyst regex expressions — narrow, no shuffle, no
+    * UDFs; at 100 TB this is a map-only pass over the corpus.
+    */
+  def pii(docs: DataFrame): DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+    docs.select(
+      col("doc_id").cast("long").as("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_email"),
+      regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phone"),
+      regexp_count(col("text"), lit(Ipv4Re)).cast("long").as("n_ip"),
+      md5(redacted).as("redacted_hash"))
+  }
+
   /** Positional document fingerprint: sum over tokens of
     * (pos+1) * (md5-derived 32-bit token hash), mod 1e9+7. Order-sensitive,
     * pure integer arithmetic -> bit-exact in any engine.

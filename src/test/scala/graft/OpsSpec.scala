@@ -280,4 +280,60 @@ class OpsSpec extends AnyFunSuite {
         ((r.getAs[Long]("doc_id"), r.getAs[Long]("n_versions")))).toMap
     assert(kept === Map("example.com/p" -> ((2L, 2L)), "example.com/q" -> ((3L, 1L))))
   }
+
+  test("decontamination flags train docs sharing an n-gram with the eval set") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // leaked eval item + tail
+      (2L, "one two three four five six seven"), // clean
+      (3L, "prefix words then alpha beta gamma delta epsilon more"), // quotes it
+      (4L, "tiny doc")) // shorter than n -> no grams
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val c = Curation.contamination(train, eval, n = 5).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit"), r.getAs[Long]("contaminated"))))
+      .toMap
+    assert(c(1L) === ((2L, 1L, 1L)))
+    assert(c(2L) === ((3L, 0L, 0L)))
+    assert(c(3L) === ((5L, 1L, 1L)))
+    assert(c(4L) === ((0L, 0L, 0L)))
+  }
+
+  test("pii: detection counts and typed redaction") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val d = Seq(
+      (1L, "mail a.b@example.com or c@test.org please"),
+      (2L, "call 555-123-4567 from host 192.168.0.1 now"),
+      (3L, "no pii here at all")).toDF("doc_id", "text")
+    val p = TextAnalysis.pii(d).collect().map(r => r.getLong(0) -> r).toMap
+    assert(p(1L).getAs[Long]("n_email") === 2 && p(1L).getAs[Long]("n_phone") === 0)
+    assert(p(2L).getAs[Long]("n_phone") === 1 && p(2L).getAs[Long]("n_ip") === 1)
+    assert(p(3L).getAs[Long]("n_email") === 0 && p(3L).getAs[Long]("n_ip") === 0)
+    assert(p(1L).getAs[String]("redacted_hash")
+      === md5hex("mail <EMAIL> or <EMAIL> please"))
+    assert(p(2L).getAs[String]("redacted_hash")
+      === md5hex("call <PHONE> from host <IP> now"))
+    assert(p(3L).getAs[String]("redacted_hash") === md5hex("no pii here at all"))
+  }
+
+  test("k-means quantizer: trained centroids separate clusters and sit at their means") {
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)), // init spans both clusters
+      (2L, Array(0.9f, 0.1f)), (3L, Array(1.1f, -0.1f)),
+      (4L, Array(0.1f, 1.2f)), (5L, Array(-0.1f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    val cells = Similarity.kmeansAssign(embs, k = 2, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells(0L) === cells(2L) && cells(0L) === cells(3L))
+    assert(cells(1L) === cells(4L) && cells(1L) === cells(5L))
+    assert(cells(0L) !== cells(1L))
+    // trained centroid of the x-cluster = member mean (1.0, 0.0) to 6dp
+    val cent = Similarity.kmeansCentroids(embs, k = 2, iters = 2).collect()
+      .map(r => (r.getAs[Long]("cid"), r.getAs[Int]("i")) -> r.getAs[Double]("y")).toMap
+    val xCid = cells(0L)
+    assert(math.abs(cent((xCid, 0)) - 1.0) < 1e-4)
+    assert(math.abs(cent((xCid, 1)) - 0.0) < 1e-4)
+  }
 }
