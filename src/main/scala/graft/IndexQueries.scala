@@ -127,6 +127,17 @@ object IndexQueries {
   def partialDocs(spark: SparkSession, sfDir: String): DataFrame =
     new IndexReader(spark, partialIndexDir(spark, sfDir)).topKAnd(Seq("tab"), 10)
 
+  /** Fuzzy word clusters off the shared index's FastSS table
+    * (BuildFuzzySearchClusters analog: frequent words are cluster
+    * centers, each word in at most 2 clusters within edit distance 2).
+    */
+  def fuzzyClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = reader(spark, sfDir)
+    FuzzyIndex.wordClusters(spark, r.dir, r.dictionary,
+        minFrequency = 500L, maxDist = 2, maxClustersPerWord = 2)
+      .orderBy(col("term_id"), col("cluster_id"))
+  }
+
   /** Separate index built with a non-default block codec (the reference
     * compiles one compression algorithm per index, codes.h:27-62). Its
     * gates share the varint-index oracles, so a hash match proves the

@@ -62,7 +62,8 @@ object SparkEntry {
     "fw_title" -> FtQueries.fieldWeighted _,
     "fwix_title" -> IndexQueries.fieldWeightedIx _,
     "pw_pairs" -> IndexQueries.partialPairs _,
-    "pwix_partial_docs" -> IndexQueries.partialDocs _
+    "pwix_partial_docs" -> IndexQueries.partialDocs _,
+    "fzix_clusters" -> IndexQueries.fuzzyClusters _
   ) ++ OpsQueries.queries ++ QpQueries.queries ++ QpixQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -117,6 +118,39 @@ object SparkEntry {
          |WHERE term = 'tab'
          |GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
     },
+    // fuzzy word clusters (BuildFuzzySearchClusters mode2 analog):
+    // centers = terms with cf >= 500, candidates via the up-to-2-deletion
+    // FastSS neighborhoods (the theorem needs d deletions per side for
+    // ed <= d), exact levenshtein verify, <= 2 memberships per word
+    // ranked (dist, center cf desc, center id)
+    "fzix_clusters" ->
+      s"""${Oracles.BaseCtes},
+         |voc AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM toks GROUP BY 1),
+         |vid AS (SELECT term, cf,
+         |        CAST(row_number() OVER (ORDER BY term) - 1 AS BIGINT) AS term_id FROM voc),
+         |d1 AS (SELECT term_id, term, cf,
+         |       CASE WHEN i = 0 THEN term
+         |            ELSE substr(term, 1, i - 1) || substr(term, i + 1) END AS v
+         |       FROM (SELECT term_id, term, cf,
+         |             unnest(range(0, len(term) + 1)) AS i FROM vid)),
+         |d2 AS (SELECT DISTINCT term_id, term, cf,
+         |       CASE WHEN j = 0 THEN v
+         |            ELSE substr(v, 1, j - 1) || substr(v, j + 1) END AS v
+         |       FROM (SELECT term_id, term, cf, v,
+         |             unnest(range(0, len(v) + 1)) AS j FROM d1)),
+         |cd AS (SELECT v, term_id AS cluster_id, term AS center, cf AS center_cf
+         |       FROM d2 WHERE cf >= 500),
+         |cand AS (SELECT DISTINCT cd.cluster_id, cd.center, cd.center_cf,
+         |                w.term_id, w.term
+         |         FROM d2 w JOIN cd USING (v)),
+         |f AS (SELECT cluster_id, center_cf, term_id, term,
+         |      CAST(levenshtein(term, center) AS BIGINT) AS dist
+         |      FROM cand WHERE levenshtein(term, center) <= 2),
+         |r AS (SELECT cluster_id, term_id, term, dist,
+         |      row_number() OVER (PARTITION BY term_id
+         |        ORDER BY dist ASC, center_cf DESC, cluster_id ASC) AS rk
+         |      FROM f)
+         |SELECT cluster_id, term_id, term, dist FROM r WHERE rk <= 2""".stripMargin,
     // non-default block codecs must serve identical results (gamma: full
     // decode round-trip; pfor: WAND top-k)
     // streamed-then-compacted index: every posting survives the append ->

@@ -83,4 +83,66 @@ object FuzzyIndex {
       .join(dictionary, "term_id")
       .filter(levenshtein(col("term"), lit(w)) <= thr)
   }
+
+  /** Fuzzy word clustering (reference: BuildFuzzySearchClusters.cpp +
+    * WordClusteringBuilder, mode "only frequent words are cluster
+    * centers" with capped memberships `-o/-i`): every vocabulary word is
+    * assigned to the clusters of up to `maxClustersPerWord` FREQUENT
+    * words (cf >= minFrequency) within edit distance `maxDist`,
+    * preferring closer then more-frequent then lower-id centers. Rare
+    * words with no frequent neighbor stay unclustered (the reference's
+    * un-clustered rare words, unless -r).
+    *
+    * Spark shape instead of the reference's in-memory FastSS sweep: the
+    * persisted (variant, term_id) deletion table joined against itself —
+    * center side first reduced to the frequent terms — gives candidate
+    * pairs by the FastSS theorem (ed(a,b) <= d implies shared deletion
+    * variant); exact levenshtein runs on candidates only, then one
+    * per-word window ranks and caps memberships. Vocabulary-scale
+    * throughout (never per-posting), the same property the reference
+    * gets from clustering the lexicon offline.
+    *
+    * Requires `build(...)` with maxDeletes >= maxDist (candidates from a
+    * larger-d table are a superset — the exact filter makes the result
+    * identical). Returns (cluster_id = center term_id, term_id, term,
+    * dist).
+    */
+  def wordClusters(spark: SparkSession, dir: String, dictionary: DataFrame,
+                   minFrequency: Long, maxDist: Int = 2,
+                   maxClustersPerWord: Int = 2): DataFrame = {
+    require(maxDeletes(spark, dir) >= maxDist,
+      s"fuzzy variants built with maxDeletes < $maxDist")
+    val variants = spark.read.parquet(s"$dir/fuzzy/variants")
+    val dict = dictionary.select(col("term_id"), col("term"), col("cf"))
+    val centerVars = variants
+      .join(dict.filter(col("cf") >= minFrequency), "term_id")
+      .select(col("variant"), col("term_id").as("cluster_id"),
+        col("term").as("center"), col("cf").as("center_cf"))
+    val wordVars = variants.join(dict.select(col("term_id"), col("term")), "term_id")
+      .select(col("variant"), col("term_id"), col("term"))
+    val cand = wordVars.join(centerVars, "variant")
+      .select(col("cluster_id"), col("center"), col("center_cf"),
+        col("term_id"), col("term"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("term"), col("center")).cast("long"))
+      .filter(col("dist") <= maxDist)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term_id"))
+      .orderBy(col("dist").asc, col("center_cf").desc, col("cluster_id").asc)
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= maxClustersPerWord)
+      .select(col("cluster_id"), col("term_id"), col("term"), col("dist"))
+  }
+
+  /** Persist clusters next to the index (the `<db>.fuzzysearch-clusters`
+    * analog); idempotent per index build.
+    */
+  def buildClusters(spark: SparkSession, dir: String, minFrequency: Long,
+                    maxDist: Int = 2, maxClustersPerWord: Int = 2): Unit = {
+    if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/fuzzy/clusters/_SUCCESS"))) return
+    val dict = spark.read.parquet(s"$dir/dictionary")
+    wordClusters(spark, dir, dict, minFrequency, maxDist, maxClustersPerWord)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/fuzzy/clusters")
+  }
 }

@@ -54,6 +54,31 @@ object BuildIndexMain {
   * length distribution from the dictionary -- df/cf per term, longest
   * lists first. args: <indexDir> [topK]
   */
+/** buildFuzzySearchClusters analog (fuzzysearch/BuildFuzzySearchClusters
+  * .cpp: cluster the vocabulary so fuzzy search serves from precomputed
+  * clusters — mode "only frequent words are cluster centers", capped
+  * memberships). Builds the FastSS variant table if missing, writes
+  * `<indexDir>/fuzzy/clusters`, prints the largest clusters.
+  * args: <indexDir> [minFrequency] [maxDist] [maxClustersPerWord]
+  */
+object BuildFuzzyClustersMain {
+  def main(args: Array[String]): Unit = {
+    val Array(dir, rest @ _*) = args: @unchecked
+    val minFreq = rest.headOption.map(_.toLong).getOrElse(100L)
+    val maxDist = rest.lift(1).map(_.toInt).getOrElse(2)
+    val maxPer = rest.lift(2).map(_.toInt).getOrElse(2)
+    val spark = Cli.session("graft-buildFuzzyClusters")
+    import org.apache.spark.sql.functions._
+    graft.index.FuzzyIndex.build(spark, dir, maxDeletes = math.max(2, maxDist))
+    graft.index.FuzzyIndex.buildClusters(spark, dir, minFreq, maxDist, maxPer)
+    spark.read.parquet(s"$dir/fuzzy/clusters")
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_words"))
+      .orderBy(col("n_words").desc, col("cluster_id").asc)
+      .show(20, truncate = false)
+    spark.stop()
+  }
+}
+
 object PrintListLengthsMain {
   def main(args: Array[String]): Unit = {
     val Array(indexDir, rest @ _*) = args: @unchecked

@@ -260,6 +260,30 @@ class IndexExecutorSpec extends AnyFunSuite {
     assert(ix("aachan~") === lg("aachan~"))
   }
 
+  test("fuzzy word clusters equal the brute-force frequent-center assignment") {
+    import graft.index.FuzzyIndex
+    FuzzyIndex.build(spark, reader.dir, maxDeletes = 2)
+    val dict = reader.dictionary.select("term_id", "term", "cf").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val minF = dict.map(_._3).sorted.apply(dict.length / 2) // median cf
+    val centers = dict.filter(_._3 >= minF)
+    assert(centers.nonEmpty && centers.length < dict.length) // both roles exercised
+    val lev = org.apache.commons.text.similarity.LevenshteinDistance.getDefaultInstance
+    val expected = dict.flatMap { case (tid, term, _) =>
+      centers.map { case (cid, cterm, ccf) =>
+          (cid, tid, term, lev.apply(term, cterm).toInt.toLong, ccf) }
+        .filter(_._4 <= 2L)
+        .sortBy { case (cid, _, _, d, ccf) => (d, -ccf, cid) }
+        .take(2)
+        .map { case (cid, t, w, d, _) => (cid, t, w, d) }
+    }.toSet
+    val got = FuzzyIndex.wordClusters(spark, reader.dir, reader.dictionary,
+        minFrequency = minF, maxDist = 2, maxClustersPerWord = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(got === expected)
+  }
+
   test("searchIndex facade: hits + completions + excerpts off the index alone") {
     val r = graft.api.Search.searchIndex(reader, "babbeln ba*", k = 10)
     assert(r.hits.map(_.id).toSet === Set(3L, 4L))
