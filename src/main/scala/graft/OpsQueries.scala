@@ -65,7 +65,11 @@ object OpsQueries {
         docs(s, d), docs(s, d).filter(col("doc_id") % 50 === 0), n = 5)
       .orderBy(col("doc_id"))),
     "ta_pii" -> ((s, d) => TextAnalysis.pii(piiCorpus(s, d)).orderBy(col("doc_id"))),
-    "sim_kmeans_cells" -> ((s, d) => Similarity.kmeansAssign(embs(s, d), k = 8, iters = 2))
+    "sim_kmeans_cells" -> ((s, d) => Similarity.kmeansAssign(embs(s, d), k = 8, iters = 2)),
+    "cu_audit_full" -> ((s, d) => Curation.auditFull(docs(s, d), maxPerplexity = 30.0)
+      .orderBy(col("doc_id"))),
+    "dd_substr_scrub" -> ((s, d) => Dedup.scrubSpans(docs(s, d), n = 4)
+      .orderBy(col("doc_id")))
   )
 
   /** Corpus with deterministic PII appended (the synthetic documents carry
@@ -553,38 +557,7 @@ object OpsQueries {
          |${iterCtes(2)}
          |SELECT vec_id, CAST(cid AS BIGINT) AS cell FROM a2""".stripMargin
     },
-    "cu_audit" -> {
-      val langs = TextAnalysis.LangMarkers.toSeq.sortBy(_._1)
-      val scoreCols = langs.map { case (l, toks) =>
-        toks.map(t => s"len(regexp_extract_all(lower(text), '\\b$t\\b'))").mkString(" + ") +
-          s" AS score_$l"
-      }.mkString(", ")
-      val m = "greatest(" + langs.map(l => s"score_${l._1}").mkString(", ") + ")"
-      val pick = langs.map(_._1).map(l => s"WHEN score_$l = m THEN '$l'").mkString(" ")
-      s"""${Oracles.BaseCtes},
-         |tl AS (SELECT d.doc_id, CAST(COALESCE(t.c, 0) AS BIGINT) AS nt
-         |       FROM documents d LEFT JOIN
-         |         (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t
-         |       ON d.doc_id = t.doc_id),
-         |ls AS (SELECT doc_id, $scoreCols FROM documents),
-         |lb AS (SELECT doc_id, $m AS m, * FROM ls),
-         |lp AS (SELECT doc_id, CASE WHEN m = 0 THEN 'und' $pick END AS lang_pred FROM lb),
-         |bgc AS (SELECT doc_id,
-         |        term || ' ' || lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
-         |        FROM toks),
-         |bcc AS (SELECT doc_id, bigram, count(*) AS c FROM bgc
-         |        WHERE bigram IS NOT NULL GROUP BY 1, 2),
-         |bac AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb,
-         |        CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup
-         |        FROM bcc GROUP BY 1),
-         |rep AS (SELECT d.doc_id,
-         |        round(CAST(COALESCE(b.dup, 0) AS DOUBLE) / greatest(COALESCE(b.nb, 0), 1), 4) AS dbf
-         |        FROM documents d LEFT JOIN bac b ON d.doc_id = b.doc_id),
-         |hx AS (SELECT doc_id, md5(text) AS h FROM documents),
-         |cn AS (SELECT hx.doc_id,
-         |       CASE WHEN hx.doc_id = mn.cdoc THEN 1 ELSE 0 END AS is_can
-         |       FROM hx JOIN (SELECT h, min(doc_id) AS cdoc FROM hx GROUP BY 1) mn
-         |       ON hx.h = mn.h)
+    "cu_audit" -> s"""$auditOracleCtes
          |SELECT CAST(tl.doc_id AS BIGINT) AS doc_id,
          |  CAST(CASE WHEN tl.nt >= 20 THEN 1 ELSE 0 END AS BIGINT) AS pass_len,
          |  CAST(CASE WHEN lp.lang_pred = 'en' THEN 1 ELSE 0 END AS BIGINT) AS pass_lang,
@@ -595,7 +568,108 @@ object OpsQueries {
          |FROM tl
          |JOIN lp ON tl.doc_id = lp.doc_id
          |JOIN rep ON tl.doc_id = rep.doc_id
-         |JOIN cn ON tl.doc_id = cn.doc_id""".stripMargin
-    }
+         |JOIN cn ON tl.doc_id = cn.doc_id""".stripMargin,
+    // the audit plus the round-4 signals: unigram-LM perplexity and PII
+    "cu_audit_full" ->
+      s"""$auditOracleCtes,
+         |cfs2 AS (SELECT term, CAST(count(*) AS DOUBLE) AS c FROM toks GROUP BY 1),
+         |tot2 AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM toks),
+         |pq AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt2,
+         |       round(exp(avg(-ln(c / t))), 4) AS ppl
+         |       FROM toks JOIN cfs2 USING (term) CROSS JOIN tot2 GROUP BY doc_id),
+         |pfl AS (SELECT d.doc_id,
+         |        CASE WHEN COALESCE(pq.nt2, 0) > 0 AND COALESCE(pq.ppl, 0) <= 30.0
+         |             THEN 1 ELSE 0 END AS pass_ppl
+         |        FROM documents d LEFT JOIN pq ON d.doc_id = pq.doc_id),
+         |pix AS (SELECT doc_id,
+         |        CASE WHEN len(regexp_extract_all(text, '${TextAnalysis.EmailRe}'))
+         |                + len(regexp_extract_all(text, '${TextAnalysis.PhoneRe}'))
+         |                + len(regexp_extract_all(text, '${TextAnalysis.Ipv4Re}')) = 0
+         |             THEN 1 ELSE 0 END AS pass_pii
+         |        FROM documents)
+         |SELECT CAST(tl.doc_id AS BIGINT) AS doc_id,
+         |  CAST(CASE WHEN tl.nt >= 20 THEN 1 ELSE 0 END AS BIGINT) AS pass_len,
+         |  CAST(CASE WHEN lp.lang_pred = 'en' THEN 1 ELSE 0 END AS BIGINT) AS pass_lang,
+         |  CAST(CASE WHEN rep.dbf <= 0.1 THEN 1 ELSE 0 END AS BIGINT) AS pass_rep,
+         |  CAST(pfl.pass_ppl AS BIGINT) AS pass_ppl,
+         |  CAST(pix.pass_pii AS BIGINT) AS pass_pii,
+         |  CAST(cn.is_can AS BIGINT) AS is_canonical,
+         |  CAST(CASE WHEN tl.nt >= 20 AND lp.lang_pred = 'en' AND rep.dbf <= 0.1
+         |            AND pfl.pass_ppl = 1 AND pix.pass_pii = 1
+         |            AND cn.is_can = 1 THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM tl
+         |JOIN lp ON tl.doc_id = lp.doc_id
+         |JOIN rep ON tl.doc_id = rep.doc_id
+         |JOIN pfl ON tl.doc_id = pfl.doc_id
+         |JOIN pix ON tl.doc_id = pix.doc_id
+         |JOIN cn ON tl.doc_id = cn.doc_id""".stripMargin,
+    // the scrub half of exact-substring dedup: every token inside a
+    // duplicated 4-token span is dropped, all occurrences
+    "dd_substr_scrub" ->
+      s"""${Oracles.BaseCtes},
+         |sh AS (SELECT doc_id, pos,
+         |  array_to_string(list(term) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING), ' ') AS g,
+         |  len(list(term) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)) AS glen
+         |  FROM toks),
+         |f AS (SELECT doc_id, pos, md5(g) AS g FROM sh WHERE glen = 4),
+         |dup AS (SELECT g FROM f GROUP BY g HAVING count(*) > 1),
+         |hits AS (SELECT doc_id, pos FROM f WHERE g IN (SELECT g FROM dup)),
+         |isl AS (SELECT doc_id, pos,
+         |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |        FROM hits),
+         |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 3 AS e
+         |          FROM isl GROUP BY doc_id, grp),
+         |k AS (SELECT t.doc_id, t.pos, t.term FROM toks t
+         |      WHERE NOT EXISTS (SELECT 1 FROM spans s
+         |        WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.s AND s.e)),
+         |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |      string_agg(term, ' ' ORDER BY pos) AS joined FROM k GROUP BY 1),
+         |tt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM toks GROUP BY 1)
+         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         |  COALESCE(tt.n_tokens, 0) AS n_tokens,
+         |  COALESCE(tt.n_tokens, 0) - COALESCE(a.n_kept, 0) AS n_dropped,
+         |  md5(COALESCE(a.joined, '')) AS scrubbed_hash
+         |FROM documents d
+         |LEFT JOIN tt ON d.doc_id = tt.doc_id
+         |LEFT JOIN a ON d.doc_id = a.doc_id""".stripMargin
   )
+
+  /** Shared audit CTE chain (token length, language argmax, bigram
+    * repetition, exact-dup canonical) used by both audit oracles.
+    */
+  private def auditOracleCtes: String = {
+    val langs = TextAnalysis.LangMarkers.toSeq.sortBy(_._1)
+    val scoreCols = langs.map { case (l, toks) =>
+      toks.map(t => s"len(regexp_extract_all(lower(text), '\\b$t\\b'))").mkString(" + ") +
+        s" AS score_$l"
+    }.mkString(", ")
+    val m = "greatest(" + langs.map(l => s"score_${l._1}").mkString(", ") + ")"
+    val pick = langs.map(_._1).map(l => s"WHEN score_$l = m THEN '$l'").mkString(" ")
+    s"""${Oracles.BaseCtes},
+       |tl AS (SELECT d.doc_id, CAST(COALESCE(t.c, 0) AS BIGINT) AS nt
+       |       FROM documents d LEFT JOIN
+       |         (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t
+       |       ON d.doc_id = t.doc_id),
+       |ls AS (SELECT doc_id, $scoreCols FROM documents),
+       |lb AS (SELECT doc_id, $m AS m, * FROM ls),
+       |lp AS (SELECT doc_id, CASE WHEN m = 0 THEN 'und' $pick END AS lang_pred FROM lb),
+       |bgc AS (SELECT doc_id,
+       |        term || ' ' || lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+       |        FROM toks),
+       |bcc AS (SELECT doc_id, bigram, count(*) AS c FROM bgc
+       |        WHERE bigram IS NOT NULL GROUP BY 1, 2),
+       |bac AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb,
+       |        CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup
+       |        FROM bcc GROUP BY 1),
+       |rep AS (SELECT d.doc_id,
+       |        round(CAST(COALESCE(b.dup, 0) AS DOUBLE) / greatest(COALESCE(b.nb, 0), 1), 4) AS dbf
+       |        FROM documents d LEFT JOIN bac b ON d.doc_id = b.doc_id),
+       |hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+       |cn AS (SELECT hx.doc_id,
+       |       CASE WHEN hx.doc_id = mn.cdoc THEN 1 ELSE 0 END AS is_can
+       |       FROM hx JOIN (SELECT h, min(doc_id) AS cdoc FROM hx GROUP BY 1) mn
+       |       ON hx.h = mn.h)""".stripMargin
+  }
 }

@@ -57,6 +57,35 @@ object Curation {
     audit(docs, minTokens, maxDupBigramFrac, keepLang)
       .where(col("kept") === 1L).select(col("doc_id"))
 
+  /** The audit with the round-4 signals folded in: unigram-LM perplexity
+    * (CCNet-style fluency gate) and PII presence join the length /
+    * language / repetition / canonical gates. Same shape as [[audit]] —
+    * one row per doc, 0/1 long flags, kept = conjunction — and the same
+    * scale story (each added signal is one more doc_id-keyed equi-join
+    * over a per-doc aggregate; PII is map-only).
+    */
+  def auditFull(docs: DataFrame, minTokens: Long = 20,
+                maxDupBigramFrac: Double = 0.1,
+                keepLang: String = "en",
+                maxPerplexity: Double = 30.0): DataFrame = {
+    val base = audit(docs, minTokens, maxDupBigramFrac, keepLang).drop("kept")
+    val ppl = TextAnalysis.unigramPerplexity(docs)
+      .select(col("doc_id"),
+        (col("n_tokens") > 0L && col("perplexity") <= maxPerplexity)
+          .cast("long").as("pass_ppl"))
+    val pii = TextAnalysis.pii(docs)
+      .select(col("doc_id"),
+        (col("n_email") + col("n_phone") + col("n_ip") === 0L)
+          .cast("long").as("pass_pii"))
+    base.join(ppl, "doc_id").join(pii, "doc_id")
+      .select(col("doc_id"), col("pass_len"), col("pass_lang"), col("pass_rep"),
+        col("pass_ppl"), col("pass_pii"), col("is_canonical"),
+        (col("pass_len") === 1L && col("pass_lang") === 1L &&
+          col("pass_rep") === 1L && col("pass_ppl") === 1L &&
+          col("pass_pii") === 1L && col("is_canonical") === 1L)
+          .cast("long").as("kept"))
+  }
+
   /** Benchmark decontamination: per training document, how many of its
     * token n-gram positions also occur in the evaluation set (any doc).
     * The standard pre-training hygiene pass (the GPT-3 appendix / PaLM

@@ -285,6 +285,48 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"), col("span_tokens"))
   }
 
+  /** The REMOVE half of exact-substring dedup: drop every token position
+    * covered by a duplicated span (aggressive boilerplate scrub — all
+    * occurrences go, the common choice for template/boilerplate runs;
+    * Lee et al.'s keep-one variant needs a global canonical-occurrence
+    * pick and is deliberately not conflated here). Returns per doc the
+    * token counts and the md5 of the space-joined surviving token stream
+    * (a token-stream scrub: original separators are not reconstructed).
+    *
+    * Scale shape: the span join is an ANTI join equi-keyed on doc_id with
+    * a per-row range predicate — islands per doc are few and disjoint, so
+    * the per-key work is bounded; everything else is doc_id-keyed
+    * aggregation.
+    */
+  def scrubSpans(docs: DataFrame, n: Int = 10): DataFrame = {
+    val toks = filter(
+      split(lower(col("text")), "[!\"#$%&'()*+,\\-./@\\[\\\\\\]^{|}~:;<=>? ]+"),
+      t => t =!= "")
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
+      posexplode(toks).as(Seq("pos", "term")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("term"))
+    val spans = duplicatedSpans(docs, n).select(
+      col("doc_id").as("s_doc"), col("span_start"), col("span_end"))
+    val kept = base.join(spans,
+      base("doc_id") === col("s_doc") &&
+        base("pos") >= col("span_start") && base("pos") <= col("span_end"),
+      "left_anti")
+    val agg = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("term")))),
+        x => x.getField("term"))).as("joined"))
+    val totals = base.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+    docs.select(col("doc_id").cast("long").as("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (coalesce(col("n_tokens"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dropped"),
+        md5(coalesce(col("joined"), lit(""))).as("scrubbed_hash"))
+  }
+
   /** Canonical form of a web URL for crawl-level dedup (the CCNet /
     * RefinedWeb first pass: the same page is fetched many times under
     * trivially-different URLs). Pure Catalyst string ops: lowercase the

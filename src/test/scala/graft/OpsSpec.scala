@@ -318,6 +318,45 @@ class OpsSpec extends AnyFunSuite {
     assert(p(3L).getAs[String]("redacted_hash") === md5hex("no pii here at all"))
   }
 
+  test("scrubSpans removes every occurrence of duplicated 4-token runs, keeps the rest") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val d = Seq(
+      (1L, "a b c d x"), // dup run at pos 0-3, unique tail
+      (2L, "z a b c d"), // same run at pos 1-4, unique head
+      (3L, "p q r s t")) // untouched
+      .toDF("doc_id", "text")
+    val sc = Dedup.scrubSpans(d, n = 4).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dropped"),
+          r.getAs[String]("scrubbed_hash")))).toMap
+    assert(sc(1L) === ((5L, 4L, md5hex("x"))))
+    assert(sc(2L) === ((5L, 4L, md5hex("z"))))
+    assert(sc(3L) === ((5L, 0L, md5hex("p q r s t"))))
+  }
+
+  test("auditFull: perplexity and PII flags compose with the base audit") {
+    val common = "the quick brown fox jumps over the lazy dog and then " +
+      "the fox runs off to the barn where the dog sleeps all day long"
+    val d = Seq(
+      (1L, common), // passes everything
+      (2L, common + " mail me at leak@example.com for details"), // PII
+      (3L, "zyx wvu tsr qpo nml kji hgf edc baz the of a and is " +
+           "more rare tokens only here xqj zzv kqw pxn vbn mlp")) // hapax-heavy -> high ppl
+      .toDF("doc_id", "text")
+    val ppl = TextAnalysis.unigramPerplexity(d).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("perplexity")).toMap
+    val thr = (ppl(1L) + ppl(3L)) / 2 // between the fluent and the hapax doc
+    val a = Curation.auditFull(d, minTokens = 10, maxDupBigramFrac = 0.5,
+        maxPerplexity = thr).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(a(1L).getAs[Long]("pass_ppl") === 1 && a(1L).getAs[Long]("pass_pii") === 1)
+    assert(a(1L).getAs[Long]("kept") === 1)
+    assert(a(2L).getAs[Long]("pass_pii") === 0 && a(2L).getAs[Long]("kept") === 0)
+    assert(a(3L).getAs[Long]("pass_ppl") === 0 && a(3L).getAs[Long]("kept") === 0)
+  }
+
   test("k-means quantizer: trained centroids separate clusters and sit at their means") {
     val embs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)), // init spans both clusters
