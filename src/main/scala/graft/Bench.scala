@@ -153,6 +153,7 @@ object Bench {
       "byprefix" -> (() => IndexQueries.bpIndexDir(spark, sfDir)),
       "codec_gamma" -> (() => IndexQueries.codecIndexDir(spark, sfDir, "gamma")),
       "codec_pfor" -> (() => IndexQueries.codecIndexDir(spark, sfDir, "pfor")),
+      "codec_huffman" -> (() => IndexQueries.codecIndexDir(spark, sfDir, "huffman")),
       "byprefixsize" -> (() => IndexQueries.bpsIndexDir(spark, sfDir)),
       "partial" -> (() => IndexQueries.partialIndexDir(spark, sfDir)),
       "nopos" -> (() => IndexQueries.npIndexDir(spark, sfDir))

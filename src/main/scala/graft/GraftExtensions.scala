@@ -40,7 +40,7 @@ object GraftExtensions {
   private[graft] val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_postings_decode"),
       info("graft_postings_decode",
-        "graft_postings_decode(n_docs, doc_deltas, tfs, dls[, codec]) - explodes an encoded posting block to (doc_id, tf, dl) rows; codec = 'varint' (default) | 'gamma' | 'rice' | 'simple8b' | 'pfor'"),
+        "graft_postings_decode(n_docs, doc_deltas, tfs, dls[, codec]) - explodes an encoded posting block to (doc_id, tf, dl) rows; codec = 'varint' (default) | 'gamma' | 'rice' | 'simple8b' | 'pfor' | 'huffman'"),
       (args: Seq[Expression]) =>
         if (args.length >= 5) PostingsDecode(args(0), args(1), args(2), args(3), codecOf(args(4)))
         else PostingsDecode(args(0), args(1), args(2), args(3))),

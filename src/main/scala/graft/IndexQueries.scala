@@ -202,6 +202,17 @@ object IndexQueries {
     new IndexReader(spark, codecIndexDir(spark, sfDir, "pfor"))
       .topKOrWand(Seq("spark", "hash", "merge"), 10)
 
+  /** Full postings decode from a canonical-Huffman-coded index (oracle:
+    * same as ix_decoded_postings) -- proves the per-block Huffman tables
+    * round-trip every doclist/positionlist byte end to end.
+    */
+  def huffmanDecodedPostings(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = new IndexReader(spark, codecIndexDir(spark, sfDir, "huffman"))
+    r.decode(r.blocks)
+      .join(broadcast(r.dictionary.select(col("term_id"), col("term"))), "term_id")
+      .select(col("doc_id"), col("term"), col("tf"))
+  }
+
   /** Separate index with metadata words IN the blocks (reference
     * architecture: facet words live in the HYB index next to text terms).
     * Kept apart from the text-only index so the `ix_*` round-trip gates

@@ -51,6 +51,7 @@ object SparkEntry {
     "ixc_compact_postings" -> IndexQueries.compactedPostings _,
     "ixcg_decoded_postings" -> IndexQueries.gammaDecodedPostings _,
     "ixcp_wand_topk" -> IndexQueries.pforWandTopK _,
+    "ixch_decoded_postings" -> IndexQueries.huffmanDecodedPostings _,
     "ix_and" -> IndexQueries.andTopK _,
     "ix_phrase" -> IndexQueries.phraseDocs _,
     "ix_completions" -> IndexQueries.completions _,
@@ -162,6 +163,8 @@ object SparkEntry {
     "ixcg_decoded_postings" ->
       s"${Oracles.BaseCtes} SELECT doc_id, term, tf FROM dt",
     "ixcp_wand_topk" -> Oracles.topDocs("term IN ('spark', 'hash', 'merge')"),
+    "ixch_decoded_postings" ->
+      s"${Oracles.BaseCtes} SELECT doc_id, term, tf FROM dt",
     "ix_and" -> Oracles.all("ft_bm25_and"),
     "ix_phrase" -> Oracles.all("ft_phrase"),
     "ix_completions" -> Oracles.all("ft_completions"),

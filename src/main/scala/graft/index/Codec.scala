@@ -26,6 +26,10 @@ import scala.collection.mutable.ArrayBuffer
   *                scale option: fixed-width bit-packing for the 90th
   *                percentile, varint-patched exceptions. Measured ~35%
   *                smaller and ~2x faster to decode than varint (BENCH.md).
+  *   - huffman  : canonical Huffman over per-value bit lengths (codes.h
+  *                Huffman analog) -- a per-block code table matched to the
+  *                block's actual gap-length distribution; gamma is the
+  *                fixed-code special case of it.
   *
   * All methods are allocation-conscious pure Scala so they can run inside
   * mapPartitions/Generator hot loops and be property-tested without Spark.
@@ -40,8 +44,9 @@ object Codec {
   val Rice = 2
   val Simple8b = 3
   val PFor = 4
+  val Huffman = 5
 
-  private val names = Array("varint", "gamma", "rice", "simple8b", "pfor")
+  private val names = Array("varint", "gamma", "rice", "simple8b", "pfor", "huffman")
   def nameOf(id: Int): String = names(id)
   def idOf(name: String): Int = {
     val i = names.indexOf(name)
@@ -425,6 +430,125 @@ object Codec {
     out
   }
 
+  // ------------------------------------------------------------------ Huffman
+  /** Canonical Huffman over the BIT-LENGTH of each value (codes.h Huffman
+    * analog adapted to unbounded gaps): symbol s in [1,64] is the length of
+    * x = v+1; each value is coded as Huffman(s) followed by the s-1 bits of
+    * x below its leading 1. Gamma is the special case Huffman-len(s) =
+    * 2s-1; a per-block Huffman table instead matches the block's actual
+    * length distribution. Header: 64 six-bit canonical code lengths
+    * (48 bytes), worth it at posting-block granularity and irrelevant to
+    * correctness below it.
+    */
+  private def encodeHuffman(values: Array[Long]): Array[Byte] = {
+    if (values.isEmpty) return Array.emptyByteArray
+    val sym = new Array[Int](values.length)
+    val freq = new Array[Long](65) // symbols 1..64
+    var i = 0
+    while (i < values.length) {
+      val v = values(i)
+      require(v >= 0 && v < Long.MaxValue, s"huffman requires 0 <= v < 2^63-1, got $v")
+      val s = 64 - java.lang.Long.numberOfLeadingZeros(v + 1)
+      sym(i) = s
+      freq(s) += 1
+      i += 1
+    }
+    val lens = huffmanLengths(freq)
+    val codes = canonicalCodes(lens)
+    val w = new BitWriter
+    var s = 1
+    while (s <= 64) { w.writeBits(lens(s).toLong, 6); s += 1 }
+    i = 0
+    while (i < values.length) {
+      val sm = sym(i)
+      w.writeBits(codes(sm), lens(sm))
+      if (sm > 1) w.writeBits(values(i) + 1, sm - 1) // bits below the leading 1
+      i += 1
+    }
+    w.result()
+  }
+
+  /** Code lengths from a standard two-queue Huffman build over the symbols
+    * with freq > 0 (deterministic: ties broken by symbol order). A single
+    * distinct symbol gets length 1 so the decoder always consumes bits.
+    * Max depth <= 63 (at most 64 leaves), which fits the 6-bit header.
+    */
+  private def huffmanLengths(freq: Array[Long]): Array[Int] = {
+    val present = (1 to 64).filter(freq(_) > 0)
+    val lens = new Array[Int](65)
+    if (present.length == 1) { lens(present.head) = 1; return lens }
+    // node = (weight, depth-map of contained leaves); use an ordered heap
+    final case class Node(w: Long, order: Long, leaves: List[Int])
+    val pq = new scala.collection.mutable.PriorityQueue[Node]()(
+      Ordering.by[Node, (Long, Long)](n => (n.w, n.order)).reverse)
+    var ord = 0L
+    present.foreach { s => pq.enqueue(Node(freq(s), ord, List(s))); ord += 1 }
+    while (pq.size > 1) {
+      val a = pq.dequeue(); val b = pq.dequeue()
+      (a.leaves ++ b.leaves).foreach(s => lens(s) += 1)
+      pq.enqueue(Node(a.w + b.w, ord, a.leaves ++ b.leaves)); ord += 1
+    }
+    lens
+  }
+
+  /** Canonical code assignment: codes in increasing (length, symbol) order. */
+  private def canonicalCodes(lens: Array[Int]): Array[Long] = {
+    val codes = new Array[Long](65)
+    val bySym = (1 to 64).filter(lens(_) > 0).sortBy(s => (lens(s), s))
+    var code = 0L
+    var prevLen = 0
+    bySym.foreach { s =>
+      code <<= (lens(s) - prevLen)
+      codes(s) = code
+      code += 1
+      prevLen = lens(s)
+    }
+    codes
+  }
+
+  private def decodeHuffman(bytes: Array[Byte], n: Int): Array[Long] = {
+    if (n == 0) return Array.emptyLongArray
+    val r = new BitReader(bytes)
+    val lens = new Array[Int](65)
+    var s = 1
+    while (s <= 64) { lens(s) = r.readBits(6).toInt; s += 1 }
+    // canonical decode tables: per length, the first code and the symbols
+    val maxLen = lens.max
+    val count = new Array[Int](maxLen + 1)
+    (1 to 64).foreach(s => if (lens(s) > 0) count(lens(s)) += 1)
+    val firstCode = new Array[Long](maxLen + 1)
+    val offset = new Array[Int](maxLen + 1)
+    var code = 0L
+    var total = 0
+    var l = 1
+    while (l <= maxLen) {
+      firstCode(l) = code
+      offset(l) = total
+      code = (code + count(l)) << 1
+      total += count(l)
+      l += 1
+    }
+    val symTable = (1 to 64).filter(lens(_) > 0).sortBy(s => (lens(s), s)).toArray
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var c = 0L
+      var len = 0
+      var sym = -1
+      while (sym < 0) {
+        c = (c << 1) | r.readBit()
+        len += 1
+        if (len <= maxLen && count(len) > 0 && c - firstCode(len) < count(len))
+          sym = symTable(offset(len) + (c - firstCode(len)).toInt)
+      }
+      out(i) =
+        if (sym == 1) 0L
+        else ((1L << (sym - 1)) | r.readBits(sym - 1)) - 1
+      i += 1
+    }
+    out
+  }
+
   // ------------------------------------------------------- generic dispatch
   /** Encode arbitrary non-negative values with the given codec. */
   def encodeLongs(codec: Int, values: Array[Long]): Array[Byte] = codec match {
@@ -433,6 +557,7 @@ object Codec {
     case Rice => encodeRice(values)
     case Simple8b => encodeSimple8b(values)
     case PFor => encodePFor(values)
+    case Huffman => encodeHuffman(values)
     case other => throw new IllegalArgumentException(s"unknown codec id $other")
   }
 
@@ -443,6 +568,7 @@ object Codec {
     case Rice => decodeRice(bytes, n)
     case Simple8b => decodeSimple8b(bytes, n)
     case PFor => decodePFor(bytes, n)
+    case Huffman => decodeHuffman(bytes, n)
     case other => throw new IllegalArgumentException(s"unknown codec id $other")
   }
 

@@ -134,7 +134,8 @@ object IndexBuilder {
       prefixBoundaries: Seq[String] = Nil,
       /** Doclist/positionlist compression algorithm, one per index like the
         * reference's compile-time choice (codes.h:27-62): pfor (default),
-        * varint, gamma, rice or simple8b -- see [[Codec]]. Persisted in
+        * varint, gamma, rice, simple8b or huffman -- see [[Codec]].
+        * Persisted in
         * `stats/doclist_codec`; the reader dispatches automatically.
         */
       doclistCodec: String = DefaultDoclistCodec,

@@ -126,7 +126,7 @@ object CodecBenchMain {
     val repl = sys.env.getOrElse("SPARK_GRAFT_REPL", "10").toInt
     val corpus = graft.Bench.replicatedCorpus(spark, sfDir, repl).cache()
     val nDocs = corpus.count()
-    val codecs = Seq("varint", "gamma", "rice", "simple8b", "pfor")
+    val codecs = Seq("varint", "gamma", "rice", "simple8b", "pfor", "huffman")
     val bestBuild = scala.collection.mutable.Map.empty[String, Double]
     val lastDir = scala.collection.mutable.Map.empty[String, String]
     val shm = java.nio.file.Paths.get("/dev/shm")

@@ -61,7 +61,8 @@ class CodecSpec extends AnyFunSuite {
   // ---- codec family (gamma / rice / simple8b / pfor), reference codes.h ----
 
   private val allCodecs =
-    Seq(Codec.Varint, Codec.Gamma, Codec.Rice, Codec.Simple8b, Codec.PFor)
+    Seq(Codec.Varint, Codec.Gamma, Codec.Rice, Codec.Simple8b, Codec.PFor,
+      Codec.Huffman)
 
   /** Value shapes the family must survive: dense small gaps, zipf-ish,
     * zero runs (simple8b's run selectors), isolated huge outliers (rice
@@ -109,7 +110,8 @@ class CodecSpec extends AnyFunSuite {
     val r = rng
     val gaps = Array.fill(10000)(1L + r.nextInt(4))
     val varintLen = Codec.encodeLongs(Codec.Varint, gaps).length
-    for (codec <- Seq(Codec.Gamma, Codec.Rice, Codec.Simple8b, Codec.PFor)) {
+    for (codec <- Seq(Codec.Gamma, Codec.Rice, Codec.Simple8b, Codec.PFor,
+        Codec.Huffman)) {
       val len = Codec.encodeLongs(codec, gaps).length
       assert(len < varintLen, s"${Codec.nameOf(codec)}: $len !< $varintLen")
     }
@@ -127,6 +129,19 @@ class CodecSpec extends AnyFunSuite {
   test("codec ids and names round-trip; unknown name rejected") {
     for (codec <- allCodecs)
       assert(Codec.idOf(Codec.nameOf(codec)) === codec)
-    intercept[IllegalArgumentException](Codec.idOf("huffman"))
+    intercept[IllegalArgumentException](Codec.idOf("snappy"))
+  }
+
+  test("huffman adapts to a skewed length distribution gamma cannot") {
+    // 95% of gaps need 10 bits, 5% need 1: gamma spends 19 bits on every
+    // big gap (9 zeros + 10), huffman ~1 code bit + 9 raw bits
+    val r = rng
+    val arr = Array.fill(20000)(
+      if (r.nextInt(20) == 0) 0L else 512L + r.nextInt(512))
+    val g = Codec.encodeLongs(Codec.Gamma, arr).length
+    val h = Codec.encodeLongs(Codec.Huffman, arr).length
+    assert(h < g, s"huffman $h !< gamma $g")
+    assert(Codec.decodeLongs(Codec.Huffman,
+      Codec.encodeLongs(Codec.Huffman, arr), arr.length).toSeq === arr.toSeq)
   }
 }
