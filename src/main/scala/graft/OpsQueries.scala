@@ -69,8 +69,20 @@ object OpsQueries {
     "cu_audit_full" -> ((s, d) => Curation.auditFull(docs(s, d), maxPerplexity = 30.0)
       .orderBy(col("doc_id"))),
     "dd_substr_scrub" -> ((s, d) => Dedup.scrubSpans(docs(s, d), n = 4)
-      .orderBy(col("doc_id")))
+      .orderBy(col("doc_id"))),
+    "cu_sample_mix" -> ((s, d) => Curation.sampleByWeight(docs(s, d),
+      SampleMixWeights.toMap, defaultFrac = SampleMixDefault)
+      .orderBy(col("doc_id"))),
+    "cu_pack" -> ((s, d) => Curation.packByBudget(docs(s, d),
+      budget = 512, bucketSize = 64).orderBy(col("doc_id")))
   )
+
+  /** Mixture-sampling gate weights: full keep, half, quarter, drop, and a
+    * 10% default for the other sixteen sources.
+    */
+  private val SampleMixWeights =
+    Seq("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.0)
+  private val SampleMixDefault = 0.1
 
   /** Corpus with deterministic PII appended (the synthetic documents carry
     * none): every doc gains exactly one email / phone / IPv4 by doc_id
@@ -633,8 +645,40 @@ object OpsQueries {
          |  md5(COALESCE(a.joined, '')) AS scrubbed_hash
          |FROM documents d
          |LEFT JOIN tt ON d.doc_id = tt.doc_id
-         |LEFT JOIN a ON d.doc_id = a.doc_id""".stripMargin
+         |LEFT JOIN a ON d.doc_id = a.doc_id""".stripMargin,
+    "cu_sample_mix" -> sampleMixOracle,
+    // token-budget packing: shard = floor(prefix-sum-before-doc / budget);
+    // the oracle's single global window IS the naive plan the Spark side
+    // replaces with the two-level bucket prefix sum
+    "cu_pack" ->
+      s"""${Oracles.BaseCtes},
+         |tl AS (SELECT d.doc_id, CAST(COALESCE(t.c, 0) AS BIGINT) AS n_tokens
+         |       FROM documents d LEFT JOIN
+         |         (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t
+         |       ON d.doc_id = t.doc_id),
+         |p AS (SELECT doc_id, n_tokens,
+         |      COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+         |      FROM tl)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens,
+         |  CAST(floor(prior / 512.0) AS BIGINT) AS shard_id FROM p""".stripMargin
   )
+
+  /** Oracle for the deterministic mixture sample: the same md5-u32
+    * threshold compare, thresholds rendered by the SAME Scala function
+    * the operator uses.
+    */
+  private def sampleMixOracle: String = {
+    val cases = SampleMixWeights.map { case (g, f) =>
+      s"WHEN '$g' THEN '${Curation.sampleThreshold(f)}'"
+    }.mkString(" ")
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, source AS grp,
+       |  CAST(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+       |    CASE source $cases
+       |         ELSE '${Curation.sampleThreshold(SampleMixDefault)}' END
+       |  THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM documents""".stripMargin
+  }
 
   /** Shared audit CTE chain (token length, language argmax, bigram
     * repetition, exact-dup canonical) used by both audit oracles.

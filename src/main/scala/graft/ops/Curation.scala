@@ -86,6 +86,78 @@ object Curation {
           .cast("long").as("kept"))
   }
 
+  /** Hex threshold for a keep fraction over the md5-u32 sampling domain:
+    * a doc is kept iff the first 8 hex chars of md5(doc_id) compare below
+    * this string. "g" sorts above every hex digit, so frac >= 1 keeps all.
+    */
+  def sampleThreshold(frac: Double): String = {
+    val f = math.min(1.0, math.max(0.0, frac))
+    val t = math.round(f * 4294967296.0) // 2^32
+    if (t >= 4294967296L) "g" else f"$t%08x"
+  }
+
+  /** Deterministic mixture sampling: keep each document with a per-group
+    * probability (the training-mix weighting step — up-/down-sample
+    * sources to a target distribution). The coin is the first 8 hex
+    * chars of md5(doc_id) compared against [[sampleThreshold]], so the
+    * sample is reproducible across engines and runs, independent of
+    * partitioning, and consistent under incremental re-runs (a doc's
+    * fate never changes when its neighbors do — the property crawl-scale
+    * pipelines need for resumable sampling).
+    *
+    * Scale shape: map-only — one narrow projection, no shuffle, no RNG
+    * state; the weight table is a literal CASE chain (mixtures have
+    * dozens of sources, not millions).
+    */
+  def sampleByWeight(docs: DataFrame, weights: Map[String, Double],
+                     groupCol: String = "source",
+                     defaultFrac: Double = 0.0): DataFrame = {
+    val thr = weights.toSeq.sortBy(_._1).foldLeft(
+      lit(sampleThreshold(defaultFrac))) { case (acc, (g, f)) =>
+        when(col(groupCol) === g, lit(sampleThreshold(f))).otherwise(acc)
+    }
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+      col(groupCol).as("grp"),
+      (substring(md5(col("doc_id").cast("string")), 1, 8) < thr)
+        .cast("long").as("kept"))
+  }
+
+  /** Token-budget sequence packing: assign documents (in doc_id order) to
+    * training shards of ~`budget` tokens each — shard = floor(running
+    * token count BEFORE this doc / budget), the standard streaming-pack
+    * rule (a doc spilling over a boundary starts lands in the shard its
+    * prefix sum says, so shards are contiguous doc_id ranges and every
+    * shard but the last holds >= budget - max_doc_len tokens).
+    *
+    * Scale shape: a naive global cumulative-sum window is ONE partition —
+    * a 100-TB killer. This is the two-level distributed prefix sum
+    * instead: per-bucket token totals (doc_id ranges), one tiny window
+    * over the bucket aggregates (rows = corpus/bucketSize), broadcast the
+    * bucket offsets back, then a per-bucket window for the intra-bucket
+    * cumsum. No stage ever sees more than a bucket in one partition.
+    */
+  def packByBudget(docs: DataFrame, budget: Long,
+                   bucketSize: Long = 1L << 20): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val nt = TextAnalysis.quality(docs)
+      .select(col("doc_id"), col("n_tokens"),
+        (col("doc_id") / bucketSize).cast("long").as("b"))
+    val bucketTotals = nt.groupBy(col("b")).agg(sum(col("n_tokens")).as("bt"))
+    val offsets = bucketTotals.select(col("b"),
+      coalesce(sum(col("bt")).over(
+          Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)).as("off"))
+    nt.join(broadcast(offsets), "b")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("off") + coalesce(sum(col("n_tokens")).over(
+            Window.partitionBy(col("b")).orderBy(col("doc_id"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L))).as("prior"))
+      .select(col("doc_id"), col("n_tokens"),
+        floor(col("prior") / budget).cast("long").as("shard_id"))
+  }
+
   /** Benchmark decontamination: per training document, how many of its
     * token n-gram positions also occur in the evaluation set (any doc).
     * The standard pre-training hygiene pass (the GPT-3 appendix / PaLM

@@ -357,6 +357,47 @@ class OpsSpec extends AnyFunSuite {
     assert(a(3L).getAs[Long]("pass_ppl") === 0 && a(3L).getAs[Long]("kept") === 0)
   }
 
+  test("sampleByWeight: deterministic md5 coin, per-group rates, 0/1 extremes") {
+    def u32hex(docId: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(docId.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+    val d = (0L until 40L).map(i => (i, s"doc $i", s"g${i % 4}"))
+      .toDF("doc_id", "text", "source")
+    val w = Map("g0" -> 1.0, "g1" -> 0.0, "g2" -> 0.5)
+    val run1 = Curation.sampleByWeight(d, w, defaultFrac = 0.5).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val run2 = Curation.sampleByWeight(d, w, defaultFrac = 0.5).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(run1 === run2) // reproducible
+    for ((id, (grp, kept)) <- run1) grp match {
+      case "g0" => assert(kept === 1L)
+      case "g1" => assert(kept === 0L)
+      case _ => // g2 + default g3, both 0.5: must equal the manual coin
+        assert(kept === (if (u32hex(id) < Curation.sampleThreshold(0.5)) 1L else 0L))
+    }
+    // a 0.5 rate keeps SOMETHING and drops SOMETHING on 10 coins
+    val g2 = run1.collect { case (_, ("g2", k)) => k }
+    assert(g2.toSet === Set(0L, 1L))
+  }
+
+  test("packByBudget: shards are contiguous prefix-sum bins across bucket boundaries") {
+    // six docs x 4 tokens, budget 8 -> shards 0,0,1,1,2,2; bucketSize=2
+    // forces the two-level prefix sum through three buckets
+    val d = (1L to 6L).map(i => (i, "a b c d")).toDF("doc_id", "text")
+    val p = Curation.packByBudget(d, budget = 8, bucketSize = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(p === Map(
+      1L -> ((4L, 0L)), 2L -> ((4L, 0L)), 3L -> ((4L, 1L)),
+      4L -> ((4L, 1L)), 5L -> ((4L, 2L)), 6L -> ((4L, 2L))))
+    // uneven doc lengths: the spilling doc starts where its prefix says
+    val d2 = Seq((1L, "a b c d e f g"), (2L, "h i"), (3L, "j k l"))
+      .toDF("doc_id", "text")
+    val p2 = Curation.packByBudget(d2, budget = 8, bucketSize = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(p2 === Map(1L -> 0L, 2L -> 0L, 3L -> 1L)) // priors 0,7,9
+  }
+
   test("k-means quantizer: trained centroids separate clusters and sit at their means") {
     val embs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)), // init spans both clusters
