@@ -40,27 +40,33 @@ object Similarity {
   /** Sign-LSH bucket: bit j = (embedding[j] > 0) for the first `planes`
     * dimensions (axis-aligned hyperplanes -- deterministic, engine-neutral).
     */
-  def lshBuckets(embeddings: DataFrame, planes: Int = 8): DataFrame = {
-    val bucket = (0 until planes).map { j =>
+  private def bucketExpr(planes: Int): Column =
+    (0 until planes).map { j =>
       when(element_at(col("embedding"), j + 1) > 0f, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    embeddings.select(col("vec_id").cast("long").as("vec_id"), bucket.as("bucket"))
-  }
+
+  def lshBuckets(embeddings: DataFrame, planes: Int = 8): DataFrame =
+    embeddings.select(col("vec_id").cast("long").as("vec_id"), bucketExpr(planes).as("bucket"))
 
   /** Bucketed near-neighbor pairs: same sign-LSH bucket AND cosine >= tau.
     * The quadratic join is confined to buckets (the 100 TB-safe shape).
+    * The bucket is computed inline on the scan (no re-join against the
+    * source to fetch the embedding back) and each row's norm is computed
+    * once before the bucket join, not once per candidate pair.
     */
   def lshPairs(embeddings: DataFrame, planes: Int = 8, tau: Double = 0.3): DataFrame = {
-    val withB = lshBuckets(embeddings, planes)
-      .join(embeddings.select(col("vec_id").cast("long").as("vec_id"), col("embedding")), "vec_id")
-    val a = withB.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("ea"))
-    val b = withB.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("eb"))
+    val withB = embeddings.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding"), bucketExpr(planes).as("bucket"), norm(col("embedding")).as("nrm"))
+    val a = withB.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val b = withB.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
     a.join(b, "bucket")
       .filter(col("a") < col("b"))
       .withColumn("dot", aggregate(
         zip_with(col("ea"), col("eb"), (x, y) => x.cast("double") * y.cast("double")),
         lit(0.0), (acc, x) => acc + x))
-      .withColumn("cos", round(col("dot") / (norm(col("ea")) * norm(col("eb"))), 4))
+      .withColumn("cos", round(col("dot") / (col("na") * col("nb")), 4))
       .filter(col("cos") >= tau)
       .select(col("a"), col("b"), col("cos"))
       .orderBy(col("a"), col("b"))
