@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Make `sbt 'runMain graft.Bench'` emit the program's one-line JSON as the
+// TRUE last stdout line, so a caller parsing the tail doesn't need the
+// ./bench.sh wrapper:
+//  - showSuccess=false drops the trailing "[success] Total time: ..." line;
+//  - StdoutOutput inherits the forked JVM's stdout/stderr directly instead
+//    of re-logging every line through sbt's logger with an "[info] "/
+//    "[error] " prefix (which made the JSON line unparseable and dumped
+//    Spark's stderr WARNs into stdout).
+Global / showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
