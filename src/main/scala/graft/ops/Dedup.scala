@@ -92,6 +92,21 @@ object Dedup {
     * state, no collected edge list: the 100 TB shape for transitive dedup.
     * Throws if maxIter rounds did not converge (a silently split component
     * would mis-deduplicate downstream).
+    *
+    * Every per-round relation is EAGERLY localCheckpoint'ed, not cached:
+    * each round then plans against flat LogicalRDDs, so plan depth (and
+    * Catalyst analysis cost) stays CONSTANT across rounds. The previous
+    * cache+unpersist loop nested each round's InMemoryRelation inside the
+    * next round's plan, and the growing analysis/recompile work made later
+    * rounds 3-10x slower (measured: 10-15 s -> 1.5-3 s on the embcos gate;
+    * the final checkpoint's recompute after unpersist was the worst case).
+    * Stale rounds' checkpoint blocks are unreferenced as `labels` advances
+    * and are freed by the ContextCleaner; the relations are bounded by the
+    * paired-doc count, orders of magnitude below the corpus. On a real
+    * multi-executor cluster localCheckpoint trades executor-loss
+    * recoverability for speed -- for multi-hour jobs swap in reliable
+    * checkpoint() to the cluster FS, same shape.
+    *
     * Returns (doc_id, cluster) for every doc in `pairs`; cluster = min
     * doc_id of the component.
     */
@@ -99,42 +114,33 @@ object Dedup {
     // undirected edges, both directions
     val edges = pairs.select(col("a").as("x"), col("b").as("y"))
       .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
-      .distinct().cache()
+      .distinct().localCheckpoint(true)
     var labels = edges.select(col("x")).distinct()
-      .select(col("x"), col("x").as("lbl")).cache()
-    var prevCache = labels
+      .select(col("x"), col("x").as("lbl")).localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       // candidate label = min(own, min over neighbors' labels); the own
       // label rides along as `old` so the convergence check below is a
-      // filter over the cached result, not another join against `labels`
+      // filter over the materialized result, not another join vs `labels`
       val propagated = edges
         .join(labels.withColumnRenamed("x", "y").withColumnRenamed("lbl", "nlbl"), "y")
         .groupBy(col("x")).agg(min(col("nlbl")).as("minn"))
         .join(labels, "x")
         .select(col("x"), col("lbl").as("old"), least(col("lbl"), col("minn")).as("lbl"))
+        .localCheckpoint(true) // self-joined below: materialize once
       // pointer jumping: follow the label's own label one level
       val next = propagated
         .join(propagated.select(col("x").as("lbl"), col("lbl").as("plbl")), Seq("lbl"), "left_outer")
         .select(col("x"), col("old"), least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
-        .cache()
-      val changed = next.filter(col("lbl") =!= col("old")).limit(1).count()
-      prevCache.unpersist()
-      prevCache = next
+        .localCheckpoint(true)
+      converged = next.filter(col("lbl") =!= col("old")).limit(1).count() == 0
       labels = next.select(col("x"), col("lbl"))
-      converged = changed == 0
       i += 1
     }
     require(converged,
       s"duplicateClusters did not converge in $maxIter rounds -- raise maxIter")
-    // cut lineage and release the loop's cache: the component relation is
-    // bounded by the paired docs, the iterative plan behind it is not
-    val out = labels.select(col("x").as("doc_id"), col("lbl").as("cluster"))
-      .localCheckpoint(true)
-    prevCache.unpersist()
-    edges.unpersist()
-    out
+    labels.select(col("x").as("doc_id"), col("lbl").as("cluster"))
   }
 
   /** Near-dup dedup output: from LSH candidate pairs, keep one canonical
