@@ -156,7 +156,8 @@ object Bench {
       "codec_huffman" -> (() => IndexQueries.codecIndexDir(spark, sfDir, "huffman")),
       "byprefixsize" -> (() => IndexQueries.bpsIndexDir(spark, sfDir)),
       "partial" -> (() => IndexQueries.partialIndexDir(spark, sfDir)),
-      "nopos" -> (() => IndexQueries.npIndexDir(spark, sfDir))
+      "nopos" -> (() => IndexQueries.npIndexDir(spark, sfDir)),
+      "compact" -> (() => IndexQueries.compactIndexDir(spark, sfDir))
     ).foreach { case (name, build) =>
       // per-build Try: one failed build must not silently un-warm the rest,
       // and the failure itself must be visible (the gate that needs it will

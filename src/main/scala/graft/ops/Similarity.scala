@@ -157,10 +157,13 @@ object Similarity {
     *
     * Scale shape per iteration: one broadcast join (centroids are k*dims
     * rows) + one (vec_id, cid) aggregation + one (cid, i) aggregation —
-    * two shuffles of at most corpus-and-k*dims size, no driver state. For
-    * many iterations add a localCheckpoint every few rounds to cut the
-    * growing lineage (the label-propagation lesson); the default 2 rounds
-    * don't need it.
+    * two shuffles of at most corpus-and-k*dims size, no driver state.
+    * Each iteration's centroid relation (k*dims rows) is EAGERLY
+    * localCheckpoint'ed so the next iteration plans against a flat
+    * LogicalRDD -- argmaxCosine references `cent` twice, so an unchecked
+    * fold doubles plan size per iteration (the label-propagation lesson,
+    * PLANS.md section 21); all values are 6dp-rounded, so materializing
+    * changes nothing.
     */
   def kmeansCentroids(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
     val (exp, norms) = exploded(embeddings)
@@ -171,6 +174,7 @@ object Similarity {
       exp.join(assign, "vec_id")
         .groupBy(col("cid"), col("i"))
         .agg(round(avg(col("x")), 6).as("y"))
+        .localCheckpoint(true)
     }
   }
 
