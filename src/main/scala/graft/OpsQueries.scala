@@ -10,10 +10,21 @@ import org.apache.spark.sql.functions._
   */
 object OpsQueries {
 
+  /** Small single-file inputs scan as 1-2 partitions, serializing every
+    * per-doc map stage (tokenize/shingle/hash) onto one core while the
+    * rest idle; spread them to the session parallelism. At production
+    * scale the scan already has >= defaultParallelism splits and this is
+    * a no-op — the guard is plan-time, not a data-dependent job.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    spread(spark.read.parquet(s"$sfDir/documents.parquet"))
   private def embs(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/embeddings.parquet")
+    spread(spark.read.parquet(s"$sfDir/embeddings.parquet"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> ((s, d) => Dedup.exactGroups(docs(s, d))),

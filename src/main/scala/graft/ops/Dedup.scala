@@ -173,17 +173,29 @@ object Dedup {
     * bands of r = nHashes/bands rows; docs sharing any band bucket are
     * candidates. Banding is the scale path: the pair join runs per
     * (band, bucket), never across the whole corpus.
+    *
+    * The nHashes signature mins are computed as nHashes AGGREGATION
+    * COLUMNS of one groupBy(doc_id) — not an explode to (doc_id, i) rows —
+    * so the whole signature stage is a single map-side-combined shuffle of
+    * the shingle relation (vs explode×nHashes + two shuffles + a
+    * collect_list sort). Band signatures are md5 over the in-row
+    * concatenation of that band's mins; all values are identical to the
+    * row-form definition, so the DuckDB oracle (which uses the row form)
+    * hash-matches bit-for-bit.
     */
   def lshCandidatePairs(docs: DataFrame, n: Int = 5, nHashes: Int = 8, bands: Int = 4): DataFrame = {
     val r = nHashes / bands
-    val sigs = minhashSignatures(docs, n, nHashes)
-      .withColumn("band", (col("i") / r).cast("int"))
-    val bandSig = sigs
-      .groupBy(col("doc_id"), col("band"))
-      // order inside the band by i: array_sort of (i, mh) structs
-      .agg(md5(array_join(transform(
-        array_sort(collect_list(struct(col("i"), col("mh")))),
-        x => x.getField("mh")), ",")).as("bsig"))
+    val sh = shingles(docs, n)
+    val minCols = (0 until nHashes).map { i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i")
+    }
+    val sigRow = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    val bandSig = sigRow.select(col("doc_id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            md5(concat_ws(",", (b * r until (b + 1) * r).map(i => col(s"mh$i")): _*)).as("bsig"))
+        }: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
     val l = bandSig.select(col("band"), col("bsig"), col("doc_id").as("a"))
     val rt = bandSig.select(col("band"), col("bsig"), col("doc_id").as("b"))
     l.join(rt, Seq("band", "bsig"))
