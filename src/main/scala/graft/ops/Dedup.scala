@@ -263,16 +263,16 @@ object Dedup {
     val toks = filter(
       split(lower(col("text")), "[!\"#$%&'()*+,\\-./@\\[\\\\\\]^{|}~:;<=>? ]+"),
       t => t =!= "")
-    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
-      posexplode(toks).as(Seq("pos", "term")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("term"))
-    val wg = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, n - 1)
-    base
-      .withColumn("gl", collect_list(col("term")).over(wg))
-      .where(size(col("gl")) === n)
-      .select(col("doc_id"), col("pos"), md5(concat_ws(" ", col("gl"))).as("g"))
+    // per-doc sliding grams as array arithmetic (sequence + slice inside
+    // one projection) — no doc_id-partitioned window, so the whole stage
+    // is narrow: no shuffle, no per-doc sort, stays in codegen
+    docs.select(col("doc_id").cast("long").as("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), posexplode(
+        when(size(col("toks")) >= n,
+          transform(sequence(lit(0), size(col("toks")) - n),
+            i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(n))))))
+          .otherwise(array())).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("g"))
   }
 
   /** Exact-substring duplicated spans (the suffix-array dedup family:

@@ -135,16 +135,18 @@ object Similarity {
     * join + a (vec_id, cid)-keyed aggregation.
     */
   private def argmaxCosine(exp: DataFrame, norms: DataFrame, cent: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cnorms = cent.groupBy(col("cid")).agg(sqrt(sum(col("y") * col("y"))).as("cnrm"))
     val cos = exp.join(broadcast(cent), "i")
       .groupBy(col("vec_id"), col("cid")).agg(sum(col("x") * col("y")).as("dot"))
       .join(norms, "vec_id").join(broadcast(cnorms), "cid")
       .select(col("vec_id"), col("cid"),
         round(col("dot") / (col("nrm") * col("cnrm")), 6).as("cos"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid").asc)
-    cos.withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+    // argmax by (cos desc, cid asc) as a hash aggregation: max_by over the
+    // (cos, -cid) struct — value-identical to the row_number window it
+    // replaces (cid is distinct per group, so no ties), without the
+    // partition-sort the window would pay
+    cos.groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("cos"), (-col("cid")).as("nc"))).as("cid"))
       .select(col("vec_id"), col("cid"))
   }
 
@@ -165,8 +167,21 @@ object Similarity {
     * PLANS.md section 21); all values are 6dp-rounded, so materializing
     * changes nothing.
     */
-  def kmeansCentroids(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+  def kmeansCentroids(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame =
+    kmeansCentroidsOn(explodedCached(embeddings), embeddings, k, iters)
+
+  /** [[exploded]] with both relations persisted: every Lloyd iteration
+    * references exp twice (assignment + mean update), so an uncached pair
+    * re-scans and re-explodes the corpus 2*iters+1 times per training run.
+    */
+  private def explodedCached(embeddings: DataFrame): (DataFrame, DataFrame) = {
     val (exp, norms) = exploded(embeddings)
+    (exp.cache(), norms.cache())
+  }
+
+  private def kmeansCentroidsOn(en: (DataFrame, DataFrame), embeddings: DataFrame,
+                                k: Int, iters: Int): DataFrame = {
+    val (exp, norms) = en
     val init = exp.join(broadcast(centroidIds(embeddings, k)), "vec_id")
       .select(col("vec_id").as("cid"), col("i"), round(col("x"), 6).as("y"))
     (1 to iters).foldLeft(init) { (cent, _) =>
@@ -183,8 +198,8 @@ object Similarity {
     * stop existing, exactly as in any IVF build.
     */
   def kmeansAssign(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
-    val (exp, norms) = exploded(embeddings)
-    argmaxCosine(exp, norms, kmeansCentroids(embeddings, k, iters))
+    val en = explodedCached(embeddings)
+    argmaxCosine(en._1, en._2, kmeansCentroidsOn(en, embeddings, k, iters))
       .select(col("vec_id"), col("cid").as("cell"))
   }
 
