@@ -21,7 +21,8 @@ object QueryLatencyProbe {
       java.nio.file.Paths.get("/dev/shm"), "graft_qlp").toString
     graft.index.IndexBuilder.build(spark, corpus, dir, numShards = 1)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_QSHUF", "8"))
     val reader = new IndexReader(spark, dir)
     reader.dictionary.count()
     Bench.QuerySet.foreach { case (_, q) => q(reader).collect() } // warm
