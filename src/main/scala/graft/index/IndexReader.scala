@@ -168,6 +168,8 @@ class IndexReader(val spark: SparkSession, val dir: String,
     new java.util.concurrent.ConcurrentHashMap[String, Option[(Long, Long)]]()
   private val blockCountMemo =
     new java.util.concurrent.ConcurrentHashMap[Seq[Long], java.lang.Long]()
+  private val vocabSliceMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Array[(Long, String, Long)]]]()
 
   /** term -> (term_id, df); driver-side lookup of a handful of terms.
     * Memoized per reader; only uncached terms touch the dictionary.
@@ -209,6 +211,27 @@ class IndexReader(val spark: SparkSession, val dir: String,
     val res = if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
     prefixRangeMemo.put(prefix, res)
     res
+  }
+
+  /** Driver-held (term_id, term, df) slice of a prefix's id range,
+    * memoized when the range is small enough: the reference holds its
+    * WHOLE vocabulary in RAM (Vocabulary.h); we hold the warm prefixes'
+    * slices, so a warm prefix query attaches term/df through a local
+    * relation -- no dictionary-scan broadcast-build job per query. Ranges
+    * beyond [[IndexReader.MaxSliceTerms]] return None (the caller keeps
+    * the broadcast join; a hot `a*` on a 100M-term vocabulary must not be
+    * pulled onto the driver). The first call pays the same one collect job
+    * the broadcast build used to pay; every later call pays zero.
+    */
+  private def vocabSlice(prefix: String, lo: Long, hi: Long): Option[DataFrame] = {
+    if (hi - lo + 1 > IndexReader.MaxSliceTerms) return None
+    if (vocabSliceMemo.size() > IndexReader.MaxSlicePrefixes) vocabSliceMemo.clear()
+    vocabSliceMemo.computeIfAbsent(prefix, _ =>
+      Some(dictionary.filter(col("term_id").between(lo, hi))
+        .select(col("term_id"), col("term"), col("df"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))))
+      .map(rows => rows.toSeq.toDF("term_id", "term", "df"))
   }
 
   /** Pruned block scan for a term-id range. */
@@ -262,12 +285,28 @@ class IndexReader(val spark: SparkSession, val dir: String,
       PostingsDecode.postingsDecodeWithPositions(col("n_docs"), col("doc_deltas"),
         col("tfs"), col("dls"), col("positions"), doclistCodec))
 
-  /** BM25 score column over decoded postings joined with per-term df. */
+  /** BM25 score column over decoded postings with per-term df attached.
+    * The df table is query-sized (one row per query term), so it inlines
+    * as a literal-map lookup -- a codegen'd expression, no broadcast-build
+    * job per query (a warm serving session pays exactly ONE job: the
+    * pruned decode scan). Guarded: candidate sets beyond literal-plan size
+    * fall back to the broadcast join.
+    */
   private def scoreDecoded(decoded: DataFrame, dfByTermId: Map[Long, Long]): DataFrame = {
-    val dfTbl = dfByTermId.toSeq.toDF("term_id", "df")
-    decoded.join(broadcast(dfTbl), "term_id")
-      .withColumn("score",
-        Analysis.bm25Col(nDocs, avgdl, col("tf"), col("df"), col("dl")))
+    val withDf =
+      if (dfByTermId.size <= IndexReader.MaxDfLiterals) {
+        val kvs = dfByTermId.toSeq.flatMap { case (t, d) => Seq(lit(t), lit(d)) }
+        // inner-join semantics: decoded rows are pre-filtered to these
+        // term ids, so the lookup never misses; the filter keeps the
+        // contract explicit rather than relying on the caller
+        decoded.withColumn("df", element_at(map(kvs: _*), col("term_id")))
+          .filter(col("df").isNotNull)
+      } else {
+        val dfTbl = dfByTermId.toSeq.toDF("term_id", "df")
+        decoded.join(broadcast(dfTbl), "term_id")
+      }
+    withDf.withColumn("score",
+      Analysis.bm25Col(nDocs, avgdl, col("tf"), col("df"), col("dl")))
   }
 
   /** Exact disjunctive top-k over the physical index WITHOUT pruning
@@ -336,8 +375,9 @@ class IndexReader(val spark: SparkSession, val dir: String,
       case None => spark.range(0).select(col("id").cast("string").as("term"),
         lit(0.0).as("score"), col("id").as("dc"), col("id").as("oc"))
       case Some((lo, hi)) =>
-        val dfTbl = dictionary.filter(col("term_id").between(lo, hi))
-          .select(col("term_id"), col("term"), col("df"))
+        val dfTbl = vocabSlice(prefix, lo, hi).getOrElse(
+          dictionary.filter(col("term_id").between(lo, hi))
+            .select(col("term_id"), col("term"), col("df")))
         decode(blocksForRange(lo, hi))
           .join(broadcast(dfTbl), "term_id")
           .withColumn("score", Analysis.bm25Col(nDocs, avgdl, col("tf"), col("df"), col("dl")))
@@ -419,13 +459,14 @@ class IndexReader(val spark: SparkSession, val dir: String,
     // OUTPUT: a pruned doc's true score is < theta - 1e-4, so its rounded
     // score can never tie the rounded k-th score and steal a slot via the
     // doc_id tiebreak.
-    val idfTbl = idfByTermId.toSeq.toDF("term_id", "idf")
+    // idf is query-sized too: literal-map lookup, no broadcast-build job
+    val idfKvs = idfByTermId.toSeq.flatMap { case (t, v) => Seq(lit(t), lit(v)) }
     val cellW = math.max(1L, nDocs / WandGridCells)
     val meta = qBlocks
       .select(col("term_id"), col("first_doc_id"), col("last_doc_id"),
         col("block_max_tfpart"))
-      .join(broadcast(idfTbl), "term_id")
-      .withColumn("ub", col("block_max_tfpart") * col("idf"))
+      .withColumn("ub",
+        col("block_max_tfpart") * element_at(map(idfKvs: _*), col("term_id")))
     val cells = meta.select(col("term_id"), col("first_doc_id"), col("ub"),
       explode(sequence(floor(col("first_doc_id") / cellW).cast("long"),
         floor(col("last_doc_id") / cellW).cast("long"))).as("cell"))
@@ -462,8 +503,10 @@ class IndexReader(val spark: SparkSession, val dir: String,
     prefixRange(prefix) match {
       case None => spark.range(0).select(col("id").as("doc_id"), lit(0.0).as("score"))
       case Some((lo, hi)) =>
-        val dfTbl = dictionary.filter(col("term_id").between(lo, hi))
-          .select(col("term_id"), col("df"))
+        val dfTbl = vocabSlice(prefix, lo, hi)
+          .map(_.select(col("term_id"), col("df")))
+          .getOrElse(dictionary.filter(col("term_id").between(lo, hi))
+            .select(col("term_id"), col("df")))
         decode(blocksForRange(lo, hi))
           .join(broadcast(dfTbl), "term_id")
           .withColumn("score", Analysis.bm25Col(nDocs, avgdl, col("tf"), col("df"), col("dl")))
@@ -488,6 +531,22 @@ object IndexReader {
     * plan size).
     */
   val MaxBucketLiterals: Long = 256L
+
+  /** Above this many query terms the per-term df lookup switches from a
+    * literal-map expression back to a broadcast join (bounded plan size).
+    */
+  val MaxDfLiterals: Int = 256
+
+  /** A prefix whose id range spans more terms than this is never pulled
+    * onto the driver by [[IndexReader!.vocabSlice]] -- a hot `a*` on a
+    * 100M-term vocabulary keeps the distributed broadcast join.
+    */
+  val MaxSliceTerms: Long = 4096L
+
+  /** Distinct prefixes the slice memo holds before a wholesale reset
+    * (bounds driver memory at MaxSlicePrefixes * MaxSliceTerms tuples).
+    */
+  val MaxSlicePrefixes: Int = 512
 
   /** Shard visibility under the compaction log.
     * @param present  every `shard=` dir currently under blocks/

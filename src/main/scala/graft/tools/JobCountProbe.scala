@@ -42,7 +42,7 @@ object JobCountProbe {
     val reader = new IndexReader(spark, dir)
     reader.dictionary.count()
     Bench.QuerySet.foreach { case (_, q) => q(reader).collect() } // warm
-    Bench.QuerySet.take(4).foreach { case (name, q) =>
+    Bench.QuerySet.foreach { case (name, q) =>
       jobs.set(0); stages.set(0); tasks.set(0); stageLog.clear()
       val t0 = System.nanoTime()
       q(reader).collect()
