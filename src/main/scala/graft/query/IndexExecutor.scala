@@ -55,6 +55,7 @@ class IndexAtomSource(reader: IndexReader) extends AtomSource {
   }).select(col("term_id"), col("term"), col("df"))
 
   def atomScored(atom: Atom): DataFrame = {
+    import reader.spark.implicits._
     val cand = candidates(atom)
     // one bounded driver round-trip per atom (memoized per index + atom --
     // a serving session answers repeated shapes with zero extra jobs): the
@@ -67,11 +68,15 @@ class IndexAtomSource(reader: IndexReader) extends AtomSource {
     // while synonym/fuzzy/OR candidates become per-cluster runs; sets
     // beyond MaxExactIds fall back to the hull (a vocab that large is
     // range-shaped in practice). The broadcast join below still applies
-    // the exact candidate set after decode.
-    val runs = candidateRuns(atom, cand)
+    // the exact candidate set after decode. The same round-trip carried the
+    // candidates' (term, df) -- when it did (non-hull), the broadcast side
+    // is that driver-held slice (a LocalRelation), not a second dictionary
+    // scan per query (the reference's in-RAM vocabulary, Vocabulary.h).
+    val (runs, slice) = candidateInfo(atom, cand)
     if (runs.isEmpty) return emptyScored
+    val candSide = slice.map(_.toSeq.toDF("term_id", "term", "df")).getOrElse(cand)
     reader.decodeWithPositions(reader.blocksForIdRuns(runs))
-      .join(broadcast(cand), "term_id")
+      .join(broadcast(candSide), "term_id")
       .select(col("doc_id"), col("term"), col("tf"), col("positions"),
         Analysis.bm25Col(reader.nDocs, reader.avgdl,
           col("tf"), col("df"), col("dl")).as("score"),
@@ -79,30 +84,43 @@ class IndexAtomSource(reader: IndexReader) extends AtomSource {
           lit(1), col("df"), col("dl")).as("score1"))
   }
 
-  /** Contiguous term-id runs of the atom's candidate set (memoized).
-    * Test hook: exposed so specs can count pruned blocks per atom.
+  /** Runs plus, for non-hull candidate sets, the driver-held
+    * (term_id, term, df) slice -- both from ONE collect. The slice memo is
+    * bounded separately ([[IndexAtomSource.SliceCacheMax]] atoms of at most
+    * [[IndexAtomSource.MaxExactIds]] tuples); runs stay memoized at the
+    * larger [[IndexAtomSource.RangeCacheMax]] because they are a few longs.
+    * Hull atoms memoize `None` -- known too big, never re-collected.
     */
-  private[query] def candidateRuns(atom: Atom, cand: DataFrame): Seq[(Long, Long)] = {
+  private def candidateInfo(atom: Atom, cand: DataFrame):
+      (Seq[(Long, Long)], Option[Array[(Long, String, Long)]]) = {
+    val key = (reader.dir, reader.indexEpoch, atom)
+    val runs0 = IndexAtomSource.rangeCache.get(key)
+    val slice0 = IndexAtomSource.sliceCache.get(key)
+    if (runs0 != null && slice0 != null) return (runs0, slice0)
     if (IndexAtomSource.rangeCache.size() > IndexAtomSource.RangeCacheMax)
       IndexAtomSource.rangeCache.clear() // crude bound; entries are cheap to recompute
-    IndexAtomSource.rangeCache.computeIfAbsent(
-      (reader.dir, reader.indexEpoch, atom), _ => {
-        import reader.spark.implicits._
-        val ids = cand.select(col("term_id")).orderBy(col("term_id"))
-          .limit(IndexAtomSource.MaxExactIds + 1).as[Long].collect()
-        if (ids.isEmpty) Seq.empty
-        else if (ids.length > IndexAtomSource.MaxExactIds) {
-          // hull fallback: one more 2-long round-trip for the true max
-          val r = cand.agg(min(col("term_id")), max(col("term_id"))).head()
-          Seq((r.getLong(0), r.getLong(1)))
-        } else IndexAtomSource.toRuns(ids)
-      })
+    if (IndexAtomSource.sliceCache.size() > IndexAtomSource.SliceCacheMax)
+      IndexAtomSource.sliceCache.clear()
+    val rows = cand.select(col("term_id"), col("term"), col("df"))
+      .orderBy(col("term_id"))
+      .limit(IndexAtomSource.MaxExactIds + 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val (runs, slice) =
+      if (rows.isEmpty) (Seq.empty[(Long, Long)], None)
+      else if (rows.length > IndexAtomSource.MaxExactIds) {
+        // hull fallback: one more 2-long round-trip for the true max
+        val r = cand.agg(min(col("term_id")), max(col("term_id"))).head()
+        (Seq((r.getLong(0), r.getLong(1))), None)
+      } else (IndexAtomSource.toRuns(rows.map(_._1)), Some(rows))
+    IndexAtomSource.rangeCache.put(key, runs)
+    IndexAtomSource.sliceCache.put(key, slice)
+    (runs, slice)
   }
 
   /** Pruned block relation for an atom (spec hook). */
   private[graft] def prunedBlocks(atom: Atom): Option[DataFrame] = {
-    val cand = candidates(atom)
-    val runs = candidateRuns(atom, cand)
+    val runs = candidateInfo(atom, candidates(atom))._1
     if (runs.isEmpty) None else Some(reader.blocksForIdRuns(runs))
   }
 
@@ -127,6 +145,15 @@ object IndexAtomSource {
   private[query] val RangeCacheMax = 65536
   private[query] val rangeCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Atom), Seq[(Long, Long)]]()
+
+  /** (index dir, epoch, atom) -> driver-held candidate slice, or None for
+    * hull-sized sets. Bounded tighter than the runs memo: a slice is up to
+    * [[MaxExactIds]] (term_id, term, df) tuples.
+    */
+  private[query] val SliceCacheMax = 512
+  private[query] val sliceCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Atom),
+      Option[Array[(Long, String, Long)]]]()
 
   /** Candidate sets up to this size prune blocks by their EXACT id runs;
     * larger sets use the [min, max] hull. Bounded so the driver round-trip
