@@ -159,9 +159,10 @@ object CorpusAtomSource {
   *
   * Scoring: per-part doc score = summed BM25 over the part's matched terms
   * in the doc; parts combine with Sum (docScoreAggDifferentQueryParts=Sum).
-  * Windowed separators (phrase/near/same-pos) constrain docs via a
-  * position theta-join; scores still aggregate over whole-doc tf (fixed in
-  * the goldens -- see SURVEY.md §7.3 hard part 5).
+  * Windowed separators (phrase/near/same-pos) constrain docs via an
+  * array-level position match (filter/exists over per-doc position arrays,
+  * one equi-join per part); scores still aggregate over whole-doc tf
+  * (fixed in the goldens -- see SURVEY.md §7.3 hard part 5).
   */
 object Eval {
 
@@ -207,7 +208,9 @@ object Eval {
     *    (QueryParameters.cpp:12-13).
     */
   def evalDocs(src: AtomSource, q: ParsedQuery, params: QueryParams): DataFrame = {
-    case class State(scores: DataFrame, positions: DataFrame)
+    // rel: (doc_id, score[, mpos]) -- mpos (present iff hasPos) is the most
+    // recent non-NOT part's MATCHED positions in the doc, as an array column
+    case class State(rel: DataFrame, hasPos: Boolean)
     val lastIdx = q.parts.length - 1
     def bmFor(i: Int): Double = if (i == lastIdx) params.bestMatchBonus else 0.0
     // per-(doc, term) contribution under docScoreAggSameCompletion
@@ -223,31 +226,47 @@ object Eval {
         case QueryParams.SumWithBonus => s1 + s2 + lit(bonus)
         case _ => s1 + s2
       }
+    // the per-query neighbourhood override applies to '..' only
+    // (reference: neighbourhoodStart/End feed the NEAR separator)
+    def windowOf(sep: Sep): Option[(Int, Int)] = sep match {
+      case Near => params.window.orElse(sep.window)
+      case _ => sep.window
+    }
+    // does a later windowed separator chain from THIS part's positions?
+    // (NOT parts pass positions through, so scan past them) -- parts whose
+    // positions nothing consumes skip the array aggregation entirely
+    def nextWindowed(idx: Int): Boolean =
+      q.parts.drop(idx + 1).dropWhile(p => isNot(p.atom)).headOption.exists(p =>
+        !p.atom.isInstanceOf[JoinBlock] && p.sep.flatMap(windowOf).isDefined)
 
-    def aggScores(a: Atom, bm: Double): DataFrame = {
-      val base = dampedScored(src, a, params)
-      val bw = if (bm == 0.0) None else src.bestMatchWord(a)
-      bw match {
-        case Some(w) => base.groupBy(col("doc_id"))
-          .agg((complAgg(termScore) +
-            max(when(col("term") === w, lit(bm)).otherwise(lit(0.0)))).as("score"))
-        case None =>
-          base.groupBy(col("doc_id")).agg(complAgg(termScore).as("score"))
-      }
-    }
-    def partDocScores(a: Atom, bm: Double): DataFrame = a match {
-      case JoinBlock(ps) => evalJoinBlock(src, ps)
-      case _ => aggScores(a, bm)
-    }
-    def partPositions(a: Atom): DataFrame = a match {
-      case JoinBlock(_) => null
-      case _ => src.atomScoredCached(a)
-        .select(col("doc_id"), explode(col("positions")).as("pos"))
+    /** Part relation in ONE aggregation: (doc_id, score[, mpos]) -- the doc
+      * score under the algebra plus, when a later window chains from this
+      * part, the doc's positions gathered into an array column. The array
+      * form keeps the window match inside whole-stage codegen (filter /
+      * exists higher-order functions in [[evalDocs]]'s windowed branch)
+      * instead of explode + position theta-join + two distincts -- the
+      * reference likewise walks both position lists inside one merge
+      * (intersectTwoPostingLists, CompleterBase.Intersect.cpp:477-548).
+      */
+    def partRel(a: Atom, bm: Double, withPos: Boolean): State = a match {
+      case JoinBlock(ps) => State(evalJoinBlock(src, ps), hasPos = false)
+      case _ =>
+        val base = dampedScored(src, a, params)
+        val bw = if (bm == 0.0) None else src.bestMatchWord(a)
+        val scoreCol = bw match {
+          case Some(w) => (complAgg(termScore) +
+            max(when(col("term") === w, lit(bm)).otherwise(lit(0.0)))).as("score")
+          case None => complAgg(termScore).as("score")
+        }
+        if (withPos)
+          State(base.groupBy(col("doc_id")).agg(scoreCol,
+            flatten(collect_list(col("positions"))).as("mpos")), hasPos = true)
+        else State(base.groupBy(col("doc_id")).agg(scoreCol), hasPos = false)
     }
 
     val first = q.parts.head
     require(!isNot(first.atom), "query cannot start with a NOT part")
-    var state = State(partDocScores(first.atom, bmFor(0)), partPositions(first.atom))
+    var state = partRel(first.atom, bmFor(0), nextWindowed(0))
 
     q.parts.zipWithIndex.tail.foreach { case (part, idx) =>
       // a windowed separator needs positions on BOTH sides; join blocks
@@ -255,57 +274,52 @@ object Eval {
       // adjacent to a join block degrades to same-doc AND (the reference
       // likewise treats separators around enhanced queries as plain
       // intersection) instead of crashing
-      val positionless = state.positions == null || part.atom.isInstanceOf[JoinBlock]
-      // the per-query neighbourhood override applies to '..' only
-      // (reference: neighbourhoodStart/End feed the NEAR separator)
-      def windowOf(sep: Sep): Option[(Int, Int)] = sep match {
-        case Near => params.window.orElse(sep.window)
-        case _ => sep.window
-      }
+      val positionless = !state.hasPos || part.atom.isInstanceOf[JoinBlock]
       val window = if (positionless) None else part.sep.flatMap(windowOf)
       require(window.isEmpty || src.hasPositions,
         "positions-off index: windowed/phrase separators need storePositions=true")
       if (isNot(part.atom)) {
-        // NOT: anti-join on matching docs (OUTPUT_NON_MATCHES)
+        // NOT: anti-join on matching docs (OUTPUT_NON_MATCHES); positions
+        // (if any) ride through for a window chaining past the NOT
         val negDocs = src.atomScoredCached(part.atom).select(col("doc_id")).distinct()
-        state = State(state.scores.join(negDocs, Seq("doc_id"), "left_anti"),
-          state.positions)
+        state = state.copy(rel = state.rel.join(negDocs, Seq("doc_id"), "left_anti"))
       } else if (window.isEmpty) {
         // plain AND: docId equi-join, scores sum (the special-posting carry)
-        val cur = partDocScores(part.atom, bmFor(idx))
-        val joined = state.scores.toDF("doc_id", "s1")
-          .join(cur.toDF("doc_id", "s2"), "doc_id")
-          .select(col("doc_id"), combineParts(col("s1"), col("s2"), 0.0).as("score"))
-        state = State(joined, partPositions(part.atom))
+        val cur = partRel(part.atom, bmFor(idx), nextWindowed(idx))
+        val keep = Seq(col("doc_id"),
+          combineParts(col("s1"), col("s2"), 0.0).as("score")) ++
+          (if (cur.hasPos) Seq(col("mpos")) else Nil)
+        val joined = state.rel.select(col("doc_id"), col("score").as("s1"))
+          .join(cur.rel.withColumnRenamed("score", "s2"), "doc_id")
+          .select(keep: _*)
+        state = State(joined, cur.hasPos)
       } else {
-        // windowed AND: position theta-join against previous part's matches
-        val (lo, hi) = window.get
-        val curScored = src.atomScoredCached(part.atom)
-        val curPos = curScored.select(col("doc_id").as("d2"), explode(col("positions")).as("p2"))
-        val matched = state.positions.toDF("doc_id", "p1")
-          .join(curPos, col("doc_id") === col("d2") &&
-            (col("p2") - col("p1")).between(lo, hi))
-        val matchedDocs = matched.select(col("doc_id")).distinct()
-        val cur = aggScores(part.atom, bmFor(idx)).toDF("doc_id", "s2")
-        val bonus =
-          if (params.partsAgg == QueryParams.SumWithBonus)
-            Executor.bonusFor(part.sep.get)
-          else 0.0
-        val joined = state.scores.toDF("doc_id", "s1")
-          .join(cur, "doc_id")
-          .join(matchedDocs, "doc_id")
-          .select(col("doc_id"), combineParts(col("s1"), col("s2"), bonus).as("score"))
-        // the next window chains ONLY from positions of this part that
-        // actually matched the previous part's window (reference:
+        // windowed AND: keep the current part's positions within [lo, hi]
+        // of a previously matched position, per doc, as an array filter;
+        // docs with no surviving position drop out. The next window chains
+        // ONLY from positions of this part that matched (reference:
         // intersectTwoPostingLists emits the second list's matched
         // postings, CompleterBase.Intersect.cpp:477-548) -- carrying all
         // of the atom's positions would let a.b.c match docs where 'a b'
         // and 'b c' occur at unrelated places
-        val newPos = matched.select(col("doc_id"), col("p2").as("pos")).distinct()
-        state = State(joined, newPos)
+        val (lo, hi) = window.get
+        val cur = partRel(part.atom, bmFor(idx), withPos = true)
+        val bonus =
+          if (params.partsAgg == QueryParams.SumWithBonus)
+            Executor.bonusFor(part.sep.get)
+          else 0.0
+        val joined = state.rel
+          .select(col("doc_id"), col("score").as("s1"), col("mpos").as("prev_pos"))
+          .join(cur.rel.withColumnRenamed("score", "s2"), "doc_id")
+          .withColumn("mpos", filter(col("mpos"), p2 =>
+            exists(col("prev_pos"), p1 => (p2 - p1).between(lo, hi))))
+          .where(size(col("mpos")) > 0)
+          .select(col("doc_id"),
+            combineParts(col("s1"), col("s2"), bonus).as("score"), col("mpos"))
+        state = State(joined, hasPos = true)
       }
     }
-    state.scores.select(col("doc_id"), round(col("score"), 4).as("score"))
+    state.rel.select(col("doc_id"), round(col("score"), 4).as("score"))
   }
 
   /** Top-k hits: total order (score desc, doc_id asc). */

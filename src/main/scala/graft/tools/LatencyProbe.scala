@@ -31,22 +31,27 @@ object LatencyProbe {
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val reader = new IndexReader(spark, dir)
     reader.dictionary.count()
-    val nativeSet = Bench.QuerySet.filterNot(e => Bench.GrammarQueries.contains(e._1))
-    nativeSet.foreach { case (_, q) => q(reader).collect() } // warm
-    val byQuery = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Double]]
-    val all = scala.collection.mutable.ArrayBuffer.empty[Double]
-    for (_ <- 1 to reps; (name, q) <- nativeSet) {
-      val s = System.nanoTime()
-      q(reader).collect()
-      val ms = (System.nanoTime() - s) / 1e6
-      all += ms
-      byQuery.getOrElseUpdate(name, scala.collection.mutable.ArrayBuffer.empty) += ms
-    }
+    val (grammarSet, nativeSet) =
+      Bench.QuerySet.partition(e => Bench.GrammarQueries.contains(e._1))
     def p(xs: Seq[Double], q: Double): Double = Bench.percentile(xs, q)
-    byQuery.toSeq.sortBy(_._1).foreach { case (n, xs) =>
-      println(f"LAT $n%-12s p50 ${p(xs.toSeq, 0.5)}%7.1f ms  min ${xs.min}%7.1f  max ${xs.max}%7.1f")
+    def group(tag: String, set: Seq[(String, graft.index.IndexReader => org.apache.spark.sql.DataFrame)]): Unit = {
+      set.foreach { case (_, q) => q(reader).collect() } // warm
+      val byQuery = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Double]]
+      val all = scala.collection.mutable.ArrayBuffer.empty[Double]
+      for (_ <- 1 to reps; (name, q) <- set) {
+        val s = System.nanoTime()
+        q(reader).collect()
+        val ms = (System.nanoTime() - s) / 1e6
+        all += ms
+        byQuery.getOrElseUpdate(name, scala.collection.mutable.ArrayBuffer.empty) += ms
+      }
+      byQuery.toSeq.sortBy(_._1).foreach { case (n, xs) =>
+        println(f"LAT $n%-14s p50 ${p(xs.toSeq, 0.5)}%7.1f ms  min ${xs.min}%7.1f  max ${xs.max}%7.1f")
+      }
+      println(f"LAT $tag p50 ${p(all.toSeq, 0.5)}%.1f ms p95 ${p(all.toSeq, 0.95)}%.1f ms over ${all.length} samples")
     }
-    println(f"LAT TOTAL p50 ${p(all.toSeq, 0.5)}%.1f ms p95 ${p(all.toSeq, 0.95)}%.1f ms over ${all.length} samples")
+    group("NATIVE", nativeSet)
+    group("GRAMMAR", grammarSet)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     spark.stop()
   }
