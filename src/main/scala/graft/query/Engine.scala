@@ -94,7 +94,7 @@ object Engine {
   def topKNot(corpus: DataFrame, term: String, negTerms: Seq[String], k: Int): DataFrame = {
     val pos = scored(corpus, Seq(term))
     val neg = Analysis.docTermsCached(corpus).filter(col("term").isin(negTerms: _*))
-      .select(col("doc_id")).distinct()
+      .select(col("doc_id")) // anti-join build side dedups; no distinct
     pos.join(neg, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), round(col("score"), 4).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
@@ -255,11 +255,14 @@ object Engine {
   def joinBlockTerms(corpus: DataFrame, prefix: String, t1: String, t2: String): DataFrame = {
     val dt = Analysis.docTermsCached(corpus)
     def side(t: String): DataFrame = {
-      val docs = dt.filter(col("term") === t).select(col("doc_id")).distinct()
+      // semi-join build sides dedup in their hash relations -- the one
+      // distinct below (the output contract) replaces three exchanges
+      val docs = dt.filter(col("term") === t).select(col("doc_id"))
       dt.filter(col("term").startsWith(prefix))
         .join(docs, Seq("doc_id"), "left_semi")
-        .select(col("term")).distinct()
+        .select(col("term"))
     }
-    side(t1).join(side(t2), Seq("term"), "left_semi").orderBy(col("term"))
+    side(t1).join(side(t2), Seq("term"), "left_semi")
+      .distinct().orderBy(col("term"))
   }
 }

@@ -280,8 +280,10 @@ object Eval {
         "positions-off index: windowed/phrase separators need storePositions=true")
       if (isNot(part.atom)) {
         // NOT: anti-join on matching docs (OUTPUT_NON_MATCHES); positions
-        // (if any) ride through for a window chaining past the NOT
-        val negDocs = src.atomScoredCached(part.atom).select(col("doc_id")).distinct()
+        // (if any) ride through for a window chaining past the NOT.
+        // No distinct: an anti-join's build side dedups in its hash
+        // relation, a pre-distinct is only an extra exchange
+        val negDocs = src.atomScoredCached(part.atom).select(col("doc_id"))
         state = state.copy(rel = state.rel.join(negDocs, Seq("doc_id"), "left_anti"))
       } else if (window.isEmpty) {
         // plain AND: docId equi-join, scores sum (the special-posting carry)
@@ -410,10 +412,13 @@ object Eval {
         .select(col("doc_id"), col("term"), col("score"))
     }
     val sides = parts.map(side)
-    // terms common to ALL parts: a chain of semi-joins over the (small)
-    // distinct-term sets -- the reference's pairwise fold flattened
-    val commonTerms = sides.map(_.select(col("term")).distinct())
+    // terms common to ALL parts: a chain of semi-joins -- the reference's
+    // pairwise fold flattened. Semi-join build sides dedup in their hash
+    // relations, so the sides skip per-side distincts; ONE distinct at the
+    // end bounds the broadcast by the vocabulary, not by (doc, term) rows
+    val commonTerms = sides.map(_.select(col("term")))
       .reduce((a, b) => a.join(b, Seq("term"), "left_semi"))
+      .distinct()
     sides.reduce(_ unionByName _)
       .join(broadcast(commonTerms), Seq("term"), "left_semi")
       .groupBy(col("doc_id")).agg(sum(col("score")).as("score"))

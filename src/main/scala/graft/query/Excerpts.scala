@@ -62,7 +62,7 @@ object Excerpts {
     val highlighted = transform(win, t =>
       when(matchPred(t, exact, prefixes), concat(lit("<hl>"), t, lit("</hl>"))).otherwise(t))
     corpus
-      .join(hits.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .join(hits.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         when(firstIdx === big, lit(""))
           .otherwise(array_join(highlighted, " ")).as("excerpt"))
@@ -90,7 +90,7 @@ object Excerpts {
       array_join(transform(slice(toks, start0 + 1, m + er - start0 + 1), hl(_)), " ")
     })
     corpus
-      .join(hits.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .join(hits.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), array_join(windows, " ... ").as("excerpt"))
   }
 }
