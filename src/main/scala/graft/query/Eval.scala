@@ -47,6 +47,14 @@ trait AtomSource {
     */
   def hasPositions: Boolean = true
 
+  /** True when the atom is KNOWN (cheaply, no extra jobs) to resolve to
+    * exactly ONE vocabulary term: its scored relation is then already one
+    * row per doc, so part aggregation is a projection instead of a
+    * groupBy -- one shuffle less per part. False when unknown; the
+    * aggregation is always correct, this only unlocks the fast path.
+    */
+  def singleTerm(atom: Atom): Boolean = false
+
   private val scoredMemo =
     new java.util.concurrent.ConcurrentHashMap[Atom, DataFrame]()
 
@@ -250,6 +258,20 @@ object Eval {
       */
     def partRel(a: Atom, bm: Double, withPos: Boolean): State = a match {
       case JoinBlock(ps) => State(evalJoinBlock(src, ps), hasPos = false)
+      case _ if src.singleTerm(a) =>
+        // one vocabulary term => already one row per doc: the part
+        // aggregation degenerates to a projection (no shuffle)
+        val base = dampedScored(src, a, params)
+        val bw = if (bm == 0.0) None else src.bestMatchWord(a)
+        val scoreEx = bw match {
+          case Some(w) => (termScore +
+            when(col("term") === w, lit(bm)).otherwise(lit(0.0))).as("score")
+          case None => termScore.as("score")
+        }
+        if (withPos)
+          State(base.select(col("doc_id"), scoreEx,
+            col("positions").as("mpos")), hasPos = true)
+        else State(base.select(col("doc_id"), scoreEx), hasPos = false)
       case _ =>
         val base = dampedScored(src, a, params)
         val bw = if (bm == 0.0) None else src.bestMatchWord(a)

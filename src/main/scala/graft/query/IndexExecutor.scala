@@ -118,6 +118,14 @@ class IndexAtomSource(reader: IndexReader) extends AtomSource {
     (runs, slice)
   }
 
+  /** One vocabulary term iff the memoized candidate slice has exactly one
+    * entry -- known from the round-trip every atom already pays, so the
+    * Eval fast path (projection instead of per-part groupBy) costs zero
+    * extra jobs. Hull-sized candidate sets answer false.
+    */
+  override def singleTerm(atom: Atom): Boolean =
+    candidateInfo(atom, candidates(atom))._2.exists(_.length == 1)
+
   /** Pruned block relation for an atom (spec hook). */
   private[graft] def prunedBlocks(atom: Atom): Option[DataFrame] = {
     val runs = candidateInfo(atom, candidates(atom))._1
