@@ -433,16 +433,23 @@ object Eval {
         .join(docs, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("term"), col("score"))
     }
-    val sides = parts.map(side)
-    // terms common to ALL parts: a chain of semi-joins -- the reference's
-    // pairwise fold flattened. Semi-join build sides dedup in their hash
-    // relations, so the sides skip per-side distincts; ONE distinct at the
-    // end bounds the broadcast by the vocabulary, not by (doc, term) rows
-    val commonTerms = sides.map(_.select(col("term")))
-      .reduce((a, b) => a.join(b, Seq("term"), "left_semi"))
-      .distinct()
-    sides.reduce(_ unionByName _)
-      .join(broadcast(commonTerms), Seq("term"), "left_semi")
+    require(parts.length <= 62, "join block limited to 62 parts (side bitmask)")
+    // terms common to ALL parts: ONE side-tagged union aggregated by term
+    // with a presence bitmask -- the reference's pairwise semi-join fold
+    // (CompleterBase.cpp:592-609) collapsed to a single exchange. The old
+    // shape chained (n-1) term semi-joins plus a distinct; the mask agg is
+    // both the membership test and the dedup, and its output stays bounded
+    // by the vocabulary, so the final semi-join still broadcasts.
+    val tagged = parts.zipWithIndex.map { case (pq, i) =>
+      side(pq).withColumn("side_bit", lit(1L << i))
+    }
+    val union = tagged.reduce(_ unionByName _)
+    val fullMask = parts.indices.map(1L << _).sum
+    val commonTerms = union.groupBy(col("term"))
+      .agg(bit_or(col("side_bit")).as("mask"))
+      .filter(col("mask") === fullMask)
+      .select(col("term"))
+    union.join(broadcast(commonTerms), Seq("term"), "left_semi")
       .groupBy(col("doc_id")).agg(sum(col("score")).as("score"))
   }
 }
