@@ -27,6 +27,10 @@ object ThroughputProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", "/dev/shm/graft-tp-local")
+      // A/B knob: FAIR round-robins tasks across concurrent query jobs
+      // (serving fairness) where FIFO drains them in submission order
+      .config("spark.scheduler.mode",
+        sys.env.getOrElse("SPARK_GRAFT_SCHED", "FIFO"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
