@@ -128,28 +128,6 @@ object Similarity {
       .select(col("vec_id"), col("cid").as("cell"))
   }
 
-  /** Argmax-cosine assignment of every vector to a centroid relation of
-    * shape (cid, i, y): cosine rounded to 6dp (so float-sum ordering can't
-    * flip the argmax across engines), ties to the lowest cid. The centroid
-    * relation is k*dims rows — broadcast, so assignment is one map-side
-    * join + a (vec_id, cid)-keyed aggregation.
-    */
-  private def argmaxCosine(exp: DataFrame, norms: DataFrame, cent: DataFrame): DataFrame = {
-    val cnorms = cent.groupBy(col("cid")).agg(sqrt(sum(col("y") * col("y"))).as("cnrm"))
-    val cos = exp.join(broadcast(cent), "i")
-      .groupBy(col("vec_id"), col("cid")).agg(sum(col("x") * col("y")).as("dot"))
-      .join(norms, "vec_id").join(broadcast(cnorms), "cid")
-      .select(col("vec_id"), col("cid"),
-        round(col("dot") / (col("nrm") * col("cnrm")), 6).as("cos"))
-    // argmax by (cos desc, cid asc) as a hash aggregation: max_by over the
-    // (cos, -cid) struct — value-identical to the row_number window it
-    // replaces (cid is distinct per group, so no ties), without the
-    // partition-sort the window would pay
-    cos.groupBy(col("vec_id"))
-      .agg(max_by(col("cid"), struct(col("cos"), (-col("cid")).as("nc"))).as("cid"))
-      .select(col("vec_id"), col("cid"))
-  }
-
   /** TRAINED coarse quantizer for IVF: Lloyd's k-means over the embedding
     * corpus, deterministic end to end (init = the first k vectors by
     * vec_id rank; every cosine and every centroid component rounded to 6dp
@@ -157,39 +135,78 @@ object Similarity {
     * (cid, i, y) — the same shape `ivfAssign`'s deterministic quantizer
     * uses, so trained centroids drop straight into the IVF plan.
     *
-    * Scale shape per iteration: one broadcast join (centroids are k*dims
-    * rows) + one (vec_id, cid) aggregation + one (cid, i) aggregation —
-    * two shuffles of at most corpus-and-k*dims size, no driver state.
-    * Each iteration's centroid relation (k*dims rows) is EAGERLY
-    * localCheckpoint'ed so the next iteration plans against a flat
-    * LogicalRDD -- argmaxCosine references `cent` twice, so an unchecked
-    * fold doubles plan size per iteration (the label-propagation lesson,
-    * PLANS.md section 21); all values are 6dp-rounded, so materializing
-    * changes nothing.
+    * Scale shape per iteration (see [[kmeansCentroidsArr]]): one broadcast
+    * crossJoin with the k-row centroid relation + one (vec_id) aggregation
+    * + one (cid) aggregation over `dim` fixed-arity mean columns -- two
+    * bounded shuffles, no explode, no driver state beyond the LIMIT-1 dim
+    * probe, and LINEAR lineage (no per-iteration checkpoint needed: the
+    * centroid relation is referenced once per iteration).
     */
-  def kmeansCentroids(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame =
-    kmeansCentroidsOn(explodedCached(embeddings), embeddings, k, iters)
-
-  /** [[exploded]] with both relations persisted: every Lloyd iteration
-    * references exp twice (assignment + mean update), so an uncached pair
-    * re-scans and re-explodes the corpus 2*iters+1 times per training run.
-    */
-  private def explodedCached(embeddings: DataFrame): (DataFrame, DataFrame) = {
-    val (exp, norms) = exploded(embeddings)
-    (exp.cache(), norms.cache())
+  def kmeansCentroids(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val vecs = vecArrCached(embeddings)
+    kmeansCentroidsArr(vecs, embeddings, k, iters)
+      .select(col("cid"), posexplode(col("yarr")).as(Seq("i0", "y")))
+      .select(col("cid"), col("i0").cast("integer").as("i"), col("y"))
   }
 
-  private def kmeansCentroidsOn(en: (DataFrame, DataFrame), embeddings: DataFrame,
-                                k: Int, iters: Int): DataFrame = {
-    val (exp, norms) = en
-    val init = exp.join(broadcast(centroidIds(embeddings, k)), "vec_id")
-      .select(col("vec_id").as("cid"), col("i"), round(col("x"), 6).as("y"))
-    (1 to iters).foldLeft(init) { (cent, _) =>
-      val assign = argmaxCosine(exp, norms, cent)
-      exp.join(assign, "vec_id")
-        .groupBy(col("cid"), col("i"))
-        .agg(round(avg(col("x")), 6).as("y"))
-        .localCheckpoint(true)
+  /** Embeddings in ARRAY form (vec_id, varr, nrm), persisted: the
+    * whole-row shape every Lloyd step consumes (PLANS §22: per-group
+    * fixed-arity state belongs in columns, not exploded rows).
+    */
+  private def vecArrCached(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id").cast("long").as("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("varr"))
+      .withColumn("nrm", sqrt(aggregate(col("varr"), lit(0.0), (a, x) => a + x * x)))
+      .cache()
+
+  /** Argmax-cosine against ARRAY-form centroids (cid, yarr, cnrm): a
+    * crossJoin with the broadcast k-row centroid relation, the dot
+    * product inside the row (zip_with + aggregate, whole-stage codegen),
+    * ONE (vec_id)-keyed aggregation. Cosine rounded to 6dp (so float-sum
+    * ordering can't flip the argmax across engines), ties to the lowest
+    * cid, via max_by over the (cos, -cid) struct -- a hash aggregation,
+    * not a row_number window.
+    */
+  private def argmaxCosineArr(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        round(aggregate(zip_with(col("varr"), col("yarr"), (x, y) => x * y),
+          lit(0.0), (a, p) => a + p) / (col("nrm") * col("cnrm")), 6).as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("cos"), (-col("cid")).as("nc"))).as("cid"))
+
+  private def withCnrm(c: DataFrame): DataFrame =
+    c.withColumn("cnrm", sqrt(aggregate(col("yarr"), lit(0.0), (a, y) => a + y * y)))
+
+  /** Lloyd iterations over the array form. Per iteration: one broadcast
+    * crossJoin + one (vec_id) aggregation (assignment) + one equi-join +
+    * one (cid) aggregation with `dim` fixed-arity avg columns (means) --
+    * two bounded shuffles, no explode, no driver state. The centroid
+    * relation is referenced ONCE per iteration (its norm is a column, not
+    * a derived relation), so lineage is LINEAR in iters and needs no
+    * per-iteration checkpoint; a lineage valve every 8 iterations keeps
+    * very long trainings plannable.
+    */
+  private def kmeansCentroidsArr(vecs: DataFrame, embeddings: DataFrame,
+                                 k: Int, iters: Int): DataFrame = {
+    // dim from one row (LIMIT 1 -- bounded driver round-trip); dims are
+    // uniform by the embedding-column contract
+    val dim = vecs.select(size(col("varr"))).limit(1).head().getInt(0)
+    val init = withCnrm(vecs
+      .join(broadcast(centroidIds(embeddings, k)), "vec_id")
+      .select(col("vec_id").as("cid"),
+        transform(col("varr"), x => round(x, 6)).as("yarr")))
+    (1 to iters).foldLeft(init) { (cent, it) =>
+      val assign = argmaxCosineArr(vecs, cent)
+      val means = vecs.join(assign, "vec_id")
+        .groupBy(col("cid"))
+        .agg(round(avg(element_at(col("varr"), 1)), 6).as("y0"),
+          (2 to dim).map(i =>
+            round(avg(element_at(col("varr"), i)), 6).as(s"y${i - 1}")): _*)
+        .select(col("cid"),
+          array((0 until dim).map(i => col(s"y$i")): _*).as("yarr"))
+      val next = withCnrm(means)
+      if (it % 8 == 0 && it < iters) next.localCheckpoint(true) else next
     }
   }
 
@@ -198,8 +215,8 @@ object Similarity {
     * stop existing, exactly as in any IVF build.
     */
   def kmeansAssign(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
-    val en = explodedCached(embeddings)
-    argmaxCosine(en._1, en._2, kmeansCentroidsOn(en, embeddings, k, iters))
+    val vecs = vecArrCached(embeddings)
+    argmaxCosineArr(vecs, kmeansCentroidsArr(vecs, embeddings, k, iters))
       .select(col("vec_id"), col("cid").as("cell"))
   }
 
