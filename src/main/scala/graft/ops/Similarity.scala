@@ -80,17 +80,6 @@ object Similarity {
 
   // ---- IVF (inverted-file) ANN: the second scale path besides sign-LSH ----
 
-  /** Exploded (vec_id, i, x) relation with per-vec norms -- the shared
-    * shape for engine-neutral cosine math.
-    */
-  private def exploded(embeddings: DataFrame): (DataFrame, DataFrame) = {
-    val exp = embeddings.select(col("vec_id").cast("long").as("vec_id"),
-        posexplode(col("embedding")).as(Seq("i", "x")))
-      .select(col("vec_id"), col("i"), col("x").cast("double").as("x"))
-    val norms = exp.groupBy(col("vec_id")).agg(sqrt(sum(col("x") * col("x"))).as("nrm"))
-    (exp, norms)
-  }
-
   /** The `nCells` smallest vec_ids, as a 1-column (vec_id) relation --
     * a deterministic rank (TakeOrdered over ids), NOT a `vec_id < nCells`
     * value filter: sparse or offset id spaces silently yield fewer (or
@@ -103,29 +92,18 @@ object Similarity {
   /** IVF cell assignment with a DETERMINISTIC coarse quantizer: the
     * centroids are the first `nCells` vectors by vec_id rank (engine-
     * neutral, no iterative k-means -- [[kmeansCentroids]] is the trained
-    * alternative and yields the same (cid, i, y) relation shape, so the
-    * downstream plan is identical). Assignment = argmax
-    * cosine, ties by centroid id; cosine rounded to 6dp so float-sum
-    * ordering can't flip the argmax across engines.
+    * alternative). Assignment = argmax cosine, ties by centroid id;
+    * cosine rounded to 6dp so float-sum ordering can't flip the argmax
+    * across engines. Array form throughout ([[argmaxCosineArr]]): a
+    * broadcast crossJoin with the nCells-row centroid relation + one
+    * (vec_id) hash aggregation -- no explode, no window sort.
     */
   def ivfAssign(embeddings: DataFrame, nCells: Int = 16): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val (exp, norms) = exploded(embeddings)
-    val cids = centroidIds(embeddings, nCells)
-    val cexp = exp.join(broadcast(cids), "vec_id")
-      .select(col("vec_id").as("cid"), col("i"), col("x").as("y"))
-    val cnorms = norms.join(broadcast(cids), "vec_id")
-      .select(col("vec_id").as("cid"), col("nrm").as("cnrm"))
-    val cos = exp.join(cexp, "i")
-      .groupBy(col("vec_id"), col("cid")).agg(sum(col("x") * col("y")).as("dot"))
-      .join(norms, "vec_id").join(cnorms, "cid")
-      .select(col("vec_id"), col("cid"),
-        round(col("dot") / (col("nrm") * col("cnrm")), 6).as("cos"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("cid").asc)
-    cos.withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("cid").as("cell"))
+    val vecs = vecArr(embeddings)
+    val cents = withCnrm(vecs
+      .join(broadcast(centroidIds(embeddings, nCells)), "vec_id")
+      .select(col("vec_id").as("cid"), col("varr").as("yarr")))
+    argmaxCosineArr(vecs, cents).select(col("vec_id"), col("cid").as("cell"))
   }
 
   /** TRAINED coarse quantizer for IVF: Lloyd's k-means over the embedding
@@ -149,15 +127,21 @@ object Similarity {
       .select(col("cid"), col("i0").cast("integer").as("i"), col("y"))
   }
 
-  /** Embeddings in ARRAY form (vec_id, varr, nrm), persisted: the
-    * whole-row shape every Lloyd step consumes (PLANS §22: per-group
-    * fixed-arity state belongs in columns, not exploded rows).
+  /** Embeddings in ARRAY form (vec_id, varr, nrm) -- the whole-row shape
+    * cosine math consumes (PLANS §22: per-group fixed-arity state belongs
+    * in columns, not exploded rows).
     */
-  private def vecArrCached(embeddings: DataFrame): DataFrame =
+  private def vecArr(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id").cast("long").as("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("varr"))
       .withColumn("nrm", sqrt(aggregate(col("varr"), lit(0.0), (a, x) => a + x * x)))
-      .cache()
+
+  /** [[vecArr]] persisted: every Lloyd iteration references it twice
+    * (assignment + mean update), so an uncached relation re-scans the
+    * corpus 2*iters+1 times per training run.
+    */
+  private def vecArrCached(embeddings: DataFrame): DataFrame =
+    vecArr(embeddings).cache()
 
   /** Argmax-cosine against ARRAY-form centroids (cid, yarr, cnrm): a
     * crossJoin with the broadcast k-row centroid relation, the dot
@@ -227,30 +211,28 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val assign = ivfAssign(embeddings, nCells)
+    // query vector to the driver once (1-row LIMIT fetch -- the same
+    // bounded round-trip cosineTopK pays), so probe + exact cosine are
+    // map-only literal folds instead of dimension-keyed joins
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    val qn = math.sqrt(q.map(x => x * x).sum)
     // cells to probe: by the query's cosine to each centroid
-    val (exp, norms) = exploded(embeddings)
-    val qexp = exp.filter(col("vec_id") === queryId).select(col("i"), col("x").as("qx"))
-    val qnrm = norms.filter(col("vec_id") === queryId).select(col("nrm").as("qnrm"))
-    val cids = centroidIds(embeddings, nCells)
-    val cexp = exp.join(broadcast(cids), "vec_id")
-      .select(col("vec_id").as("cid"), col("i"), col("x").as("y"))
-    val cnorms = norms.join(broadcast(cids), "vec_id")
-      .select(col("vec_id").as("cid"), col("nrm").as("cnrm"))
-    val probed = cexp.join(qexp, "i")
-      .groupBy(col("cid")).agg(sum(col("y") * col("qx")).as("dot"))
-      .join(cnorms, "cid").crossJoin(qnrm)
-      .select(col("cid"), round(col("dot") / (col("cnrm") * col("qnrm")), 6).as("cos"))
+    val probed = embeddings
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .join(broadcast(centroidIds(embeddings, nCells)), "vec_id")
+      .select(col("vec_id").as("cid"),
+        round(dotLit(col("embedding"), q) / (norm(col("embedding")) * lit(qn)), 6).as("cos"))
       .orderBy(col("cos").desc, col("cid").asc)
       .limit(nProbe)
       .select(col("cid").as("cell"))
     val candidates = assign.join(broadcast(probed), "cell")
       .filter(col("vec_id") =!= queryId)
     // exact cosine on the candidates only
-    exp.join(candidates.select(col("vec_id")), "vec_id")
-      .join(qexp, "i")
-      .groupBy(col("vec_id")).agg(sum(col("x") * col("qx")).as("dot"))
-      .join(norms, "vec_id").crossJoin(qnrm)
-      .select(col("vec_id"), round(col("dot") / (col("nrm") * col("qnrm")), 4).as("cos"))
+    embeddings.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .join(candidates.select(col("vec_id")), "vec_id")
+      .select(col("vec_id"),
+        round(dotLit(col("embedding"), q) / (norm(col("embedding")) * lit(qn)), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
   }
