@@ -1,6 +1,5 @@
 package graft.ops
 
-import graft.core.Tokenizer
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -15,18 +14,27 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct n-token shingles per doc: (doc_id, shingle). Narrow flatMap. */
-  def shingles(docs: DataFrame, n: Int = 5): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val toks = Tokenizer.tokenize(text)
-        if (toks.length < n) Iterator.empty
-        else toks.sliding(n).map(w => (id, w.mkString(" "))).toSet.iterator
-      }
-      .toDF("doc_id", "shingle")
-  }
+  /** Reference-tokenizer token array as a pure column (split on the
+    * separator class + drop empties) -- the shared narrow front of every
+    * text-dedup operator. Stays in whole-stage codegen; the typed
+    * `Tokenizer.tokenize` flatMap it replaces paid an object-encoder
+    * round-trip per document (measured ~2x on the shingle stage).
+    */
+  private[ops] def toksArr: Column =
+    filter(
+      split(lower(col("text")), "[!\"#$%&'()*+,\\-./@\\[\\\\\\]^{|}~:;<=>? ]+"),
+      t => t =!= "")
+
+  /** Distinct n-token shingles per doc: (doc_id, shingle). Narrow: sliding
+    * windows as array arithmetic (sequence + slice inside one projection,
+    * the [[gramHashes]] pattern), distinct per doc inside the row.
+    */
+  def shingles(docs: DataFrame, n: Int = 5): DataFrame =
+    docs.select(col("doc_id").cast("long").as("doc_id"), toksArr.as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => array_join(slice(col("toks"), i, lit(n)), " ")))).as("shingle"))
 
   /** Exact duplicate groups by content hash. */
   def exactGroups(docs: DataFrame): DataFrame =
@@ -209,19 +217,20 @@ object Dedup {
     * bit-exact across engines.
     */
   def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val terms = docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
-      .flatMap { case (id, text) =>
-        Tokenizer.tokenize(text).groupBy(identity).map { case (t, g) => (id, t, g.size.toLong) }
-      }
-      .toDF("doc_id", "term", "tf")
+    // tf-weighting needs no per-term aggregation: sum(tf * vote) over
+    // distinct terms == sum(vote) over token OCCURRENCES, so one explode +
+    // ONE (doc_id) hash agg replaces the old flatMap + per-term grouping
+    // (md5 per occurrence instead of per distinct term -- more hashing,
+    // one less exchange; at corpus scale the exchange dominates)
+    val occ = docs
+      .select(col("doc_id").cast("long").as("doc_id"), explode(toksArr).as("term"))
+      .withColumn("h", md5(col("term")))
     val bitCols = (0 until bits).map { j =>
-      val hexDigit = substring(md5(col("term")), j / 4 + 1, 1)
+      val hexDigit = substring(col("h"), j / 4 + 1, 1)
       val bit = shiftright(conv(hexDigit, 16, 10).cast("int"), 3 - j % 4) % 2
-      sum(col("tf") * (bit * 2 - 1)).as(s"s$j")
+      sum(bit * 2 - 1).as(s"s$j")
     }
-    val sums = terms.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+    val sums = occ.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
     val sh = (0 until bits).map { j =>
       when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -260,9 +269,7 @@ object Dedup {
     * the work spreads with the corpus (never a global sort).
     */
   private[ops] def gramHashes(docs: DataFrame, n: Int): DataFrame = {
-    val toks = filter(
-      split(lower(col("text")), "[!\"#$%&'()*+,\\-./@\\[\\\\\\]^{|}~:;<=>? ]+"),
-      t => t =!= "")
+    val toks = toksArr
     // per-doc sliding grams as array arithmetic (sequence + slice inside
     // one projection) — no doc_id-partitioned window, so the whole stage
     // is narrow: no shuffle, no per-doc sort, stays in codegen
@@ -317,9 +324,7 @@ object Dedup {
     * aggregation.
     */
   def scrubSpans(docs: DataFrame, n: Int = 10): DataFrame = {
-    val toks = filter(
-      split(lower(col("text")), "[!\"#$%&'()*+,\\-./@\\[\\\\\\]^{|}~:;<=>? ]+"),
-      t => t =!= "")
+    val toks = toksArr
     val base = docs.select(col("doc_id").cast("long").as("doc_id"),
       posexplode(toks).as(Seq("pos", "term")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("term"))
