@@ -126,6 +126,12 @@ object Bench {
       // partitions), while big shuffles still get full parallelism from
       // the 64MB advisory size -- the scale-correct AQE setting
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // A/B knob: constraint propagation is O(constraints^2) during
+      // optimization and the deep union/join grammar plans pay it on every
+      // cold gate; measured NEUTRAL on the qp_ family (both orders, see
+      // BENCH.md) so the default stays on -- knob kept for re-measurement
+      .config("spark.sql.constraintPropagation.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_CONSTRAINT_PROP", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     val spark = (if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
