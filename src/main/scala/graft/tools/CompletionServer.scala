@@ -37,14 +37,38 @@ object CompletionServer {
     */
   val DefaultHandlerThreads = 8
 
+  /** Default query timeout (reference: `--query-timeout`/`-o`, 5000 ms,
+    * Globals.cpp:24; shipped apps use 2000 ms, applications/Makefile:80).
+    */
+  val DefaultQueryTimeoutMs = 5000L
+
+  /** JVM-global request ids: cancelJobGroupAndFutureJobs marks a group id
+    * cancelled from then on, so ids must never repeat across server
+    * instances sharing one SparkContext (a per-server counter would make
+    * a later server's first request inherit an earlier server's cancel).
+    */
+  private val reqCounter = new java.util.concurrent.atomic.AtomicLong()
+
   /** Start a server on `port` (0 = ephemeral); returns the bound server.
     * One Spark session serves all requests across a small handler pool.
+    *
+    * `queryTimeoutMs` is the reference's query timeout: each request runs
+    * its Spark jobs under a per-request job group, and a watchdog cancels
+    * the group at the deadline -- the engine-level analog of the
+    * reference's processQuery timeout checks (CompleterBase.cpp TIMEOUT
+    * throws). A timed-out request answers 503 with a typed error; the
+    * session itself stays healthy (job-group cancellation only fails THIS
+    * request's jobs; shared cached relations re-materialize lazily on the
+    * next request, Spark's partial-cache contract).
     */
   def start(spark: SparkSession, indexDir: String, port: Int,
-            handlerThreads: Int = DefaultHandlerThreads): com.sun.net.httpserver.HttpServer = {
+            handlerThreads: Int = DefaultHandlerThreads,
+            queryTimeoutMs: Long = DefaultQueryTimeoutMs): com.sun.net.httpserver.HttpServer = {
     val reader = new IndexReader(spark, indexDir)
     reader.dictionary.count() // warm the dictionary before the first request
     val cache = new graft.query.IndexQueryCache()
+    val watchdog = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => { val t = new Thread(r, "graft-http-watchdog"); t.setDaemon(true); t })
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress(port), 0)
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
@@ -106,6 +130,23 @@ object CompletionServer {
                 throw new IllegalArgumentException(s"unknown format: $format")
               if (format == "jsonp" && cb.isEmpty)
                 throw new IllegalArgumentException("format=jsonp needs callback=")
+              // per-request job group + watchdog cancel = the reference's
+              // query timeout. setJobGroup is thread-local, so it scopes
+              // exactly this handler thread's Spark jobs; cleared in
+              // finally so pooled threads don't leak groups across requests
+              val gid = s"graft-http-${reqCounter.incrementAndGet()}"
+              val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+              spark.sparkContext.setJobGroup(gid, s"q=$q", interruptOnCancel = true)
+              val cancel = watchdog.schedule(new Runnable {
+                override def run(): Unit = {
+                  timedOut.set(true)
+                  // ...AndFutureJobs: jobs the request submits AFTER the
+                  // deadline must fail too, or a multi-job query would keep
+                  // burning executor time long past its timeout
+                  spark.sparkContext.cancelJobGroupAndFutureJobs(
+                    gid, s"query timeout after ${queryTimeoutMs}ms")
+                }
+              }, queryTimeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
               try {
                 val result = graft.api.Search.searchIndex(
                   reader, q, k = k, completionsK = ck, excerptRadius = er,
@@ -120,8 +161,15 @@ object CompletionServer {
                 // block, empty part, bad grammar) are client input errors
                 case e: IllegalArgumentException =>
                   (400, s"""{"error":"bad request: ${e.getClass.getSimpleName}"}""", CtJson)
+                case _: Throwable if timedOut.get() =>
+                  // the watchdog cancelled this request's job group; the
+                  // reference answers a typed timeout error, not a fault
+                  (503, s"""{"error":"query timeout after ${queryTimeoutMs}ms"}""", CtJson)
                 case e: Throwable => // backend fault, not client input
                   (500, s"""{"error":"${e.getClass.getSimpleName}"}""", CtJson)
+              } finally {
+                cancel.cancel(false)
+                spark.sparkContext.clearJobGroup()
               }
           }
         } catch {
@@ -149,8 +197,9 @@ object CompletionServer {
   }
 }
 
-/** CLI entry: `CompletionServerMain <indexDir> [port] [threads]` (default
-  * 8181, 8 -- `threads` is the reference's `-m` handler-thread count).
+/** CLI entry: `CompletionServerMain <indexDir> [port] [threads] [timeoutMs]`
+  * (default 8181, 8, 5000 -- `threads` is the reference's `-m`
+  * handler-thread count, `timeoutMs` its `-o` query timeout).
   */
 object CompletionServerMain {
   def main(args: Array[String]): Unit = {
@@ -158,13 +207,15 @@ object CompletionServerMain {
     val port = rest.headOption.map(_.toInt).getOrElse(8181)
     val threads = rest.lift(1).map(_.toInt)
       .getOrElse(CompletionServer.DefaultHandlerThreads)
+    val timeoutMs = rest.lift(2).map(_.toLong)
+      .getOrElse(CompletionServer.DefaultQueryTimeoutMs)
     val spark = Cli.session("graft-completionServer")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val server = CompletionServer.start(spark, indexDir, port, threads)
+    val server = CompletionServer.start(spark, indexDir, port, threads, timeoutMs)
     println(s"graft completion server listening on port " +
-      s"${server.getAddress.getPort} ($threads handler threads; " +
-      "GET /?q=<query>&h=10&c=10)")
+      s"${server.getAddress.getPort} ($threads handler threads, " +
+      s"query timeout ${timeoutMs}ms; GET /?q=<query>&h=10&c=10)")
     Thread.currentThread().join() // serve until killed
   }
 }

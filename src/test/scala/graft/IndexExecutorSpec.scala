@@ -206,6 +206,38 @@ class IndexExecutorSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("completion server: query timeout cancels the request, session survives") {
+    import graft.tools.CompletionServer
+    def get(server: com.sun.net.httpserver.HttpServer, path: String): (Int, String) = {
+      val conn = new java.net.URL(
+        s"http://127.0.0.1:${server.getAddress.getPort}$path")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val body = scala.io.Source.fromInputStream(is, "UTF-8").mkString
+      (code, body)
+    }
+    // 1 ms deadline: the watchdog cancels the request's job group (current
+    // AND future jobs) before any Spark job can finish -> typed 503, the
+    // reference's query-timeout answer (-o, Globals.cpp:24)
+    val strict = CompletionServer.start(spark, reader.dir, port = 0,
+      queryTimeoutMs = 1L)
+    try {
+      val (code, body) = get(strict, "/?q=babbeln%20ba*&h=5")
+      assert(code === 503, body)
+      assert(body.contains("query timeout after 1ms"))
+    } finally strict.stop(0)
+    // job-group cancellation is scoped to the request: the same session
+    // answers normally afterwards (no poisoned caches, no leaked group)
+    val normal = CompletionServer.start(spark, reader.dir, port = 0)
+    try {
+      val (code, body) = get(normal, "/?q=babbeln%20ba*&h=5")
+      assert(code === 200)
+      assert(body === graft.api.Search.searchIndex(reader, "babbeln ba*",
+        k = 5).toJson)
+    } finally normal.stop(0)
+  }
+
   test("filterQueriesByVolume: reference typing-chain steps (spaces skipped)") {
     import graft.tools.FilterQueriesByVolumeMain.steps
     assert(steps("aal x") === Seq(("a", "a"), ("aa", "aa"), ("aal", "aal"),
