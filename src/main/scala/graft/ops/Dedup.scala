@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Large-scale training-data deduplication operators over the documents
@@ -8,9 +8,9 @@ import org.apache.spark.sql.functions._
   * every value bit-for-bit (no engine-private hash functions).
   *
   * Scale notes: shingle join size is bounded by sum(df^2) over shingles;
-  * 5-token shingles keep df tiny on natural text. At 100 TB you'd add a
-  * df-cap filter on shingles before the self-join (standard head-shingle
-  * guard) -- the plan shape is unchanged.
+  * 5-token shingles keep df tiny on natural text, and [[jaccardPairs]]
+  * caps head-shingle df (`maxShingleDf`) so boilerplate shingles can't
+  * blow the self-join up quadratically.
   */
 object Dedup {
 
