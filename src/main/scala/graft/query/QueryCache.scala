@@ -234,9 +234,34 @@ class IndexQueryCache(maxEntries: Int = 200,
     * against the budget (the entry pins that much storage) but eviction
     * must not unpersist what another owner may still serve.
     */
-  private case class Entry(df: DataFrame, bytes: Long, owned: Boolean)
+  private case class Entry(df: DataFrame, bytes: Long, owned: Boolean,
+                           pinned: Boolean = false)
   private val lru = new java.util.LinkedHashMap[Key, Entry](16, 0.75f, true)
   private var totalBytes = 0L
+
+  /** While true, inserts are PINNED: exempt from LRU/byte eviction for the
+    * cache's lifetime (reference `--keep-in-history-queries`,
+    * StartCompletionServer.cpp 'A': results for the named queries are
+    * computed once and never leave the history -- typically the expensive
+    * one-letter prefixes). Startup-only switch, set around the keep-query
+    * pass before the server accepts traffic; pinned bytes still count
+    * against the budget so the remaining headroom for unpinned entries is
+    * honest.
+    */
+  @volatile private var pinInserts = false
+
+  /** Run `f` with insert-pinning on (see [[pinInserts]]). */
+  def pinningInserts[T](f: => T): T = {
+    pinInserts = true
+    try f finally pinInserts = false
+  }
+
+  /** Number of pinned entries (spec hook). */
+  def pinnedCount: Int = synchronized {
+    var n = 0
+    lru.values().forEach(e => if (e.pinned) n += 1)
+    n
+  }
 
   var hits = 0L
   var filteredHits = 0L
@@ -316,7 +341,7 @@ class IndexQueryCache(maxEntries: Int = 200,
             // round-3 corruption scenario).
             won.df
           } else {
-            lru.put(key, Entry(persisted, bytes, owned))
+            lru.put(key, Entry(persisted, bytes, owned, pinned = pinInserts))
             totalBytes += bytes
             evictOverBudget()
             persisted
@@ -325,19 +350,27 @@ class IndexQueryCache(maxEntries: Int = 200,
     }
   }
 
-  /** Evict least-recently-used entries while over the entry cap or byte
-    * budget; the just-inserted (youngest) entry is never the victim -- one
-    * oversized relation evicts the rest and stays cached alone rather than
-    * thrashing in and out.
+  /** Evict least-recently-used UNPINNED entries while over the entry cap
+    * or byte budget; the just-inserted (youngest) entry is never the
+    * victim -- one oversized relation evicts the rest and stays cached
+    * alone rather than thrashing in and out. Pinned entries are skipped
+    * (never evicted), so a budget fully occupied by pins simply stops
+    * evicting -- the reference's keep-queries behave the same way.
     */
   private def evictOverBudget(): Unit = {
     val it = lru.entrySet().iterator()
-    while ((lru.size > maxEntries || totalBytes > maxBytes) && lru.size > 1) {
+    var seen = 0
+    val candidates = lru.size - 1 // everything but the youngest
+    while ((lru.size > maxEntries || totalBytes > maxBytes) &&
+        it.hasNext && seen < candidates) {
       val eldest = it.next()
-      if (eldest.getValue.owned) eldest.getValue.df.unpersist()
-      totalBytes -= eldest.getValue.bytes
-      evictions += 1
-      it.remove()
+      seen += 1
+      if (!eldest.getValue.pinned) {
+        if (eldest.getValue.owned) eldest.getValue.df.unpersist()
+        totalBytes -= eldest.getValue.bytes
+        evictions += 1
+        it.remove()
+      }
     }
   }
 

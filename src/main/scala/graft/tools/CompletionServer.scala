@@ -60,13 +60,39 @@ object CompletionServer {
     * session itself stays healthy (job-group cancellation only fails THIS
     * request's jobs; shared cached relations re-materialize lazily on the
     * next request, Spark's partial-cache contract).
+    *
+    * `warmQueries` (reference `--warm-history-queries`/`-I`): each query
+    * runs through the serving history BEFORE the socket accepts requests,
+    * so the first real keystrokes hit warm relations. `keepQueries`
+    * (reference `--keep-in-history-queries`/`-A`) additionally PINS its
+    * queries' relations -- they never leave the history under LRU/byte
+    * pressure (the classic use: the expensive one-letter prefixes).
+    * `enableCors` (reference `--enable-cors`/`-O`) adds
+    * `Access-Control-Allow-Origin: *` for browser frontends on other
+    * origins. `normalizeWords` (reference `--normalize-words`/`-N`) makes
+    * the w -> w|w:* normalization rewrite the server default, for indexes
+    * built with norm variants.
     */
   def start(spark: SparkSession, indexDir: String, port: Int,
             handlerThreads: Int = DefaultHandlerThreads,
-            queryTimeoutMs: Long = DefaultQueryTimeoutMs): com.sun.net.httpserver.HttpServer = {
+            queryTimeoutMs: Long = DefaultQueryTimeoutMs,
+            warmQueries: Seq[String] = Nil,
+            enableCors: Boolean = false,
+            cache: graft.query.IndexQueryCache = new graft.query.IndexQueryCache(),
+            keepQueries: Seq[String] = Nil,
+            normalizeWords: Boolean = false)
+      : com.sun.net.httpserver.HttpServer = {
     val reader = new IndexReader(spark, indexDir)
     reader.dictionary.count() // warm the dictionary before the first request
-    val cache = new graft.query.IndexQueryCache()
+    def preRun(qs: Seq[String], what: String): Unit = qs.foreach { q =>
+      // a bad startup query must not keep the server from starting
+      scala.util.Try(
+        graft.api.Search.searchIndex(reader, q, cache = Some(cache))
+      ).failed.foreach(e =>
+        System.err.println(s"[completion-server] $what query '$q' failed: $e"))
+    }
+    cache.pinningInserts(preRun(keepQueries, "keep"))
+    preRun(warmQueries, "warm")
     val watchdog = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
       (r: Runnable) => { val t = new Thread(r, "graft-http-watchdog"); t.setDaemon(true); t })
     val server = com.sun.net.httpserver.HttpServer.create(
@@ -92,9 +118,13 @@ object CompletionServer {
               val k = params.get("h").map(_.toInt).getOrElse(10)
               val ck = params.get("c").map(_.toInt).getOrElse(10)
               val er = params.get("er").map(_.toInt).getOrElse(2)
+              // server-level normalize-words default (reference -N /
+              // --normalize-words): the w -> w|w:* rewrite resolving the
+              // indexed norm variants; per-request params layer on top
               var qp = params.get("s")
                 .map(graft.query.QueryParams.withAggChars(_))
                 .getOrElse(graft.query.QueryParams.Default)
+                .copy(normalizeWords = normalizeWords)
               params.get("n").foreach { n =>
                 n.split("\\.\\.", 2) match {
                   case Array(a, b) => qp = qp.copy(window = Some((a.toInt, b.toInt)))
@@ -178,6 +208,8 @@ object CompletionServer {
         }
       val bytes = response._2.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       exchange.getResponseHeaders.set("Content-Type", response._3)
+      if (enableCors) // reference --enable-cors (CompletionServer.cpp)
+        exchange.getResponseHeaders.set("Access-Control-Allow-Origin", "*")
       exchange.sendResponseHeaders(response._1, bytes.length)
       val os = exchange.getResponseBody
       try os.write(bytes) finally os.close()
@@ -197,25 +229,55 @@ object CompletionServer {
   }
 }
 
-/** CLI entry: `CompletionServerMain <indexDir> [port] [threads] [timeoutMs]`
-  * (default 8181, 8, 5000 -- `threads` is the reference's `-m`
-  * handler-thread count, `timeoutMs` its `-o` query timeout).
+/** CLI entry: `CompletionServerMain <indexDir> [port] [threads] [timeoutMs]
+  * [--cors] [--warm <file>] [--keep <file>]` (defaults 8181, 8, 5000 --
+  * `threads` is the reference's `-m` handler-thread count, `timeoutMs` its
+  * `-o` query timeout, `--cors` its `-O`, `--warm` its `-I`
+  * warm-history-queries file, `--keep` its `-A` keep-in-history-queries
+  * file, `--normalize-words` its `-N`; files: one query per line, `#`
+  * comments).
   */
 object CompletionServerMain {
+  private def queriesFile(f: String): Seq[String] =
+    scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(f))).asScala
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+
   def main(args: Array[String]): Unit = {
     val Array(indexDir, rest @ _*) = args: @unchecked
-    val port = rest.headOption.map(_.toInt).getOrElse(8181)
-    val threads = rest.lift(1).map(_.toInt)
+    val enableCors = rest.contains("--cors")
+    val normalizeWords = rest.contains("--normalize-words")
+    def fileOpt(flag: String): Option[String] =
+      rest.sliding(2).collectFirst { case Seq(`flag`, f) => f }
+    val warmQueries = fileOpt("--warm").toSeq.flatMap(queriesFile)
+    val keepQueries = fileOpt("--keep").toSeq.flatMap(queriesFile)
+    val positional = {
+      // drop flag tokens and their operands before positional parsing
+      val b = rest.toBuffer
+      b -= "--cors"
+      b -= "--normalize-words"
+      for (flag <- Seq("--warm", "--keep")) {
+        val i = b.indexOf(flag)
+        if (i >= 0) b.remove(i, math.min(2, b.length - i))
+      }
+      b.toSeq
+    }
+    val port = positional.headOption.map(_.toInt).getOrElse(8181)
+    val threads = positional.lift(1).map(_.toInt)
       .getOrElse(CompletionServer.DefaultHandlerThreads)
-    val timeoutMs = rest.lift(2).map(_.toLong)
+    val timeoutMs = positional.lift(2).map(_.toLong)
       .getOrElse(CompletionServer.DefaultQueryTimeoutMs)
     val spark = Cli.session("graft-completionServer")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val server = CompletionServer.start(spark, indexDir, port, threads, timeoutMs)
+    val server = CompletionServer.start(spark, indexDir, port, threads,
+      timeoutMs, warmQueries, enableCors, keepQueries = keepQueries,
+      normalizeWords = normalizeWords)
     println(s"graft completion server listening on port " +
       s"${server.getAddress.getPort} ($threads handler threads, " +
-      s"query timeout ${timeoutMs}ms; GET /?q=<query>&h=10&c=10)")
+      s"query timeout ${timeoutMs}ms, ${warmQueries.size} warm + " +
+      s"${keepQueries.size} pinned queries" +
+      s"${if (enableCors) ", CORS" else ""}; GET /?q=<query>&h=10&c=10)")
     Thread.currentThread().join() // serve until killed
   }
 }

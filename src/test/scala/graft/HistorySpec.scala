@@ -61,6 +61,26 @@ class HistorySpec extends AnyFunSuite {
     cache.clear()
   }
 
+  test("pinned entries survive LRU/byte pressure; unpinned still evict") {
+    val cache = new IndexQueryCache(maxEntries = 3, maxBytes = Long.MaxValue)
+    val src = new CachedIndexAtomSource(reader, cache)
+    cache.pinningInserts { Eval.topK(src, "alpha", 10).collect() }
+    assert(cache.pinnedCount === 1)
+    // flood far past the entry cap: the pinned atom must never be evicted
+    Seq("beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta", "iota")
+      .foreach { w => Eval.topK(src, w, 10).collect() }
+    assert(cache.size === 3) // cap respected (pinned + 2 survivors)
+    assert(cache.pinnedCount === 1)
+    assert(cache.evictions > 0) // unpinned entries did evict
+    // fresh source (fresh per-query memo) so the lookup must go to the
+    // history, not the source's own decode-once memo
+    val missesBefore = cache.misses
+    Eval.topK(new CachedIndexAtomSource(reader, cache), "alpha", 10).collect()
+    assert(cache.misses === missesBefore, "pinned atom answers from history")
+    assert(cache.hits > 0)
+    cache.clear()
+  }
+
   test("bounded executor storage + effective memo across many distinct single-shot queries") {
     val before = spark.sparkContext.getPersistentRDDs.size
     val cache = new IndexQueryCache(maxEntries = 8, maxBytes = Long.MaxValue)

@@ -238,6 +238,41 @@ class IndexExecutorSpec extends AnyFunSuite {
     } finally normal.stop(0)
   }
 
+  test("completion server: warm-history queries pre-fill the cache; CORS on request") {
+    import graft.tools.CompletionServer
+    val warmed = new graft.query.IndexQueryCache()
+    val server = CompletionServer.start(spark, reader.dir, port = 0,
+      warmQueries = Seq("babbeln ba*", "[broken"), // bad warm query ignored
+      enableCors = true, cache = warmed)
+    try {
+      val missesAfterWarm = warmed.misses
+      assert(missesAfterWarm > 0) // the warm pass populated the history
+      val conn = new java.net.URL(
+        s"http://127.0.0.1:${server.getAddress.getPort}/?q=babbeln%20ba*")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode === 200)
+      assert(conn.getHeaderField("Access-Control-Allow-Origin") === "*")
+      scala.io.Source.fromInputStream(conn.getInputStream, "UTF-8").mkString
+      // the request was served FROM the warmed history: no new misses
+      assert(warmed.misses === missesAfterWarm)
+      assert(warmed.hits > 0)
+    } finally server.stop(0)
+    // CORS off by default; --normalize-words server default = the
+    // normalizeWords query param (parity, reference -N)
+    val plain = CompletionServer.start(spark, reader.dir, port = 0,
+      normalizeWords = true)
+    try {
+      val conn = new java.net.URL(
+        s"http://127.0.0.1:${plain.getAddress.getPort}/?q=aal")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode === 200)
+      assert(conn.getHeaderField("Access-Control-Allow-Origin") === null)
+      val body = scala.io.Source.fromInputStream(conn.getInputStream, "UTF-8").mkString
+      assert(body === graft.api.Search.searchIndex(reader, "aal",
+        params = graft.query.QueryParams(normalizeWords = true)).toJson)
+    } finally plain.stop(0)
+  }
+
   test("filterQueriesByVolume: reference typing-chain steps (spaces skipped)") {
     import graft.tools.FilterQueriesByVolumeMain.steps
     assert(steps("aal x") === Seq(("a", "a"), ("aa", "aa"), ("aal", "aal"),
