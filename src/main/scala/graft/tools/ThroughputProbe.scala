@@ -65,6 +65,26 @@ object ThroughputProbe {
     // one untimed pass of a few queries to warm codegen paths
     pool.take(4).foreach(q => IndexExecutor.topK(reader, q, 10).collect())
 
+    // SPARK_GRAFT_TP_HTTP=1: drive the FULL wire path (HTTP handler pool,
+    // per-request job group + timeout watchdog, JSON render) instead of
+    // the engine facade -- measures what a real client sees
+    val httpMode = sys.env.get("SPARK_GRAFT_TP_HTTP").contains("1")
+    val server = if (httpMode)
+      Some(CompletionServer.start(spark, dir, port = 0, handlerThreads = 32))
+    else None
+    def runQuery(q: String): Unit =
+      if (httpMode) {
+        val u = java.net.URLEncoder.encode(q, "UTF-8")
+        val conn = new java.net.URL(
+          s"http://127.0.0.1:${server.get.getAddress.getPort}/?q=$u&h=10")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val code = conn.getResponseCode
+        if (code != 200) throw new RuntimeException(s"HTTP $code for $q")
+        val is = conn.getInputStream
+        try { val buf = new Array[Byte](8192); while (is.read(buf) >= 0) () }
+        finally is.close()
+      } else IndexExecutor.topK(reader, q, 10).collect(): Unit
+
     for (t <- Seq(1, 4, 16, 32)) {
       val idx = new java.util.concurrent.atomic.AtomicInteger(0)
       val errors = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -75,7 +95,7 @@ object ThroughputProbe {
           var i = idx.getAndIncrement()
           while (i < total) {
             val s = System.nanoTime()
-            try IndexExecutor.topK(reader, pool(i), 10).collect()
+            try runQuery(pool(i))
             catch { case _: Throwable => errors.incrementAndGet() }
             lats.add((System.nanoTime() - s) / 1e6)
             i = idx.getAndIncrement()
@@ -92,6 +112,7 @@ object ThroughputProbe {
         f"p50 ${Bench.percentile(xs, 0.5)}%7.1f ms  p95 ${Bench.percentile(xs, 0.95)}%7.1f ms" +
         (if (errors.get > 0) s"  ERRORS=${errors.get}" else ""))
     }
+    server.foreach(_.stop(0))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     spark.stop()
   }
