@@ -21,13 +21,16 @@ object Bench {
     * query-set shapes (end2end.py templates, FIXTURES.md §4).
     */
   val QuerySet: Seq[(String, IndexReader => org.apache.spark.sql.DataFrame)] = Seq(
-    "kw:spark" -> ((r: IndexReader) => r.topKOrFull(Seq("spark"), 10)),
-    "kw:merge" -> ((r: IndexReader) => r.topKOrFull(Seq("merge"), 10)),
-    "or3" -> ((r: IndexReader) => r.topKOrWand(Seq("spark", "hash", "merge"), 10)),
-    "or4" -> ((r: IndexReader) => r.topKOrWand(Seq("batch", "stream", "vector", "window"), 10)),
-    "prefix:st" -> ((r: IndexReader) => r.topKPrefixDocs("st", 10)),
-    "prefix:s" -> ((r: IndexReader) => r.topKPrefixDocs("s", 10)),
-    "prefix:b" -> ((r: IndexReader) => r.topKPrefixDocs("b", 10)),
+    // serve* facades: the driver-resident fast path under its guards, the
+    // distributed plans past them -- what a serving client actually calls;
+    // results are spec-pinned identical to the explicit operator paths
+    "kw:spark" -> ((r: IndexReader) => r.serveTopKOr(Seq("spark"), 10)),
+    "kw:merge" -> ((r: IndexReader) => r.serveTopKOr(Seq("merge"), 10)),
+    "or3" -> ((r: IndexReader) => r.serveTopKOr(Seq("spark", "hash", "merge"), 10)),
+    "or4" -> ((r: IndexReader) => r.serveTopKOr(Seq("batch", "stream", "vector", "window"), 10)),
+    "prefix:st" -> ((r: IndexReader) => r.servePrefixDocs("st", 10)),
+    "prefix:s" -> ((r: IndexReader) => r.servePrefixDocs("s", 10)),
+    "prefix:b" -> ((r: IndexReader) => r.servePrefixDocs("b", 10)),
     // full grammar served from the index (parser -> Eval -> block scan)
     "qp:and_prefix" -> ((r: IndexReader) => graft.query.IndexExecutor.topK(r, "spark st*", 10)),
     "qp:phrase" -> ((r: IndexReader) => graft.query.IndexExecutor.topK(r, "batch.batch", 10)),

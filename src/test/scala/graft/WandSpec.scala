@@ -71,4 +71,52 @@ class WandSpec extends AnyFunSuite {
     assert(wand === full)
     assert(wand.map(_._1).forall(_ < 10L))
   }
+
+  test("driver-resident serving path: identical results, zero jobs when warm") {
+    val docs = (
+      (0L until 10L).map(i => (i, "gold silver web mining")) ++
+      (10L until 400L).map(i => (i, s"web page number$i content words"))
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_serve").toString
+    IndexBuilder.build(spark, docs, dir, numShards = 1, blockSize = 32,
+      buildPartitions = 4)
+    val reader = new IndexReader(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    // parity: the local path must equal the distributed operators exactly
+    // (same scores at 4dp, same total order) -- single keyword, OR, prefix
+    for (q <- Seq(Seq("gold"), Seq("gold", "web"), Seq("silver", "mining", "web")))
+      assert(rows(reader.serveTopKOr(q, 10)) === rows(reader.topKOrFull(q, 10)), q)
+    assert(rows(reader.servePrefixDocs("numbe", 10)) ===
+      rows(reader.topKPrefixDocs("numbe", 10)))
+    assert(rows(reader.servePrefixDocs("go", 10)) ===
+      rows(reader.topKPrefixDocs("go", 10)))
+    // guard fallback: a zero budget forces the distributed plan -- results
+    // identical either way
+    assert(rows(reader.serveTopKOr(Seq("gold", "web"), 10, maxLocalPostings = 0)) ===
+      rows(reader.serveTopKOr(Seq("gold", "web"), 10)))
+    assert(rows(reader.servePrefixDocs("go", 10, maxLocalPostings = 0)) ===
+      rows(reader.servePrefixDocs("go", 10)))
+    // unknown terms: same empty/partial semantics as the operator path
+    assert(rows(reader.serveTopKOr(Seq("nosuchword"), 10)).isEmpty)
+    assert(rows(reader.serveTopKOr(Seq("gold", "nosuchword"), 10)) ===
+      rows(reader.topKOrFull(Seq("gold", "nosuchword"), 10)))
+
+    // warm = ZERO Spark jobs: every list is now driver-resident
+    assert(reader.localListCount > 0)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      rows(reader.serveTopKOr(Seq("gold", "web"), 10))
+      rows(reader.servePrefixDocs("go", 10))
+      Thread.sleep(500) // listener bus is async
+      assert(jobs.get() === 0, "warm serve must run no Spark jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
