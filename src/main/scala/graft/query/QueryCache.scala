@@ -323,8 +323,22 @@ class IndexQueryCache(maxEntries: Int = 200,
       case Left(planOpt) =>
         // outside the lock: may run driver jobs (block locate, decode,
         // size measurement)
-        val plan = planOpt.getOrElse(compute(atom))
-        val owned = plan.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+        val plan0 = planOpt.getOrElse(compute(atom))
+        // shape the persisted relation to the session's query parallelism:
+        // atom relations inherit the block scan's partitioning (32 cached
+        // partitions locally), but every WARM query re-reads them, paying
+        // per-partition task overhead each time. coalesce to
+        // spark.sql.shuffle.partitions -- the latency-phase setting (8)
+        // locally, a no-op at production partition counts (coalesce never
+        // raises), so the shape stays scale-safe.
+        val owned = plan0.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+        val target = scala.util.Try(
+          plan0.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+          .getOrElse(0)
+        // coalesce only what WE persist -- a relation that arrived
+        // persisted keeps its owner's shape (coalescing it would hide its
+        // storage level and double-persist a derived plan)
+        val plan = if (owned && target > 0) plan0.coalesce(target) else plan0
         val persisted =
           if (owned) plan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           else plan // arrived persisted: owned elsewhere, never unpersist it

@@ -390,14 +390,19 @@ class IndexExecutorSpec extends AnyFunSuite {
   }
 
   test("each atom resolves to ONE persisted relation per query (decode-once)") {
-    import graft.query.{IndexAtomSource, QueryParser}
+    import graft.query.{CachedIndexAtomSource, IndexAtomSource, IndexQueryCache, QueryParser}
     val src = new IndexAtomSource(reader)
     val atom = QueryParser.Word("aal")
     val a = src.atomScoredCached(atom)
     val b = src.atomScoredCached(atom)
     assert(a eq b, "memo must return the same DataFrame instance")
-    assert(a.storageLevel.useMemory || a.storageLevel.useDisk,
-      "atom relation must be persisted so scores+positions share one decode")
+    // persistence is OWNED by the serving history (the memo itself never
+    // persists): the same atom through a history-backed source is a
+    // persisted relation, so scores+positions share one decode
+    val hist = new CachedIndexAtomSource(reader, new IndexQueryCache())
+    val h = hist.atomScoredCached(atom)
+    assert(h.storageLevel.useMemory || h.storageLevel.useDisk,
+      "history-backed atom relation must be persisted")
     // a fresh source (new query) resolves independently
     val src2 = new IndexAtomSource(reader)
     assert(!(src2.atomScoredCached(atom) eq a))
