@@ -31,10 +31,11 @@ object Bench {
     "prefix:st" -> ((r: IndexReader) => r.servePrefixDocs("st", 10)),
     "prefix:s" -> ((r: IndexReader) => r.servePrefixDocs("s", 10)),
     "prefix:b" -> ((r: IndexReader) => r.servePrefixDocs("b", 10)),
-    // full grammar served from the index (parser -> Eval -> block scan)
-    "qp:and_prefix" -> ((r: IndexReader) => graft.query.IndexExecutor.topK(r, "spark st*", 10)),
-    "qp:phrase" -> ((r: IndexReader) => graft.query.IndexExecutor.topK(r, "batch.batch", 10)),
-    "qp:not" -> ((r: IndexReader) => graft.query.IndexExecutor.topK(r, "spark -join", 10)))
+    // full grammar through the serving seam (LocalServe under its guards,
+    // parser -> Eval -> block scan past them)
+    "qp:and_prefix" -> ((r: IndexReader) => graft.query.IndexExecutor.serveHits(r, "spark st*", 10)),
+    "qp:phrase" -> ((r: IndexReader) => graft.query.IndexExecutor.serveHits(r, "batch.batch", 10)),
+    "qp:not" -> ((r: IndexReader) => graft.query.IndexExecutor.serveHits(r, "spark -join", 10)))
 
   /** Deterministic corpus expansion for throughput measurement: replicate
     * the documents table k times with shifted doc ids (identical content,

@@ -96,30 +96,33 @@ object Search {
                   completionsK: Int = 10, excerptRadius: Int = 2,
                   cache: Option[graft.query.IndexQueryCache] = None,
                   params: graft.query.QueryParams = graft.query.QueryParams.Default): SearchResult = {
-    val topk = cache match {
-      case Some(c) => graft.query.IndexExecutor.hits(reader, query, k, params, c)
-      case None => graft.query.IndexExecutor.hits(reader, query, k, params)
-    }
+    // serve* facades: the driver-resident grammar path under its guards
+    // (zero Spark jobs warm), the distributed plans past them
+    val topk = graft.query.IndexExecutor.serveHits(reader, query, k, params, cache)
     // stays by-name through assemble: completions plan (and its candidate
     // round-trips) only builds when the last part is a prefix
-    def compl = cache match {
-      case Some(c) =>
-        graft.query.IndexExecutor.completions(reader, query, completionsK, params, c)
-      case None =>
-        graft.query.IndexExecutor.completions(reader, query, completionsK, params)
-    }
+    def compl = graft.query.IndexExecutor.serveCompletions(
+      reader, query, completionsK, params, cache)
     assemble(query, k, completionsK, topk, compl,
       (hits, ex, pf) =>
         // no docs store built next to this index -> hits without excerpts
         // (the reference server likewise needs docs.DB for excerpts)
         if (reader.hasDocsStore)
-          Excerpts.generateAll(reader.docs, hits, ex, pf, excerptRadius,
-            params.excerptsPerHit)
+          // locally-served hits read texts from the driver docs LRU (zero
+          // jobs warm); distributed hits keep the semi-join
+          graft.query.LocalServe.excerptsAll(reader, hits, ex, pf,
+            excerptRadius, params.excerptsPerHit).getOrElse(
+            Excerpts.generateAll(reader.docs, hits, ex, pf, excerptRadius,
+              params.excerptsPerHit))
         else hits.sparkSession.emptyDataFrame
           .select(org.apache.spark.sql.functions.lit(0L).as("doc_id"),
             org.apache.spark.sql.functions.lit("").as("excerpt"))
           .limit(0),
-      hits => if (reader.hasDocsStore) urlsOf(reader.docs, hits) else Map.empty)
+      hits =>
+        if (reader.hasDocsStore)
+          graft.query.LocalServe.urls(reader, hits)
+            .getOrElse(urlsOf(reader.docs, hits))
+        else Map.empty)
   }
 
   /** Hit urls from a (doc_id, url, ...) relation: broadcast semi-join on

@@ -25,7 +25,8 @@ object Excerpts {
     * testdata corpora contain no '^' (verified in ExcerptsSpec), so the
     * gates are exact there; '^'-bearing text is covered by specs instead.
     */
-  private val SepRegex = "[!\"#$%&'()*+,\\-./@\\[\\\\\\]{|}~:;<=>? ]+"
+  private[query] val SepRegexStr = "[!\"#$%&'()*+,\\-./@\\[\\\\\\]{|}~:;<=>? ]+"
+  private val SepRegex = SepRegexStr
 
   /** Token matches if ANY of its ^-separated parts matches a query word
     * (exact or prefix) -- reference: multi-part words are highlighted when

@@ -126,6 +126,14 @@ class IndexAtomSource(reader: IndexReader) extends AtomSource {
   override def singleTerm(atom: Atom): Boolean =
     candidateInfo(atom, candidates(atom))._2.exists(_.length == 1)
 
+  /** Candidate id runs + driver-held slice for an atom -- the resolution
+    * the driver-resident grammar path ([[LocalServe]]) shares with the
+    * distributed plans (one memoized round-trip either way).
+    */
+  private[query] def candidateRunsSlice(atom: Atom):
+      (Seq[(Long, Long)], Option[Array[(Long, String, Long)]]) =
+    candidateInfo(atom, candidates(atom))
+
   /** Pruned block relation for an atom (spec hook). */
   private[graft] def prunedBlocks(atom: Atom): Option[DataFrame] = {
     val runs = candidateInfo(atom, candidates(atom))._1
@@ -253,6 +261,31 @@ object IndexExecutor {
 
   def completions(reader: IndexReader, query: String, k: Int): DataFrame =
     Eval.completions(defaultSrc(reader), query, k)
+
+  // ---- serving facades --------------------------------------------------
+  // The driver-resident grammar path under its guards, the distributed
+  // plans past them -- what a serving client calls (Search/CompletionServer
+  // route through these). The explicit topK/hits/completions above are
+  // unchanged and keep pinning the distributed plans in every gate;
+  // LocalServeSpec pins the two paths' results identical.
+
+  /** Top-k hits through the local/distributed serving seam. */
+  def serveHits(reader: IndexReader, query: String, k: Int,
+                params: QueryParams = QueryParams.Default,
+                cache: Option[IndexQueryCache] = None): DataFrame =
+    LocalServe.hits(reader, query, k, params).getOrElse(cache match {
+      case Some(c) => hits(reader, query, k, params, c)
+      case None => hits(reader, query, k, params)
+    })
+
+  /** Completions through the local/distributed serving seam. */
+  def serveCompletions(reader: IndexReader, query: String, k: Int,
+                       params: QueryParams = QueryParams.Default,
+                       cache: Option[IndexQueryCache] = None): DataFrame =
+    LocalServe.completions(reader, query, k, params).getOrElse(cache match {
+      case Some(c) => completions(reader, query, k, params, c)
+      case None => completions(reader, query, k, params)
+    })
 
   def completions(reader: IndexReader, query: String, k: Int,
                   params: QueryParams): DataFrame =
