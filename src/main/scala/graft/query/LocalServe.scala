@@ -440,6 +440,7 @@ object LocalServe {
           val ids = if (asc) rel.docIds.indices else rel.docIds.indices.reverse
           ids.slice(params.firstHit, n)
             .map(i => (rel.docIds(i), round4(rel.scores(i))))
+        case _ if n == 0 => Seq.empty // k = 0: an empty page of the order
         case _ =>
           val asc = params.sortDocsAsc.getOrElse(false)
           val cand: Array[Int] =

@@ -107,6 +107,36 @@ class LocalServeSpec extends AnyFunSuite {
       === hitsRows(IndexExecutor.topK(reader, "[aachen aa*#merge aa*]", 10)))
   }
 
+  test("k = 0 and page-past-the-end serve empty pages like the distributed path") {
+    for (p <- Seq(QueryParams(firstHit = 0), QueryParams(firstHit = 5),
+        QueryParams(rankDocs = "doc"))) {
+      val local = LocalServe.hits(reader, "aachen aal", 0, p)
+      assert(local.isDefined)
+      assert(hitsRows(local.get) === hitsRows(IndexExecutor.hits(reader, "aachen aal", 0, p)))
+    }
+    val past = LocalServe.hits(reader, "aachen aal", 10, QueryParams(firstHit = 10000))
+    assert(past.isDefined && hitsRows(past.get).isEmpty)
+  }
+
+  test("concurrent mixed queries through the local path stay correct") {
+    val qs = shapes.filterNot(_.contains("~")) // keep the pool cheap
+    val expected = qs.map(q => q -> hitsRows(IndexExecutor.topK(reader, q, 10))).toMap
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (1 to 8).map { t =>
+      new Thread(() => {
+        try {
+          for (i <- 0 until 40) {
+            val q = qs((i + t) % qs.length)
+            val got = hitsRows(LocalServe.hits(reader, q, 10, QueryParams.Default).get)
+            if (got != expected(q)) errors.add(s"mismatch for $q on thread $t")
+          }
+        } catch { case e: Throwable => errors.add(s"thread $t: $e") }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, errors.toString)
+  }
+
   test("local excerpt generation is identical to the distributed Excerpts plans") {
     import graft.query.{Excerpts, LocalServe => LS}
     // unicode + '^' multi-part + punctuation separators + multi-window
