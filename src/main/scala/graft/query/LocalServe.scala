@@ -413,6 +413,50 @@ object LocalServe {
     Rel(d.toArray, s.toArray, m.toArray)
   }
 
+  // ---- whole-result history ---------------------------------------------------
+  //
+  // The reference History caches whole QueryResults keyed by the query
+  // string, re-used only when the request parameters are compatible
+  // (History.h:25-110; CompleterBase.cpp:1125-1139). The local twin: a
+  // per-reader LRU of (epoch, kind, query, k, params) -> the final page
+  // rows. Pages are k-sized, so the entry cap bounds memory at a few MB;
+  // a warm repeated query costs a map lookup + LocalRelation build.
+
+  private final class ResultCache {
+    private val lru = new java.util.LinkedHashMap[
+      (Long, String, String, Int, QueryParams), AnyRef](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Long, String, String, Int, QueryParams), AnyRef]): Boolean =
+        size > LocalServe.ResultCacheMaxEntries
+    }
+    def get(k: (Long, String, String, Int, QueryParams)): AnyRef =
+      synchronized(lru.get(k))
+    def put(k: (Long, String, String, Int, QueryParams), v: AnyRef): Unit =
+      synchronized { lru.put(k, v); () }
+    def count: Int = synchronized(lru.size)
+  }
+
+  /** Result-history entry cap (pages are k-sized rows, so this bounds the
+    * cache at a few MB -- the reference's History byte budget role).
+    */
+  val ResultCacheMaxEntries: Int = 4096
+
+  /** A/B kill switch (SPARK_GRAFT_NO_RESULT_HISTORY=1): disable the
+    * whole-result page cache so latency probes can separate history-hit
+    * cost from the local compute path.
+    */
+  private lazy val resultHistoryEnabled: Boolean =
+    !sys.env.get("SPARK_GRAFT_NO_RESULT_HISTORY").contains("1")
+
+  private val resultCaches = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[IndexReader, ResultCache]())
+  private def resultCacheFor(reader: IndexReader): ResultCache =
+    resultCaches.computeIfAbsent(reader, _ => new ResultCache)
+
+  /** spec hook */
+  private[graft] def cachedResultCount(reader: IndexReader): Int =
+    resultCacheFor(reader).count
+
   // ---- top-k / completions facades -------------------------------------------
 
   private def round4(x: Double): Double =
@@ -430,6 +474,10 @@ object LocalServe {
     if (!IndexReader.localServeEnabled) return None
     val spark = reader.spark
     import spark.implicits._
+    val histKey = (reader.indexEpoch, "h", query, k, params)
+    val cached = if (resultHistoryEnabled) resultCacheFor(reader).get(histKey) else null
+    if (cached != null)
+      return Some(cached.asInstanceOf[Seq[(Long, Double)]].toDF("doc_id", "score"))
     val parsed = QueryParser.parse(query, params.normalizeWords)
     val src = new IndexAtomSource(reader)
     evalDocsLocal(reader, src, parsed, params).map { rel =>
@@ -467,6 +515,7 @@ object LocalServe {
             else rounded.sortBy { case (doc, sc) => (-sc, doc) }
           sorted.slice(params.firstHit, n).toSeq
       }
+      resultCacheFor(reader).put(histKey, page)
       page.toDF("doc_id", "score")
     }
   }
@@ -479,6 +528,11 @@ object LocalServe {
     if (!IndexReader.localServeEnabled) return None
     val spark = reader.spark
     import spark.implicits._
+    val histKey = (reader.indexEpoch, "c", query, k, params)
+    val cached = if (resultHistoryEnabled) resultCacheFor(reader).get(histKey) else null
+    if (cached != null)
+      return Some(cached.asInstanceOf[Seq[(String, Double, Long, Long)]]
+        .toDF("term", "score", "dc", "oc"))
     val parsed = QueryParser.parse(query, params.normalizeWords)
     val src = new IndexAtomSource(reader)
     for {
@@ -523,7 +577,9 @@ object LocalServe {
           if (params.sortWordsAsc.getOrElse(false)) rows.sortBy(r => (r._2, r._1))
           else rows.sortBy(r => (-r._2, r._1))
       }
-      ordered.take(k).toSeq.toDF("term", "score", "dc", "oc")
+      val page = ordered.take(k).toSeq
+      resultCacheFor(reader).put(histKey, page)
+      page.toDF("term", "score", "dc", "oc")
     }
   }
 

@@ -118,6 +118,23 @@ class LocalServeSpec extends AnyFunSuite {
     assert(past.isDefined && hitsRows(past.get).isEmpty)
   }
 
+  test("whole-result history: repeats hit the page cache, keyed by params") {
+    val q = "aachen aal aalglatt"
+    val a = hitsRows(LocalServe.hits(reader, q, 10, QueryParams.Default).get)
+    val n1 = LocalServe.cachedResultCount(reader)
+    assert(n1 > 0)
+    val b = hitsRows(LocalServe.hits(reader, q, 10, QueryParams.Default).get)
+    assert(a === b)
+    assert(LocalServe.cachedResultCount(reader) === n1,
+      "a repeat must not add a history entry")
+    // a different parameterization is a DIFFERENT history row (reference:
+    // History re-computes on incompatible parameters)
+    val p2 = QueryParams(firstHit = 1)
+    val paged = hitsRows(LocalServe.hits(reader, q, 10, p2).get)
+    assert(LocalServe.cachedResultCount(reader) === n1 + 1)
+    assert(paged === hitsRows(IndexExecutor.hits(reader, q, 10, p2)))
+  }
+
   test("concurrent mixed queries through the local path stay correct") {
     val qs = shapes.filterNot(_.contains("~")) // keep the pool cheap
     val expected = qs.map(q => q -> hitsRows(IndexExecutor.topK(reader, q, 10))).toMap
