@@ -21,16 +21,20 @@ object Bench {
     * query-set shapes (end2end.py templates, FIXTURES.md §4).
     */
   val QuerySet: Seq[(String, IndexReader => org.apache.spark.sql.DataFrame)] = Seq(
-    // serve* facades: the driver-resident fast path under its guards, the
-    // distributed plans past them -- what a serving client actually calls;
-    // results are spec-pinned identical to the explicit operator paths
-    "kw:spark" -> ((r: IndexReader) => r.serveTopKOr(Seq("spark"), 10)),
-    "kw:merge" -> ((r: IndexReader) => r.serveTopKOr(Seq("merge"), 10)),
-    "or3" -> ((r: IndexReader) => r.serveTopKOr(Seq("spark", "hash", "merge"), 10)),
-    "or4" -> ((r: IndexReader) => r.serveTopKOr(Seq("batch", "stream", "vector", "window"), 10)),
-    "prefix:st" -> ((r: IndexReader) => r.servePrefixDocs("st", 10)),
-    "prefix:s" -> ((r: IndexReader) => r.servePrefixDocs("s", 10)),
-    "prefix:b" -> ((r: IndexReader) => r.servePrefixDocs("b", 10)),
+    // serveHits: the client surface (Search/CompletionServer route here) --
+    // driver-resident grammar path + whole-result history under their
+    // guards, the distributed plans past them; results are spec-pinned
+    // identical to the explicit operator paths AND to the reader-native
+    // serveTopKOr/servePrefixDocs facades. A/B knobs:
+    // SPARK_GRAFT_NO_RESULT_HISTORY=1 measures the compute path,
+    // SPARK_GRAFT_NO_LOCAL_SERVE=1 the distributed plans.
+    "kw:spark" -> ((r: IndexReader) => graft.query.IndexExecutor.serveHits(r, "spark", 10)),
+    "kw:merge" -> ((r: IndexReader) => graft.query.IndexExecutor.serveHits(r, "merge", 10)),
+    "or3" -> ((r: IndexReader) => graft.query.IndexExecutor.serveHits(r, "spark|hash|merge", 10)),
+    "or4" -> ((r: IndexReader) => graft.query.IndexExecutor.serveHits(r, "batch|stream|vector|window", 10)),
+    "prefix:st" -> ((r: IndexReader) => graft.query.IndexExecutor.serveHits(r, "st*", 10)),
+    "prefix:s" -> ((r: IndexReader) => graft.query.IndexExecutor.serveHits(r, "s*", 10)),
+    "prefix:b" -> ((r: IndexReader) => graft.query.IndexExecutor.serveHits(r, "b*", 10)),
     // full grammar through the serving seam (LocalServe under its guards,
     // parser -> Eval -> block scan past them)
     "qp:and_prefix" -> ((r: IndexReader) => graft.query.IndexExecutor.serveHits(r, "spark st*", 10)),

@@ -476,8 +476,7 @@ object LocalServe {
     import spark.implicits._
     val histKey = (reader.indexEpoch, "h", query, k, params)
     val cached = if (resultHistoryEnabled) resultCacheFor(reader).get(histKey) else null
-    if (cached != null)
-      return Some(cached.asInstanceOf[Seq[(Long, Double)]].toDF("doc_id", "score"))
+    if (cached != null) return Some(cached.asInstanceOf[DataFrame])
     val parsed = QueryParser.parse(query, params.normalizeWords)
     val src = new IndexAtomSource(reader)
     evalDocsLocal(reader, src, parsed, params).map { rel =>
@@ -515,8 +514,12 @@ object LocalServe {
             else rounded.sortBy { case (doc, sc) => (-sc, doc) }
           sorted.slice(params.firstHit, n).toSeq
       }
-      resultCacheFor(reader).put(histKey, page)
-      page.toDF("doc_id", "score")
+      // cache the DataFrame itself: its QueryExecution memoizes, so a
+      // history hit re-collects the planned LocalRelation (sub-ms) instead
+      // of re-running analysis + planning (~10 ms) on fresh page rows
+      val df = page.toDF("doc_id", "score")
+      resultCacheFor(reader).put(histKey, df)
+      df
     }
   }
 
@@ -530,9 +533,7 @@ object LocalServe {
     import spark.implicits._
     val histKey = (reader.indexEpoch, "c", query, k, params)
     val cached = if (resultHistoryEnabled) resultCacheFor(reader).get(histKey) else null
-    if (cached != null)
-      return Some(cached.asInstanceOf[Seq[(String, Double, Long, Long)]]
-        .toDF("term", "score", "dc", "oc"))
+    if (cached != null) return Some(cached.asInstanceOf[DataFrame])
     val parsed = QueryParser.parse(query, params.normalizeWords)
     val src = new IndexAtomSource(reader)
     for {
@@ -578,8 +579,9 @@ object LocalServe {
           else rows.sortBy(r => (-r._2, r._1))
       }
       val page = ordered.take(k).toSeq
-      resultCacheFor(reader).put(histKey, page)
-      page.toDF("term", "score", "dc", "oc")
+      val df = page.toDF("term", "score", "dc", "oc")
+      resultCacheFor(reader).put(histKey, df)
+      df
     }
   }
 

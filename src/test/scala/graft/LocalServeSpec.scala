@@ -118,6 +118,19 @@ class LocalServeSpec extends AnyFunSuite {
     assert(past.isDefined && hitsRows(past.get).isEmpty)
   }
 
+  test("serveHits equals the reader-native serving facades on their shapes") {
+    // the bench QuerySet routes keyword/OR/prefix through serveHits (the
+    // client surface); the reader-native facades must agree exactly
+    assert(hitsRows(IndexExecutor.serveHits(reader, "aachen", 10)) ===
+      hitsRows(reader.serveTopKOr(Seq("aachen"), 10)))
+    assert(hitsRows(IndexExecutor.serveHits(reader, "aachen|aal|merge", 10)) ===
+      hitsRows(reader.serveTopKOr(Seq("aachen", "aal", "merge"), 10)))
+    assert(hitsRows(IndexExecutor.serveHits(reader, "aa*", 10)) ===
+      hitsRows(reader.servePrefixDocs("aa", 10)))
+    assert(hitsRows(IndexExecutor.serveHits(reader, "ba*", 10)) ===
+      hitsRows(reader.servePrefixDocs("ba", 10)))
+  }
+
   test("whole-result history: repeats hit the page cache, keyed by params") {
     val q = "aachen aal aalglatt"
     val a = hitsRows(LocalServe.hits(reader, q, 10, QueryParams.Default).get)
