@@ -136,9 +136,21 @@ object Search {
   }
 
   private def assemble(query: String, k: Int, completionsK: Int,
-                       hitsDf: DataFrame, completionsDf: => DataFrame,
+                       hitsDf0: DataFrame, completionsDf: => DataFrame,
                        excerptsFor: (DataFrame, Seq[String], Seq[String]) => DataFrame,
                        urlsFor: DataFrame => Map[Long, String]): SearchResult = {
+    // Execute the top-k plan ONCE and re-expose the k rows as a
+    // LocalRelation: the excerpt join, the url join and the final hit
+    // assembly below all consume the hits, and a distributed-fallback plan
+    // (join blocks, over-budget postings) would otherwise run end-to-end
+    // for EACH consumer. A LocalRelation also satisfies the
+    // LocalServe.excerptsAll guard, so fallback hits still serve excerpts
+    // and urls from the driver docs LRU (one pruned scan cold, zero jobs
+    // warm) instead of two per-request semi-joins. For the warm serving
+    // path the hits are already a (cached) LocalRelation and this collect
+    // runs no jobs.
+    val hitsDf = hitsDf0.sparkSession.createDataFrame(
+      java.util.Arrays.asList(hitsDf0.collect(): _*), hitsDf0.schema)
     val parsed = QueryParser.parse(query)
     // highlight terms: exact words + prefixes of the query
     val words = parsed.parts.map(_.atom).collect {

@@ -214,6 +214,40 @@ class LocalServeSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("fallback search executes the hits plan once; excerpts/urls add no jobs") {
+    import graft.api.Search
+    // a join-block part is a documented local-serve fallback: the hits
+    // come back from the DISTRIBUTED plan even warm
+    val q = "aal [aa*#aal*]" // sides share terms aal/aalglatt -> non-empty
+    assert(LocalServe.hits(reader, q, 5, QueryParams.Default).isEmpty,
+      "precondition: this query must take the distributed fallback")
+    val cold = Search.searchIndex(reader, q, 5)
+    assert(cold.hits.nonEmpty && cold.hits.forall(h =>
+      h.url.nonEmpty && h.excerpt.contains("<hl>aal</hl>")))
+    def countJobs(f: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try { f; Thread.sleep(500) } // listener bus is async
+      finally spark.sparkContext.removeSparkListener(listener)
+      jobs.get()
+    }
+    // warm docs LRU + warm atom history on both paths first
+    val warm = Search.searchIndex(reader, q, 5)
+    assert(warm.toJson === cold.toJson)
+    val hitsOnly = countJobs(
+      graft.query.IndexExecutor.serveHits(reader, q, 5).collect())
+    val full = countJobs(assert(Search.searchIndex(reader, q, 5).toJson === cold.toJson))
+    // the full search = ONE execution of the hits plan; excerpt + url
+    // serving reads the driver docs LRU, never re-runs the plan or joins
+    assert(full <= hitsOnly,
+      s"full search ran $full jobs vs $hitsOnly for the bare hits plan")
+  }
+
   test("warm grammar queries run ZERO Spark jobs") {
     val warmQueries = Seq("aachen aal*", "aal.aalglatt", "aachen -aargau",
       "aargau|babylonisch", "babbeln.baby.babyboom")
