@@ -134,6 +134,36 @@ class IndexAtomSource(reader: IndexReader) extends AtomSource {
       (Seq[(Long, Long)], Option[Array[(Long, String, Long)]]) =
     candidateInfo(atom, candidates(atom))
 
+  /** Batch-resolve the COLD plain-word atoms of a query with ONE
+    * vocabulary lookup ([[IndexReader.termInfo]] batches its misses),
+    * filling the runs/slice memos [[candidateInfo]] reads -- so a cold
+    * k-word query pays one dictionary job, not k. Exact-word resolution is
+    * `term === text` (CorpusAtomSource.wordPredicate), which is precisely
+    * a termInfo row; prefix/range/fuzzy/synonym atoms keep their own
+    * bounded path. The reference's analog is its wholly RAM-resident
+    * vocabulary (Vocabulary.h) -- zero lookups per query; one batched job
+    * is the distributed floor.
+    */
+  private[query] def prefetchPlainWords(atoms: Seq[Atom]): Unit = {
+    val cold = atoms.distinct.collect {
+      case w: Word if !w.prefix && !w.fuzzy && !w.synonym &&
+          IndexAtomSource.rangeCache.get((reader.dir, reader.indexEpoch, w)) == null => w
+    }
+    if (cold.length < 2) return // one cold word costs one job either way
+    val info = reader.termInfo(cold.map(_.text))
+    cold.foreach { w =>
+      val key = (reader.dir, reader.indexEpoch, w)
+      info.get(w.text) match {
+        case Some((id, df)) =>
+          IndexAtomSource.rangeCache.put(key, IndexAtomSource.toRuns(Array(id)))
+          IndexAtomSource.sliceCache.put(key, Some(Array((id, w.text, df))))
+        case None => // unknown word: same memo rows candidateInfo writes
+          IndexAtomSource.rangeCache.put(key, Seq.empty)
+          IndexAtomSource.sliceCache.put(key, None)
+      }
+    }
+  }
+
   /** Pruned block relation for an atom (spec hook). */
   private[graft] def prunedBlocks(atom: Atom): Option[DataFrame] = {
     val runs = candidateInfo(atom, candidates(atom))._1

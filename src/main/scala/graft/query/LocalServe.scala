@@ -115,6 +115,58 @@ object LocalServe {
     }
   }
 
+  /** Resolve every distinct atom of a part chain; all COLD atoms are
+    * fetched with ONE pruned collect over the union of their block runs
+    * (a cold k-atom query costs one Spark job for postings, not k -- the
+    * reference likewise answers one query with one pass over its words'
+    * block fetches, HYBCompleter.cpp:661-746). Correctness is unchanged:
+    * [[IndexReader.blocksForIdRuns]] is a single OR-predicate scan (no row
+    * duplication), an atom's candidate runs cover every segment of its
+    * candidate term ids, and each atom keeps only its own candidate set's
+    * rows. None when any atom must stay distributed (hull-sized candidate
+    * set or over-budget posting volume) -- decided BEFORE any fetch, so a
+    * fallback query no longer pays partial fetch jobs.
+    */
+  private def localAtoms(reader: IndexReader, src: IndexAtomSource,
+                         wanted: Seq[Atom]): Option[java.util.HashMap[Atom, LocalAtom]] = {
+    val cache = cacheFor(reader)
+    val atoms = new java.util.HashMap[Atom, LocalAtom]()
+    val colds = new scala.collection.mutable.ArrayBuffer[
+      (Atom, Seq[(Long, Long)], Array[(Long, String, Long)])]
+    src.prefetchPlainWords(wanted) // cold plain words: ONE dictionary job
+    for (a <- wanted.distinct) {
+      val hit = cache.get(reader.indexEpoch, a)
+      if (hit != null) atoms.put(a, hit)
+      else {
+        val (runs, slice) = src.candidateRunsSlice(a)
+        if (runs.isEmpty) atoms.put(a, EmptyAtom) // unknown word: empty, local
+        else slice match {
+          case None => return None // hull-sized candidate set: distributed
+          case Some(cand) =>
+            if (cand.iterator.map(_._3).sum > IndexReader.MaxLocalPostingsPerQuery)
+              return None // head atom: stays distributed
+            colds += ((a, runs, cand))
+        }
+      }
+    }
+    if (colds.nonEmpty) {
+      val rows = reader.blocksForIdRuns(colds.iterator.flatMap(_._2).toSeq)
+        .select(blockCols(reader).map(col): _*)
+        .collect()
+      for ((a, _, cand) <- colds) {
+        val byId = cand.iterator.map(c => c._1 -> ((c._2, c._3))).toMap
+        val segs = rows.filter(r => byId.contains(r.getLong(0)))
+          .sortBy(r => (r.getLong(0), r.getLong(1)))
+        atoms.put(a, cache.put(reader.indexEpoch, a, buildAtom(reader, byId, segs)))
+      }
+    }
+    Some(atoms)
+  }
+
+  private def blockCols(reader: IndexReader): Seq[String] =
+    Seq("term_id", "first_doc_id", "n_docs", "doc_deltas", "tfs",
+      "dls") ++ (if (reader.hasPositions) Seq("positions") else Nil)
+
   /** One collect over the pruned block scan, decoded driver-side with the
     * same [[Codec]] the distributed Generator uses and scored with the
     * exact [[Analysis.bm25Col]] operand order (spec-pinned double parity).
@@ -122,14 +174,21 @@ object LocalServe {
   private def fetchAtom(reader: IndexReader, runs: Seq[(Long, Long)],
                         cand: Array[(Long, String, Long)]): LocalAtom = {
     val byId = cand.iterator.map(c => c._1 -> ((c._2, c._3))).toMap
-    val hasPos = reader.hasPositions
-    val cols = Seq("term_id", "first_doc_id", "n_docs", "doc_deltas", "tfs",
-      "dls") ++ (if (hasPos) Seq("positions") else Nil)
     val segs = reader.blocksForIdRuns(runs)
-      .select(cols.map(col): _*)
+      .select(blockCols(reader).map(col): _*)
       .collect()
       .filter(r => byId.contains(r.getLong(0))) // exact candidate set only
       .sortBy(r => (r.getLong(0), r.getLong(1)))
+    buildAtom(reader, byId, segs)
+  }
+
+  /** Decode + score collected block segments into a [[LocalAtom]]. `segs`
+    * must be (term_id, first_doc_id)-sorted and contain exactly the
+    * candidate set's segments.
+    */
+  private def buildAtom(reader: IndexReader, byId: Map[Long, (String, Long)],
+                        segs: Array[org.apache.spark.sql.Row]): LocalAtom = {
+    val hasPos = reader.hasPositions
     val n = segs.iterator.map(_.getInt(2)).sum
     val terms = new Array[String](n)
     val docIds = new Array[Long](n)
@@ -282,13 +341,9 @@ object LocalServe {
         case _ => s1 + s2
       }
 
-    val atoms = new java.util.HashMap[Atom, LocalAtom]()
-    for (p <- parts) {
-      if (!atoms.containsKey(p.atom))
-        localAtom(reader, src, p.atom) match {
-          case Some(la) => atoms.put(p.atom, la)
-          case None => return None
-        }
+    val atoms = localAtoms(reader, src, parts.map(_.atom)) match {
+      case Some(m) => m
+      case None => return None
     }
     var totalRows = 0L
     atoms.values.forEach(la => totalRows += la.nRows)

@@ -248,6 +248,41 @@ class LocalServeSpec extends AnyFunSuite {
       s"full search ran $full jobs vs $hitsOnly for the bare hits plan")
   }
 
+  test("cold multi-atom query fetches all cold atoms in ONE postings collect") {
+    def jobs(f: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          n.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try { f; Thread.sleep(500) } // listener bus is async
+      finally spark.sparkContext.removeSparkListener(listener)
+      n.get()
+    }
+    // fresh reader instances over the same index: per-instance atom/vocab
+    // caches are COLD; an unrelated first query pays the reader's metadata
+    // jobs so the measured difference isolates per-atom cost
+    def coldJobs(q: String): Int = {
+      val r = new IndexReader(spark, reader.dir)
+      LocalServe.hits(r, "zebra", 5, QueryParams.Default).get.collect()
+      val expected = hitsRows(IndexExecutor.topK(reader, q, 5))
+      jobs {
+        assert(hitsRows(LocalServe.hits(r, q, 5, QueryParams.Default).get)
+          === expected)
+      }
+    }
+    val single = coldJobs("aachen")
+    val triple = coldJobs("aachen aal aargau")
+    // postings for ALL cold atoms arrive via one batched pruned collect
+    // and their vocabulary rows via one batched termInfo lookup: a cold
+    // query's job count does not scale with its word count (pre-batch a
+    // 3-word query paid 2 extra candidate jobs + 2 extra postings jobs)
+    assert(triple <= single,
+      s"cold 3-atom query ran $triple jobs vs $single for 1 atom")
+  }
+
   test("warm grammar queries run ZERO Spark jobs") {
     val warmQueries = Seq("aachen aal*", "aal.aalglatt", "aachen -aargau",
       "aargau|babylonisch", "babbeln.baby.babyboom")
