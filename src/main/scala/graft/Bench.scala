@@ -39,7 +39,9 @@ object Bench {
     // parser -> Eval -> block scan past them)
     "qp:and_prefix" -> ((r: IndexReader) => graft.query.IndexExecutor.serveHits(r, "spark st*", 10)),
     "qp:phrase" -> ((r: IndexReader) => graft.query.IndexExecutor.serveHits(r, "batch.batch", 10)),
-    "qp:not" -> ((r: IndexReader) => graft.query.IndexExecutor.serveHits(r, "spark -join", 10)))
+    "qp:not" -> ((r: IndexReader) => graft.query.IndexExecutor.serveHits(r, "spark -join", 10)),
+    "qp:joinblock" -> ((r: IndexReader) =>
+      graft.query.IndexExecutor.serveHits(r, "[spark st*#merge s*]", 10)))
 
   /** Deterministic corpus expansion for throughput measurement: replicate
     * the documents table k times with shifted doc ids (identical content,

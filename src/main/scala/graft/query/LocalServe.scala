@@ -25,11 +25,13 @@ import QueryParser._
   * Parity is the contract (spec: LocalServeSpec runs both paths over every
   * grammar shape): same BM25 operand order as [[Analysis.bm25Col]], same
   * 4dp HALF_UP rounding applied BEFORE ordering (Spark round semantics),
-  * same total orders, same partial/empty semantics. Queries past the
-  * guards -- head atoms over [[IndexReader.MaxLocalPostingsPerQuery]],
-  * hull-sized candidate sets, join blocks, a fuzzy best-match resolution --
-  * return None and the caller falls back to the distributed plans, so at
-  * web scale the driver never holds more than the postings budget.
+  * same total orders, same partial/empty semantics. Join blocks
+  * `[q1#q2#...]` evaluate locally too (sub-queries recurse under default
+  * params, the distributed twin's contract). Queries past the guards --
+  * head atoms over [[IndexReader.MaxLocalPostingsPerQuery]], hull-sized
+  * candidate sets, a fuzzy best-match resolution -- return None and the
+  * caller falls back to the distributed plans, so at web scale the
+  * driver never holds more than the postings budget.
   */
 object LocalServe {
 
@@ -302,10 +304,60 @@ object LocalServe {
     * every branch here has its distributed twin there, and LocalServeSpec
     * pins the two equal over every grammar shape.
     */
+  /** Local twin of [[Eval.evalJoinBlock]]: each side's sub-query evaluates
+    * under DEFAULT params (the distributed twin calls the 2-arg evalDocs),
+    * its last atom's (doc, term, score) rows are restricted to the side's
+    * result docs, terms present in ALL sides survive, and docs of any side
+    * holding a common term sum their rows' scores. None -> some side must
+    * stay distributed (whole query falls back, like every other seam).
+    */
+  private def evalJoinBlockLocal(reader: IndexReader, src: IndexAtomSource,
+                                 ps: Seq[ParsedQuery]): Option[Rel] = {
+    val sides = ps.map { pq =>
+      val rel = evalDocsLocal(reader, src, pq, QueryParams.Default) match {
+        case Some(r) => r
+        case None => return None
+      }
+      val la = localAtom(reader, src, pq.parts.last.atom) match {
+        case Some(l) => l
+        case None => return None
+      }
+      val docSet = new java.util.HashSet[java.lang.Long](math.max(16, rel.docIds.length))
+      rel.docIds.foreach(docSet.add(_))
+      (la, docSet)
+    }
+    // terms common to ALL sides (the reference's hash join / our bitmask
+    // agg, CompleterBase.Join.cpp) -- a side contributes a term iff one of
+    // its result docs holds it
+    val common = sides.map { case (la, docSet) =>
+      val ts = new java.util.HashSet[String]()
+      var i = 0
+      while (i < la.nRows) {
+        if (docSet.contains(la.docIds(i))) ts.add(la.terms(i))
+        i += 1
+      }
+      ts
+    }.reduce { (a, b) => a.retainAll(b); a }
+    // docs of either side containing a common term, scores re-aggregated
+    val acc = new java.util.TreeMap[Long, java.lang.Double]()
+    sides.foreach { case (la, docSet) =>
+      var i = 0
+      while (i < la.nRows) {
+        if (docSet.contains(la.docIds(i)) && common.contains(la.terms(i)))
+          acc.merge(la.docIds(i), la.scores(i), (x, y) => x + y)
+        i += 1
+      }
+    }
+    val outD = new Array[Long](acc.size)
+    val outS = new Array[Double](acc.size)
+    var r = 0
+    acc.forEach { (d, s) => outD(r) = d; outS(r) = s; r += 1 }
+    Some(Rel(outD, outS, null))
+  }
+
   private def evalDocsLocal(reader: IndexReader, src: IndexAtomSource,
                             q: ParsedQuery, params: QueryParams): Option[Rel] = {
     val parts = q.parts
-    if (parts.exists(_.atom.isInstanceOf[JoinBlock])) return None
     val lastIdx = parts.length - 1
     def bmFor(i: Int): Double = if (i == lastIdx) params.bestMatchBonus else 0.0
     def windowOf(sep: Sep): Option[(Int, Int)] = sep match {
@@ -341,7 +393,13 @@ object LocalServe {
         case _ => s1 + s2
       }
 
-    val atoms = localAtoms(reader, src, parts.map(_.atom)) match {
+    // flatten join-block sub-queries so ONE batched fetch covers every
+    // atom of the whole request (sub-query recursion then runs all-warm)
+    def flatAtoms(pq: ParsedQuery): Seq[Atom] = pq.parts.flatMap(_.atom match {
+      case JoinBlock(ps) => ps.flatMap(flatAtoms)
+      case a => Seq(a)
+    })
+    val atoms = localAtoms(reader, src, flatAtoms(q)) match {
       case Some(m) => m
       case None => return None
     }
@@ -351,10 +409,13 @@ object LocalServe {
 
     val first = parts.head
     require(!isNot(first.atom), "query cannot start with a NOT part")
-    def part(i: Int, withPos: Boolean): Option[Rel] = {
-      val a = parts(i).atom
-      bestMatch(a, bmFor(i)).map(bw =>
-        partRel(atoms.get(a), params, damp(a), bw, bmFor(i), withPos))
+    def part(i: Int, withPos: Boolean): Option[Rel] = parts(i).atom match {
+      // best-match bonus is ignored for a join block, like the distributed
+      // partRel; its result carries no positions
+      case JoinBlock(ps) => evalJoinBlockLocal(reader, src, ps)
+      case a =>
+        bestMatch(a, bmFor(i)).map(bw =>
+          partRel(atoms.get(a), params, damp(a), bw, bmFor(i), withPos))
     }
     var state = part(0, nextWindowed(0)) match {
       case Some(r) => r
@@ -364,7 +425,11 @@ object LocalServe {
     var idx = 1
     while (idx < parts.length) {
       val p = parts(idx)
-      val window = if (!state.hasPos) None else p.sep.flatMap(windowOf)
+      // a window needs positions on BOTH sides; a join block has none, so
+      // a separator adjacent to one degrades to plain same-doc AND (the
+      // distributed loop's `positionless` rule)
+      val positionless = !state.hasPos || p.atom.isInstanceOf[JoinBlock]
+      val window = if (positionless) None else p.sep.flatMap(windowOf)
       if (isNot(p.atom)) {
         // NOT: anti-join; positions (if any) ride through
         val neg = atoms.get(p.atom)
@@ -590,6 +655,10 @@ object LocalServe {
     val cached = if (resultHistoryEnabled) resultCacheFor(reader).get(histKey) else null
     if (cached != null) return Some(cached.asInstanceOf[DataFrame])
     val parsed = QueryParser.parse(query, params.normalizeWords)
+    // completions over a trailing join block are not part of the grammar
+    // (the distributed path rejects the block atom); fall back so the
+    // behavior stays the distributed path's, not a silent variant
+    if (parsed.parts.last.atom.isInstanceOf[JoinBlock]) return None
     val src = new IndexAtomSource(reader)
     for {
       rel <- evalDocsLocal(reader, src, parsed, params)

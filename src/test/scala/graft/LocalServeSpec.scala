@@ -96,15 +96,25 @@ class LocalServeSpec extends AnyFunSuite {
     both("aal -zebra aa*", QueryParams.Default)
   }
 
-  test("fallback seams: join block and fuzzy best-match stay distributed") {
-    assert(LocalServe.hits(reader, "[aachen aa*#merge aa*]", 10,
-      QueryParams.Default).isEmpty, "join block must fall back")
+  test("join blocks serve locally; fuzzy best-match stays distributed") {
+    // join blocks joined the local grammar: chained, leading, n-ary
+    for (q <- Seq("[aachen aa*#merge aa*]", "aal [aa*#aal*]",
+        "[aa*#aal*] zebra", "[aa*#aal*#aal aa*]")) {
+      val local = LocalServe.hits(reader, q, 10, QueryParams.Default)
+      assert(local.isDefined, s"expected local serve for join block: $q")
+      assert(hitsRows(local.get) === hitsRows(IndexExecutor.topK(reader, q, 10)),
+        s"local vs distributed mismatch for: $q")
+    }
     assert(LocalServe.hits(reader, "aachen aachan~", 10,
       QueryParams(bestMatchBonus = 2.0)).isEmpty,
       "fuzzy best-match resolution must fall back")
-    // the serve facade still answers them, identically to the explicit path
+    // the serve facade answers both seams identically to the explicit path
     assert(hitsRows(IndexExecutor.serveHits(reader, "[aachen aa*#merge aa*]", 10))
       === hitsRows(IndexExecutor.topK(reader, "[aachen aa*#merge aa*]", 10)))
+    assert(hitsRows(IndexExecutor.serveHits(reader, "aachen aachan~", 10,
+      QueryParams(bestMatchBonus = 2.0), None))
+      === hitsRows(IndexExecutor.topK(reader, "aachen aachan~", 10,
+        QueryParams(bestMatchBonus = 2.0))))
   }
 
   test("k = 0 and page-past-the-end serve empty pages like the distributed path") {
@@ -216,12 +226,13 @@ class LocalServeSpec extends AnyFunSuite {
 
   test("fallback search executes the hits plan once; excerpts/urls add no jobs") {
     import graft.api.Search
-    // a join-block part is a documented local-serve fallback: the hits
-    // come back from the DISTRIBUTED plan even warm
-    val q = "aal [aa*#aal*]" // sides share terms aal/aalglatt -> non-empty
-    assert(LocalServe.hits(reader, q, 5, QueryParams.Default).isEmpty,
+    // a fuzzy best-match resolution is a documented local-serve fallback:
+    // the hits come back from the DISTRIBUTED plan even warm
+    val fp = QueryParams(bestMatchBonus = 2.0)
+    val q = "aal aachan~"
+    assert(LocalServe.hits(reader, q, 5, fp).isEmpty,
       "precondition: this query must take the distributed fallback")
-    val cold = Search.searchIndex(reader, q, 5)
+    val cold = Search.searchIndex(reader, q, 5, params = fp)
     assert(cold.hits.nonEmpty && cold.hits.forall(h =>
       h.url.nonEmpty && h.excerpt.contains("<hl>aal</hl>")))
     def countJobs(f: => Unit): Int = {
@@ -237,11 +248,12 @@ class LocalServeSpec extends AnyFunSuite {
       jobs.get()
     }
     // warm docs LRU + warm atom history on both paths first
-    val warm = Search.searchIndex(reader, q, 5)
+    val warm = Search.searchIndex(reader, q, 5, params = fp)
     assert(warm.toJson === cold.toJson)
     val hitsOnly = countJobs(
-      graft.query.IndexExecutor.serveHits(reader, q, 5).collect())
-    val full = countJobs(assert(Search.searchIndex(reader, q, 5).toJson === cold.toJson))
+      graft.query.IndexExecutor.serveHits(reader, q, 5, fp, None).collect())
+    val full = countJobs(assert(
+      Search.searchIndex(reader, q, 5, params = fp).toJson === cold.toJson))
     // the full search = ONE execution of the hits plan; excerpt + url
     // serving reads the driver docs LRU, never re-runs the plan or joins
     assert(full <= hitsOnly,
