@@ -142,7 +142,7 @@ object Search {
     // Execute the top-k plan ONCE and re-expose the k rows as a
     // LocalRelation: the excerpt join, the url join and the final hit
     // assembly below all consume the hits, and a distributed-fallback plan
-    // (join blocks, over-budget postings) would otherwise run end-to-end
+    // (over-budget postings, fuzzy best-match) would otherwise run end-to-end
     // for EACH consumer. A LocalRelation also satisfies the
     // LocalServe.excerptsAll guard, so fallback hits still serve excerpts
     // and urls from the driver docs LRU (one pruned scan cold, zero jobs
