@@ -183,6 +183,17 @@ object Bench {
           s"pay the build cost in-loop): $e"))
     }
 
+    // Absorb first-job session costs (shuffle-exchange init, codegen,
+    // documents-parquet listing) OUTSIDE the per-gate numbers -- same
+    // reasoning as the index pre-warm above: whichever gate happens to
+    // iterate first otherwise pays 2-7 s that belongs to the session,
+    // not the query (measured via tools/ThresholdsProbe).
+    scala.util.Try {
+      val wdocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      wdocs.join(org.apache.spark.sql.functions.broadcast(
+        wdocs.groupBy("source").count()), "source").count()
+    }
+
     // SPARK_GRAFT_ONLY=<prefix>[,<prefix>...] restricts the gated loop --
     // a local-iteration knob (perf work on one family without paying the
     // full suite); the driver never sets it, so the contract is unchanged

@@ -85,8 +85,17 @@ object OpsQueries {
       SampleMixWeights.toMap, defaultFrac = SampleMixDefault)
       .orderBy(col("doc_id"))),
     "cu_pack" -> ((s, d) => Curation.packByBudget(docs(s, d),
-      budget = 512, bucketSize = 64).orderBy(col("doc_id")))
+      budget = 512, bucketSize = 64).orderBy(col("doc_id"))),
+    "cu_split" -> ((s, d) => Curation.splitAssign(docs(s, d),
+      valFrac = SplitValFrac, testFrac = SplitTestFrac).orderBy(col("doc_id"))),
+    "cu_thresholds" -> ((s, d) => Curation.qualityThresholds(docs(s, d))
+      .orderBy(col("lang_pred"))),
+    "ta_top_bigrams" -> ((s, d) => TextAnalysis.topNgrams(docs(s, d), n = 2, k = 20))
   )
+
+  /** Train/val/test split gate fractions (10% val, 10% test). */
+  private val SplitValFrac = 0.1
+  private val SplitTestFrac = 0.1
 
   /** Mixture-sampling gate weights: full keep, half, quarter, drop, and a
     * 10% default for the other sixteen sources.
@@ -658,6 +667,30 @@ object OpsQueries {
          |LEFT JOIN tt ON d.doc_id = tt.doc_id
          |LEFT JOIN a ON d.doc_id = a.doc_id""".stripMargin,
     "cu_sample_mix" -> sampleMixOracle,
+    // deterministic split: same salted-md5 coin, thresholds rendered by
+    // the SAME Scala function the operator uses
+    "cu_split" -> splitOracle,
+    // per-language exact token-length percentiles; DuckDB quantile_cont
+    // and Spark's percentile share the linear-interpolation convention
+    "cu_thresholds" ->
+      s"""$auditOracleCtes
+         |SELECT lp.lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(quantile_cont(tl.nt, 0.1), 4) AS p10,
+         |  round(quantile_cont(tl.nt, 0.5), 4) AS p50,
+         |  round(quantile_cont(tl.nt, 0.9), 4) AS p90
+         |FROM tl JOIN lp ON tl.doc_id = lp.doc_id
+         |GROUP BY 1""".stripMargin,
+    // corpus-wide top-20 bigrams, deterministic tie-break (count desc,
+    // gram asc) so the k-th boundary is engine-independent
+    "ta_top_bigrams" ->
+      s"""${Oracles.BaseCtes},
+         |bg AS (SELECT doc_id,
+         |  term || ' ' || lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+         |  FROM toks)
+         |SELECT g AS gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_occurrences
+         |FROM bg WHERE g IS NOT NULL GROUP BY 1
+         |ORDER BY n_occurrences DESC, gram ASC LIMIT 20""".stripMargin,
     // token-budget packing: shard = floor(prefix-sum-before-doc / budget);
     // the oracle's single global window IS the naive plan the Spark side
     // replaces with the two-level bucket prefix sum
@@ -688,6 +721,18 @@ object OpsQueries {
        |    CASE source $cases
        |         ELSE '${Curation.sampleThreshold(SampleMixDefault)}' END
        |  THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM documents""".stripMargin
+  }
+
+  /** Oracle for the deterministic split: the salted-md5 coin against the
+    * cumulative thresholds, both rendered by the operator's own functions.
+    */
+  private def splitOracle: String = {
+    val coin = "substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8)"
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CASE WHEN $coin < '${Curation.sampleThreshold(SplitValFrac)}' THEN 'val'
+       |       WHEN $coin < '${Curation.sampleThreshold(SplitValFrac + SplitTestFrac)}' THEN 'test'
+       |       ELSE 'train' END AS split
        |FROM documents""".stripMargin
   }
 

@@ -122,6 +122,54 @@ object Curation {
         .cast("long").as("kept"))
   }
 
+  /** Deterministic train/val/test split assignment: every document lands
+    * in exactly one of the three sets, reproducibly across engines, runs
+    * and partitionings. The coin is md5 over `doc_id` SALTED with
+    * ":split" so the split is statistically independent of the
+    * [[sampleByWeight]] coin (an unsalted shared coin would make every
+    * down-sampled doc also a val/test doc — a classic leakage bug).
+    * Cumulative thresholds give disjoint sets: coin < t(valFrac) -> val,
+    * coin < t(valFrac+testFrac) -> test, else train.
+    *
+    * Scale shape: map-only, no shuffle, no RNG state; incremental
+    * re-crawls never move an existing doc between splits.
+    */
+  def splitAssign(docs: DataFrame, valFrac: Double = 0.05,
+                  testFrac: Double = 0.05): DataFrame = {
+    require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac <= 1.0,
+      s"bad split fractions: val=$valFrac test=$testFrac")
+    val coin = substring(
+      md5(concat(col("doc_id").cast("string"), lit(":split"))), 1, 8)
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+      when(coin < lit(sampleThreshold(valFrac)), lit("val"))
+        .when(coin < lit(sampleThreshold(valFrac + testFrac)), lit("test"))
+        .otherwise(lit("train")).as("split"))
+  }
+
+  /** Per-language token-length percentiles — the threshold-DERIVATION step
+    * of the Gopher/RefinedWeb recipes (their length/quality cuts are
+    * percentile-calibrated per language on a corpus sample, not hardcoded).
+    * Returns one row per predicted language: doc count + the requested
+    * exact percentiles of `n_tokens` (linear interpolation, the
+    * quantile_cont convention both Spark's `percentile` and DuckDB use).
+    *
+    * Scale shape: a vocabulary-of-languages-sized aggregation (dozens of
+    * groups). Exact `percentile` keeps the gate deterministic; at 10^12
+    * docs the drop-in swap is `percentile_approx` with the same schema —
+    * the calibration consumer tolerates approximate cuts.
+    */
+  def qualityThresholds(docs: DataFrame,
+                        ps: Seq[Double] = Seq(0.1, 0.5, 0.9)): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), s"bad ps: $ps")
+    val nt = TextAnalysis.quality(docs).select(col("doc_id"), col("n_tokens"))
+    val lang = TextAnalysis.langId(docs).select(col("doc_id"), col("lang_pred"))
+    val pcols = ps.map(p =>
+      round(percentile(col("n_tokens"), lit(p)), 4)
+        .as(s"p${math.round(p * 100)}"))
+    nt.join(lang, "doc_id").groupBy(col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"), pcols: _*)
+  }
+
   /** Token-budget sequence packing: assign documents (in doc_id order) to
     * training shards of ~`budget` tokens each — shard = floor(running
     * token count BEFORE this doc / budget), the standard streaming-pack

@@ -178,6 +178,41 @@ object TextAnalysis {
       md5(redacted).as("redacted_hash"))
   }
 
+  /** Corpus-wide top-k most frequent token n-grams — the boilerplate-mining
+    * pass (cookie banners, nav bars, license headers surface as head
+    * n-grams; C4-style pipelines mine them before line-level filtering).
+    * Returns exactly k rows (gram, n_docs, n_occurrences), deterministic
+    * tie-break (count desc, then gram asc).
+    *
+    * Scale shape: one per-doc window builds the grams (partitioned by
+    * doc_id, never global), one hash aggregation keyed on the gram (the
+    * only corpus-wide shuffle; partial map-side combine makes head grams
+    * cheap, not hot), and the top-k is TakeOrderedAndProject — O(k) rows
+    * ever reach the driver, no global sort.
+    */
+  def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 20): DataFrame = {
+    require(n >= 1 && k >= 1, s"bad n=$n k=$k")
+    val toks = filter(
+      split(lower(col("text")), "[!\"#$%&'()*+,\\-./@\\[\\\\\\]^{|}~:;<=>? ]+"),
+      t => t =!= "")
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
+      posexplode(toks).as(Seq("pos", "term")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    // all n-1 leads in ONE window pass over the unfiltered frame (leads
+    // over a filtered frame would skip positions near the doc tail)
+    val parts = col("term") +: (1 until n).map(i => lead(col("term"), i).over(w))
+    val withGram = base
+      .select(col("doc_id"), concat_ws(" ", parts: _*).as("g"),
+        (if (n == 1) lit("") else parts.last).as("tail_part"))
+      .where(col("tail_part").isNotNull).drop("tail_part")
+    withGram.groupBy(col("g").as("gram"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("gram").asc)
+      .limit(k)
+  }
+
   /** Positional document fingerprint: sum over tokens of
     * (pos+1) * (md5-derived 32-bit token hash), mod 1e9+7. Order-sensitive,
     * pure integer arithmetic -> bit-exact in any engine.

@@ -416,4 +416,65 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(cent((xCid, 0)) - 1.0) < 1e-4)
     assert(math.abs(cent((xCid, 1)) - 0.0) < 1e-4)
   }
+
+  test("splitAssign: disjoint, deterministic, salted independently of sampleByWeight") {
+    val many = spark.range(0, 2000).selectExpr("id AS doc_id", "'x' AS text", "'s' AS source")
+    val s = Curation.splitAssign(many, valFrac = 0.1, testFrac = 0.1)
+    val bysplit = s.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every doc in exactly one set; fractions near 10/10/80
+    assert(bysplit.values.sum === 2000L)
+    assert(bysplit("val") > 120 && bysplit("val") < 280)
+    assert(bysplit("test") > 120 && bysplit("test") < 280)
+    assert(bysplit("train") > 1400)
+    // deterministic across runs
+    val again = Curation.splitAssign(many, 0.1, 0.1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    s.collect().foreach(r => assert(again(r.getLong(0)) === r.getString(1)))
+    // the split coin is SALTED: it must not equal the sampling coin's
+    // verdict set (unsalted, every kept-at-0.2 doc would be val/test)
+    val sampled = Curation.sampleByWeight(many, Map("s" -> 0.2))
+      .where(col("kept") === 1L).select("doc_id").collect().map(_.getLong(0)).toSet
+    val valTest = s.where(col("split") =!= "train")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sampled !== valTest)
+    // extremes: valFrac=1 puts everything in val
+    val allVal = Curation.splitAssign(many, 1.0, 0.0)
+      .groupBy("split").count().collect()
+    assert(allVal.length === 1 && allVal.head.getString(0) === "val")
+  }
+
+  test("qualityThresholds: exact per-language percentiles of token length") {
+    val d = Seq(
+      (1L, "the a of one"), // en, 4 tokens
+      (2L, "the a of one two three"), // en, 6 tokens
+      (3L, "the a of one two three four five"), // en, 8 tokens
+      (4L, "der und die das ist") // de, 5 tokens
+    ).toDF("doc_id", "text")
+    val t = Curation.qualityThresholds(d, ps = Seq(0.5))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(t("en") === ((3L, 6.0))) // median of 4,6,8
+    assert(t("de") === ((1L, 5.0)))
+  }
+
+  test("topNgrams: counts, deterministic tie-break, n=3 includes doc-tail grams") {
+    val d = Seq(
+      (1L, "click here to accept cookies"),
+      (2L, "click here to start"),
+      (3L, "zzz yyy")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.topNgrams(d, n = 2, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // "click here" and "here to" tie at 2 occurrences / 2 docs; count
+    // desc then gram asc puts "click here" first
+    assert(top(0) === (("click here", 2L, 2L)))
+    assert(top(1) === (("here to", 2L, 2L)))
+    // trigrams: the LAST trigram of doc 2 ("here to start") must appear
+    // (regression: leads computed over a filtered frame dropped it)
+    val tri = TextAnalysis.topNgrams(d, n = 3, k = 100).collect()
+      .map(_.getString(0)).toSet
+    assert(tri.contains("here to start"))
+    assert(tri.contains("click here to"))
+    assert(!tri.exists(_.startsWith("zzz yyy"))) // 2-token doc has no trigram
+  }
 }
