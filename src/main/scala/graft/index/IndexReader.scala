@@ -38,12 +38,31 @@ class IndexReader(val spark: SparkSession, val dir: String,
     */
   val WandGridCells = 1024L
 
-  /** Identity of the built index this reader was opened against (the
-    * dictionary commit's mtime): memoization keyed by (dir, epoch) cannot
-    * serve stale values after a rebuild into the same directory.
+  /** Identity of the built index this reader was opened against: the
+    * dictionary commit's mtime COMBINED with the shard-layout fingerprint.
+    * Memoization keyed by (dir, epoch) cannot serve stale values after a
+    * rebuild into the same directory (mtime changes), and -- because
+    * streaming delta shards and compactions change the visible postings
+    * WITHOUT touching the dictionary commit -- a process-wide cache shared
+    * across readers cannot serve pre-append postings to a new reader that
+    * sees the appended shard. Names are sorted: two readers over an
+    * unchanged dir MUST agree on the epoch or every shared-cache lookup
+    * misses. Pure driver-side FS metadata, no Spark jobs.
     */
-  val indexEpoch: Long =
-    new java.io.File(s"$dir/dictionary/_SUCCESS").lastModified()
+  val indexEpoch: Long = {
+    var h = new java.io.File(s"$dir/dictionary/_SUCCESS").lastModified()
+    try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      for (sub <- Seq("blocks", "compactions")) {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p))
+          fs.listStatus(p).map(_.getPath.getName).sorted
+            .foreach(n => h = 31 * h + n.hashCode)
+      }
+    } catch { case _: Throwable => () }
+    h
+  }
 
   lazy val dictionary: DataFrame = spark.read.parquet(s"$dir/dictionary").cache()
   /** Docs store (buildDocsDB analog) -- present when the build ran
@@ -131,7 +150,16 @@ class IndexReader(val spark: SparkSession, val dir: String,
     // reads the dir whole; otherwise only the visible shard dirs are
     // listed (a torn file in a crashed shard must not even be footered).
     val census = IndexReader.shardCensus(spark, dir)
-    val b = if (census.hidden.isEmpty) spark.read.parquet(s"$dir/blocks")
+    // ALWAYS read via the explicit visible shard paths, never the dir
+    // root: Spark's cache manager substitutes semantically-equal plans,
+    // and a parquet relation canonicalizes by its ROOT PATHS (InMemoryFileIndex
+    // equality), not the discovered files -- a root-path read would let a
+    // post-append reader's recomputed atom plan silently resolve to a
+    // PRE-append persisted relation. Explicit shard paths make the plan
+    // identity follow the visible layout: same layout shares cache
+    // entries, a changed layout cannot.
+    val b =
+      if (census.visible.isEmpty) spark.read.parquet(s"$dir/blocks")
       else spark.read.option("basePath", s"$dir/blocks")
         .parquet(census.visible.map(s => s"$dir/blocks/shard=$s"): _*)
     val maxBytes = spark.conf.getOption("graft.index.cacheBlocksMaxBytes")
@@ -418,6 +446,10 @@ class IndexReader(val spark: SparkSession, val dir: String,
     // frozen per reader (cached at first scan; delta shards appear to a
     // NEW reader), so a warm repeated query skips the job entirely.
     val qBlocks = blocksForIds(ids)
+    // same wholesale reset discipline as the vocab memos: distinct term-id
+    // SETS are unbounded over a serving session (every new keyword
+    // combination adds a key), unlike distinct terms
+    if (blockCountMemo.size() > VocabMemoMax) blockCountMemo.clear()
     val totalBlocks = blockCountMemo.computeIfAbsent(ids.sorted,
       _ => java.lang.Long.valueOf(qBlocks.count())).longValue()
     if (totalBlocks == 0) return (emptyHits, 0L, 0L)

@@ -14,6 +14,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Reference separator class as a regex character class -- the ONE
+    * definition every ops-module split shares (a second copy drifting from
+    * the tokenizer would silently desynchronize curation signals from the
+    * dedup shingles).
+    */
+  private[ops] val SepClass = "[!\"#$%&'()*+,\\-./@\\[\\\\\\]^{|}~:;<=>? ]+"
+
   /** Reference-tokenizer token array as a pure column (split on the
     * separator class + drop empties) -- the shared narrow front of every
     * text-dedup operator. Stays in whole-stage codegen; the typed
@@ -21,9 +28,7 @@ object Dedup {
     * round-trip per document (measured ~2x on the shingle stage).
     */
   private[ops] def toksArr: Column =
-    filter(
-      split(lower(col("text")), "[!\"#$%&'()*+,\\-./@\\[\\\\\\]^{|}~:;<=>? ]+"),
-      t => t =!= "")
+    filter(split(lower(col("text")), SepClass), t => t =!= "")
 
   /** Distinct n-token shingles per doc: (doc_id, shingle). Narrow: sliding
     * windows as array arithmetic (sequence + slice inside one projection,

@@ -42,7 +42,7 @@ object TextAnalysis {
     * stopword ratio, alpha ratio, and a composite quality score in [0,1].
     */
   def quality(docs: DataFrame, stopwords: Seq[String] = Seq("the", "a", "of")): DataFrame = {
-    val toks = split(col("text"), "[!\"#$%&'()*+,\\-./@\\[\\\\\\]^{|}~:;<=>? ]+")
+    val toks = split(col("text"), Dedup.SepClass)
     val nTokens = size(filter(toks, t => t =!= ""))
     val nStop = stopwords.map(countToken).reduce(_ + _)
     val nChars = length(col("text"))
@@ -67,7 +67,7 @@ object TextAnalysis {
     */
   def tokenCounts(docs: DataFrame): DataFrame = {
     val ws = size(filter(split(col("text"), " +"), t => t =!= ""))
-    val ref = size(filter(split(col("text"), "[!\"#$%&'()*+,\\-./@\\[\\\\\\]^{|}~:;<=>? ]+"), t => t =!= ""))
+    val ref = size(filter(split(col("text"), Dedup.SepClass), t => t =!= ""))
     val bpe = size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
     docs.select(col("doc_id").cast("long").as("doc_id"),
       ws.cast("long").as("n_ws"), ref.cast("long").as("n_ref"), bpe.cast("long").as("n_bpe"))
@@ -83,9 +83,7 @@ object TextAnalysis {
     * all-array per-row formulation would be O(len^2) on the longest doc).
     */
   def repetition(docs: DataFrame): DataFrame = {
-    val toks = filter(
-      split(lower(col("text")), "[!\"#$%&'()*+,\\-./@\\[\\\\\\]^{|}~:;<=>? ]+"),
-      t => t =!= "")
+    val toks = Dedup.toksArr
     val base = docs
       .select(col("doc_id").cast("long").as("doc_id"), posexplode(toks).as(Seq("pos", "term")))
     val uniAgg = base.groupBy(col("doc_id"), col("term")).count()
@@ -131,9 +129,7 @@ object TextAnalysis {
     * scalar baked into the plan.
     */
   def unigramPerplexity(docs: DataFrame): DataFrame = {
-    val toks = filter(
-      split(lower(col("text")), "[!\"#$%&'()*+,\\-./@\\[\\\\\\]^{|}~:;<=>? ]+"),
-      t => t =!= "")
+    val toks = Dedup.toksArr
     val base = docs.select(col("doc_id").cast("long").as("doc_id"),
       explode(toks).as("term"))
     val cf = base.groupBy(col("term")).agg(count(lit(1)).as("cf"))
@@ -192,9 +188,7 @@ object TextAnalysis {
     */
   def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 20): DataFrame = {
     require(n >= 1 && k >= 1, s"bad n=$n k=$k")
-    val toks = filter(
-      split(lower(col("text")), "[!\"#$%&'()*+,\\-./@\\[\\\\\\]^{|}~:;<=>? ]+"),
-      t => t =!= "")
+    val toks = Dedup.toksArr
     val base = docs.select(col("doc_id").cast("long").as("doc_id"),
       posexplode(toks).as(Seq("pos", "term")))
     val w = org.apache.spark.sql.expressions.Window
@@ -218,7 +212,7 @@ object TextAnalysis {
     * pure integer arithmetic -> bit-exact in any engine.
     */
   def fingerprint(docs: DataFrame): DataFrame = {
-    val toks = filter(split(lower(col("text")), "[!\"#$%&'()*+,\\-./@\\[\\\\\\]^{|}~:;<=>? ]+"), t => t =!= "")
+    val toks = Dedup.toksArr
     val P = 1000000007L
     val fp = aggregate(
       zip_with(toks, sequence(lit(1), greatest(size(toks), lit(1))),

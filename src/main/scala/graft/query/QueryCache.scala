@@ -34,36 +34,65 @@ class QueryCache(maxEntries: Int = 200,
 
   /** Matched doc-term relation for a prefix query, via cache:
     * exact hit, or filter of any cached shorter prefix, or compute+persist.
+    *
+    * The monitor guards only map lookups/puts (same discipline as
+    * [[IndexQueryCache.atomScored]]): persist and the size measurement run
+    * blocking driver jobs and must not serialize a serving session's
+    * unrelated queries behind one cold miss. Two threads missing the same
+    * prefix may both compute; the loser's handle is dropped (its
+    * semantically-equal plan shares the winner's single Spark cache entry).
     */
-  def matchedForPrefix(corpus: DataFrame, prefix: String): DataFrame = synchronized {
-    val exact = lru.get(prefix)
-    if (exact != null) { hits += 1; return exact.matched }
-    // copyAndFilter fast path: longest cached proper prefix of `prefix`
-    val candidates = lru.entrySet().iterator()
-    var best: Entry = null
-    while (candidates.hasNext) {
-      val e = candidates.next().getValue
-      if (prefix.startsWith(e.prefix) && (best == null || e.prefix.length > best.prefix.length))
-        best = e
-    }
-    val matched =
-      if (best != null) {
-        filteredHits += 1
-        // refresh the base entry's recency: deriving from it is an access,
-        // and the access-ordered LRU must not evict the hottest base prefix
-        // next (in-flight-unpersist hazard -- see class doc)
-        lru.get(best.prefix)
-        best.matched.filter(col("term").startsWith(prefix))
-      } else {
-        misses += 1
-        Analysis.docTerms(corpus).toDF().filter(col("term").startsWith(prefix))
+  def matchedForPrefix(corpus: DataFrame, prefix: String): DataFrame = {
+    val fast: Either[Option[DataFrame], DataFrame] = synchronized {
+      val exact = lru.get(prefix)
+      if (exact != null) { hits += 1; Right(exact.matched) }
+      else {
+        // copyAndFilter fast path: longest cached proper prefix of `prefix`
+        val candidates = lru.entrySet().iterator()
+        var best: Entry = null
+        while (candidates.hasNext) {
+          val e = candidates.next().getValue
+          if (prefix.startsWith(e.prefix) && (best == null || e.prefix.length > best.prefix.length))
+            best = e
+        }
+        if (best != null) {
+          filteredHits += 1
+          // refresh the base entry's recency: deriving from it is an access,
+          // and the access-ordered LRU must not evict the hottest base prefix
+          // next (in-flight-unpersist hazard -- see class doc)
+          lru.get(best.prefix)
+          Left(Some(best.matched.filter(col("term").startsWith(prefix))))
+        } else {
+          misses += 1
+          Left(None)
+        }
       }
-    val persisted = matched.persist()
-    val bytes = QueryHistory.estimateBytes(persisted)
-    lru.put(prefix, Entry(prefix, persisted, bytes))
-    totalBytes += bytes
-    evictOverBudget()
-    persisted
+    }
+    fast match {
+      case Right(df) => df
+      case Left(planOpt) =>
+        // outside the lock: may run driver jobs (tokenize scan, persist
+        // materialization via the size measurement)
+        val matched = planOpt.getOrElse(
+          Analysis.docTerms(corpus).toDF().filter(col("term").startsWith(prefix)))
+        val persisted = matched.persist()
+        val bytes = QueryHistory.estimateBytes(persisted)
+        synchronized {
+          val won = lru.get(prefix)
+          if (won != null) {
+            // lost the race: keep our handle unpersisted-BY-US -- the two
+            // plans are semantically equal and share one Spark cache entry,
+            // which the winner's eviction releases (unpersisting here would
+            // yank it from under the winner's possibly in-flight query)
+            won.matched
+          } else {
+            lru.put(prefix, Entry(prefix, persisted, bytes))
+            totalBytes += bytes
+            evictOverBudget()
+            persisted
+          }
+        }
+    }
   }
 
   /** Evict least-recently-used entries while over the entry cap or byte
@@ -157,11 +186,15 @@ object QueryHistory {
     * its history entries by corpus INSTANCE (a serving session holds one
     * corpus DataFrame), never by plan equality -- two in-memory corpora
     * with identical schemas must not share cache rows, and
-    * System.identityHashCode alone can collide. Strong keys: the map holds
-    * plan-sized objects, bounded by the number of distinct corpus frames a
-    * process creates.
+    * System.identityHashCode alone can collide. WEAK keys: a session that
+    * builds a fresh frame per request (`spark.read.parquet(...)` then
+    * `Executor.topK`) must not accumulate one retained plan per request
+    * forever -- a collected corpus simply gets a new id next time, and its
+    * orphaned history entries age out of the LRU. Identity semantics hold
+    * because Dataset does not override equals/hashCode (Object identity);
+    * only DataFrames are passed here.
     */
-  private val corpusIds = new java.util.IdentityHashMap[AnyRef, java.lang.Long]()
+  private val corpusIds = new java.util.WeakHashMap[AnyRef, java.lang.Long]()
   private val nextCorpusId = new java.util.concurrent.atomic.AtomicLong(0L)
   def corpusId(corpus: AnyRef): Long = corpusIds.synchronized {
     val existing = corpusIds.get(corpus)

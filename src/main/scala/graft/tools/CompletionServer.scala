@@ -85,9 +85,15 @@ object CompletionServer {
     val reader = new IndexReader(spark, indexDir)
     reader.dictionary.count() // warm the dictionary before the first request
     def preRun(qs: Seq[String], what: String): Unit = qs.foreach { q =>
-      // a bad startup query must not keep the server from starting
+      // a bad startup query must not keep the server from starting; warm
+      // under the SERVER's params (normalize-words changes the parsed
+      // atoms, hence the cache keys -- warming with default params on a
+      // --normalize-words server would pin relations real traffic never
+      // hits)
       scala.util.Try(
-        graft.api.Search.searchIndex(reader, q, cache = Some(cache))
+        graft.api.Search.searchIndex(reader, q, cache = Some(cache),
+          params = graft.query.QueryParams.Default.copy(
+            normalizeWords = normalizeWords))
       ).failed.foreach(e =>
         System.err.println(s"[completion-server] $what query '$q' failed: $e"))
     }

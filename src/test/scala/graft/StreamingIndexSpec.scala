@@ -118,6 +118,47 @@ class StreamingIndexSpec extends AnyFunSuite {
     assert(IndexReader.shardCensus(spark, dir).visible.sorted === Seq("0", "stream-0"))
   }
 
+  test("appends bump the index epoch; shared caches cannot serve pre-append postings") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_epoch_ix").toString
+    val base = WebCorpus.fromDocuments(spark, "/root/testdata/sf0.001")
+    IndexBuilder.build(spark, base, dir, numShards = 1)
+    val maxDoc = base.agg(max(col("doc_id"))).head().getLong(0)
+
+    val r0 = new IndexReader(spark, dir, cacheBlocks = false)
+    // warm the process history under the pre-append epoch (the stale key)
+    val hits0 = graft.query.IndexExecutor.topK(r0, "spark", 10000)
+      .collect().map(_.getLong(0)).toSet
+    assert(!hits0.contains(maxDoc + 1))
+
+    StreamingIndexer.appendBatch(spark,
+      Seq((maxDoc + 1, "spark epoch probe")).toDF("doc_id", "text"),
+      dir, "stream-epoch-test")
+
+    // the appended shard changes the reader identity: a dictionary-only
+    // epoch would let the (dir, epoch, atom) cache serve the PRE-append
+    // relation to the post-append reader
+    val r1 = new IndexReader(spark, dir, cacheBlocks = false)
+    assert(r1.indexEpoch !== r0.indexEpoch)
+    // unchanged layout -> readers agree on the epoch (shared-cache hits
+    // between readers depend on it)
+    assert(new IndexReader(spark, dir, cacheBlocks = false).indexEpoch === r1.indexEpoch)
+
+    val hits1 = graft.query.IndexExecutor.topK(r1, "spark", 10000)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits1.contains(maxDoc + 1),
+      "post-append reader served stale cached postings")
+
+    // compaction changes the visible layout too -- epoch must follow
+    StreamingIndexer.appendBatch(spark,
+      Seq((maxDoc + 2, "spark epoch probe two")).toDF("doc_id", "text"),
+      dir, "stream-epoch-test-2")
+    assert(IndexBuilder.compact(spark, dir).nonEmpty)
+    val r2 = new IndexReader(spark, dir, cacheBlocks = false)
+    assert(r2.indexEpoch !== r1.indexEpoch)
+    assert(graft.query.IndexExecutor.topK(r2, "spark", 10000)
+      .collect().map(_.getLong(0)).toSet.contains(maxDoc + 2))
+  }
+
   test("delta shards follow the batch index's committed codec") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_codec").toString
     val base = WebCorpus.fromDocuments(spark, "/root/testdata/sf0.001")
