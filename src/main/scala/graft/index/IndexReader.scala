@@ -38,30 +38,56 @@ class IndexReader(val spark: SparkSession, val dir: String,
     */
   val WandGridCells = 1024L
 
-  /** Identity of the built index this reader was opened against: the
-    * dictionary commit's mtime COMBINED with the shard-layout fingerprint.
-    * Memoization keyed by (dir, epoch) cannot serve stale values after a
-    * rebuild into the same directory (mtime changes), and -- because
-    * streaming delta shards and compactions change the visible postings
-    * WITHOUT touching the dictionary commit -- a process-wide cache shared
-    * across readers cannot serve pre-append postings to a new reader that
-    * sees the appended shard. Names are sorted: two readers over an
-    * unchanged dir MUST agree on the epoch or every shared-cache lookup
-    * misses. Pure driver-side FS metadata, no Spark jobs.
+  /** ONE shard-visibility snapshot per reader: the epoch and the blocks
+    * relation BOTH derive from it, so a reader can never carry a
+    * pre-append epoch while serving post-append postings (two independent
+    * FS snapshots could interleave with a landing shard).
     */
-  val indexEpoch: Long = {
-    var h = new java.io.File(s"$dir/dictionary/_SUCCESS").lastModified()
+  private lazy val censusSnapshot = IndexReader.shardCensus(spark, dir)
+
+  /** Identity of the built index this reader was opened against: the
+    * dictionary commit's mtime COMBINED with the VISIBLE shard layout from
+    * [[censusSnapshot]]. Memoization keyed by (dir, epoch) cannot serve
+    * stale values after a rebuild into the same directory (mtime changes),
+    * and -- because streaming delta shards and compactions change the
+    * visible postings WITHOUT touching the dictionary commit -- a
+    * process-wide cache shared across readers cannot serve pre-append
+    * postings to a new reader that sees the appended shard. Visibility
+    * (not raw dir contents) is the right identity: crash debris and
+    * re-delivered merged shards leave results unchanged and keep the
+    * epoch, so warm entries survive them. Names are sorted: two readers
+    * over an unchanged layout MUST agree on the epoch or every
+    * shared-cache lookup misses. The dictionary mtime reads through the
+    * Hadoop FileSystem API -- java.io.File answers 0 for hdfs://s3a://
+    * paths, which would freeze the epoch across rebuilds on exactly the
+    * production stores. On filesystem errors the epoch degrades to a
+    * process-unique NEGATIVE value: a reader we cannot fingerprint never
+    * shares cache entries (stale sharing is the failure that matters;
+    * recomputing is just slow).
+    */
+  lazy val indexEpoch: Long =
     try {
-      val conf = spark.sparkContext.hadoopConfiguration
-      for (sub <- Seq("blocks", "compactions")) {
-        val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
-        val fs = p.getFileSystem(conf)
-        if (fs.exists(p))
-          fs.listStatus(p).map(_.getPath.getName).sorted
-            .foreach(n => h = 31 * h + n.hashCode)
-      }
-    } catch { case _: Throwable => () }
-    h
+      val p = new org.apache.hadoop.fs.Path(s"$dir/dictionary/_SUCCESS")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      var h = if (fs.exists(p)) fs.getFileStatus(p).getModificationTime else 0L
+      censusSnapshot.visible.sorted.foreach(n => h = 31 * h + n.hashCode)
+      31 * h + censusSnapshot.nextCompactId
+    } catch { case scala.util.control.NonFatal(_) =>
+      IndexReader.epochFallback.decrementAndGet()
+    }
+
+  // Rebuild-in-place detection (eager, at construction): a rebuild
+  // reproduces the SAME shard names, so this reader's recomputed plans
+  // canonicalize equal to the pre-rebuild reader's Spark-cached relations
+  // (root-path identity) even though the epoch differs -- the CacheManager
+  // would substitute the OLD index's data wholesale. The first reader that
+  // observes a NEW epoch for a dir invalidates everything cached under it;
+  // same-epoch readers (the common serving case) keep sharing warm caches.
+  locally {
+    val prev = IndexReader.lastEpoch.put(dir, java.lang.Long.valueOf(indexEpoch))
+    if (prev != null && prev.longValue() != indexEpoch)
+      try spark.catalog.refreshByPath(dir)
+      catch { case scala.util.control.NonFatal(_) => () }
   }
 
   lazy val dictionary: DataFrame = spark.read.parquet(s"$dir/dictionary").cache()
@@ -149,7 +175,7 @@ class IndexReader(val spark: SparkSession, val dir: String,
     // whose commit never landed. The common case -- nothing hidden --
     // reads the dir whole; otherwise only the visible shard dirs are
     // listed (a torn file in a crashed shard must not even be footered).
-    val census = IndexReader.shardCensus(spark, dir)
+    val census = censusSnapshot // the SAME snapshot the epoch hashed
     // ALWAYS read via the explicit visible shard paths, never the dir
     // root: Spark's cache manager substitutes semantically-equal plans,
     // and a parquet relation canonicalizes by its ROOT PATHS (InMemoryFileIndex
@@ -157,9 +183,18 @@ class IndexReader(val spark: SparkSession, val dir: String,
     // post-append reader's recomputed atom plan silently resolve to a
     // PRE-append persisted relation. Explicit shard paths make the plan
     // identity follow the visible layout: same layout shares cache
-    // entries, a changed layout cannot.
+    // entries, a changed layout cannot. Root-path fallback only for a
+    // NON-SHARDED layout (present empty) -- an all-hidden dir must not
+    // have its merged/torn shards read whole.
     val b =
-      if (census.visible.isEmpty) spark.read.parquet(s"$dir/blocks")
+      if (census.present.isEmpty) spark.read.parquet(s"$dir/blocks")
+      else if (census.visible.isEmpty)
+        // every present shard is hidden (merged by a committed compaction
+        // whose output dir is gone, or uncommitted crash debris): the
+        // postings are unreachable -- fail loudly rather than read merged
+        // or torn shards whole
+        throw new IllegalStateException(
+          s"$dir/blocks has shards but none are visible (lost compaction output?)")
       else spark.read.option("basePath", s"$dir/blocks")
         .parquet(census.visible.map(s => s"$dir/blocks/shard=$s"): _*)
     val maxBytes = spark.conf.getOption("graft.index.cacheBlocksMaxBytes")
@@ -448,10 +483,21 @@ class IndexReader(val spark: SparkSession, val dir: String,
     val qBlocks = blocksForIds(ids)
     // same wholesale reset discipline as the vocab memos: distinct term-id
     // SETS are unbounded over a serving session (every new keyword
-    // combination adds a key), unlike distinct terms
+    // combination adds a key), unlike distinct terms. The count job runs
+    // OUTSIDE the map (get / compute / putIfAbsent, not computeIfAbsent):
+    // a cold multi-second count inside the CHM bin lock would stall
+    // unrelated queries hashing to the same bin -- the same
+    // miss-must-not-serialize discipline as the query caches.
     if (blockCountMemo.size() > VocabMemoMax) blockCountMemo.clear()
-    val totalBlocks = blockCountMemo.computeIfAbsent(ids.sorted,
-      _ => java.lang.Long.valueOf(qBlocks.count())).longValue()
+    val memoKey = ids.sorted
+    val memoized = blockCountMemo.get(memoKey)
+    val totalBlocks =
+      if (memoized != null) memoized.longValue()
+      else {
+        val n = qBlocks.count()
+        blockCountMemo.putIfAbsent(memoKey, java.lang.Long.valueOf(n))
+        n
+      }
     if (totalBlocks == 0) return (emptyHits, 0L, 0L)
     if (totalBlocks <= wandMinBlocks)
       return (fullWithInfo(info, k), totalBlocks, totalBlocks)
@@ -718,6 +764,19 @@ object IndexReader {
     */
   val CacheBlocksMaxBytes: Long = 16L << 30
 
+  /** Process-unique NEGATIVE epochs for readers whose layout could not be
+    * fingerprinted (filesystem error): such a reader never shares cache
+    * entries -- see [[IndexReader.indexEpoch]].
+    */
+  private[index] val epochFallback = new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  /** dir -> last epoch observed by a reader construction; an epoch CHANGE
+    * triggers the rebuild-in-place cache invalidation (see the
+    * construction-time block in the class).
+    */
+  private[index] val lastEpoch =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   /** A run spanning at least this many buckets switches from an IN-list of
     * bucket literals to a BETWEEN predicate (identical pruning, constant
     * plan size).
@@ -802,7 +861,16 @@ object IndexReader {
       else spark.read.parquet(commits.map(n => s"$dir/compactions/commit=$n"): _*)
         .select("merged_shard").collect().map(_.getString(0)).toSet
     val committedCompacts = commits.map(n => s"compact-$n").toSet
-    val visible = present.filterNot(merged)
+    // every shard dir is its own job with its own _SUCCESS (batch shards:
+    // IndexBuilder per-shard writes; stream-*: appendBatch; compact-*:
+    // compact) -- a dir WITHOUT the marker is a landing or crashed write
+    // and must be invisible, or a reader opened mid-append would cache
+    // partial postings under the SAME epoch the completed shard later
+    // fingerprints to (shard names don't change on retry). compact-*
+    // additionally needs its commit-LOG _SUCCESS: the merged data lands
+    // before the log entry that makes the swap atomic.
+    val visible = present.filter(s => committed(s"$dir/blocks/shard=$s"))
+      .filterNot(merged)
       .filterNot(s => s.startsWith("compact-") && !committedCompacts(s))
     ShardCensus(present, visible,
       commits.map(_.toLong).maxOption.getOrElse(-1L) + 1L)

@@ -23,7 +23,15 @@ import org.apache.spark.sql.functions._
 class QueryCache(maxEntries: Int = 200,
                  maxBytes: Long = QueryHistory.DefaultMaxBytes) {
 
-  private case class Entry(prefix: String, matched: DataFrame, bytes: Long)
+  /** inflight counts derivations currently materializing OUTSIDE the lock
+    * from this entry's relation: eviction skips such entries, so the base
+    * of an in-flight copyAndFilter is never unpersisted mid-job (the
+    * round-3 corruption scenario) -- the recency refresh alone cannot
+    * guarantee that against an oversized insert evicting everything.
+    */
+  private case class Entry(prefix: String, matched: DataFrame, bytes: Long,
+                           inflight: java.util.concurrent.atomic.AtomicInteger =
+                             new java.util.concurrent.atomic.AtomicInteger(0))
   private val lru = new java.util.LinkedHashMap[String, Entry](16, 0.75f, true)
   private var totalBytes = 0L
 
@@ -43,7 +51,7 @@ class QueryCache(maxEntries: Int = 200,
     * semantically-equal plan shares the winner's single Spark cache entry).
     */
   def matchedForPrefix(corpus: DataFrame, prefix: String): DataFrame = {
-    val fast: Either[Option[DataFrame], DataFrame] = synchronized {
+    val fast: Either[(Option[DataFrame], Option[Entry]), DataFrame] = synchronized {
       val exact = lru.get(prefix)
       if (exact != null) { hits += 1; Right(exact.matched) }
       else {
@@ -57,56 +65,74 @@ class QueryCache(maxEntries: Int = 200,
         }
         if (best != null) {
           filteredHits += 1
-          // refresh the base entry's recency: deriving from it is an access,
-          // and the access-ordered LRU must not evict the hottest base prefix
-          // next (in-flight-unpersist hazard -- see class doc)
+          // refresh the base entry's recency AND mark it in flight: the
+          // derived plan materializes outside the lock, and eviction must
+          // neither pick the hottest base (LRU) nor unpersist it mid-job
+          // (the inflight skip in evictOverBudget)
           lru.get(best.prefix)
-          Left(Some(best.matched.filter(col("term").startsWith(prefix))))
+          best.inflight.incrementAndGet()
+          Left((Some(best.matched.filter(col("term").startsWith(prefix))), Some(best)))
         } else {
           misses += 1
-          Left(None)
+          Left((None, None))
         }
       }
     }
     fast match {
       case Right(df) => df
-      case Left(planOpt) =>
+      case Left((planOpt, baseOpt)) =>
         // outside the lock: may run driver jobs (tokenize scan, persist
         // materialization via the size measurement)
-        val matched = planOpt.getOrElse(
-          Analysis.docTerms(corpus).toDF().filter(col("term").startsWith(prefix)))
-        val persisted = matched.persist()
-        val bytes = QueryHistory.estimateBytes(persisted)
-        synchronized {
-          val won = lru.get(prefix)
-          if (won != null) {
-            // lost the race: keep our handle unpersisted-BY-US -- the two
-            // plans are semantically equal and share one Spark cache entry,
-            // which the winner's eviction releases (unpersisting here would
-            // yank it from under the winner's possibly in-flight query)
-            won.matched
-          } else {
-            lru.put(prefix, Entry(prefix, persisted, bytes))
-            totalBytes += bytes
-            evictOverBudget()
-            persisted
+        try {
+          val matched = planOpt.getOrElse(
+            Analysis.docTerms(corpus).toDF().filter(col("term").startsWith(prefix)))
+          val persisted = matched.persist()
+          val bytes = QueryHistory.estimateBytes(persisted)
+          synchronized {
+            val won = lru.get(prefix)
+            if (won != null) {
+              // lost the race. If the two plans are semantically equal they
+              // share ONE Spark cache entry, which the winner's eviction
+              // releases -- unpersisting here would yank it from under the
+              // winner's possibly in-flight query. If they are NOT equal
+              // (we scanned cold, the winner filtered a cached base), ours
+              // is a distinct entry nobody references: release it or it
+              // pins executor storage forever.
+              if (!persisted.queryExecution.analyzed
+                    .sameResult(won.matched.queryExecution.analyzed))
+                persisted.unpersist()
+              won.matched
+            } else {
+              lru.put(prefix, Entry(prefix, persisted, bytes))
+              totalBytes += bytes
+              evictOverBudget()
+              persisted
+            }
           }
-        }
+        } finally baseOpt.foreach(_.inflight.decrementAndGet())
     }
   }
 
   /** Evict least-recently-used entries while over the entry cap or byte
     * budget; the just-inserted (youngest) entry is never the victim, so a
     * single oversized relation stays cached alone rather than thrashing.
+    * Entries with in-flight derivations are skipped -- unpersisting a base
+    * while a filter-of-base materializes corrupted results (round 3).
     */
   private def evictOverBudget(): Unit = {
     val it = lru.entrySet().iterator()
-    while ((lru.size > maxEntries || totalBytes > maxBytes) && lru.size > 1) {
+    var seen = 0
+    val candidates = lru.size - 1 // everything but the youngest
+    while ((lru.size > maxEntries || totalBytes > maxBytes) &&
+        it.hasNext && seen < candidates) {
       val eldest = it.next()
-      eldest.getValue.matched.unpersist()
-      totalBytes -= eldest.getValue.bytes
-      evictions += 1
-      it.remove()
+      seen += 1
+      if (eldest.getValue.inflight.get() == 0) {
+        eldest.getValue.matched.unpersist()
+        totalBytes -= eldest.getValue.bytes
+        evictions += 1
+        it.remove()
+      }
     }
   }
 
@@ -146,7 +172,10 @@ class QueryCache(maxEntries: Int = 200,
     prefixes.foreach { p => matchedForPrefix(corpus, p).count() }
 
   def clear(): Unit = synchronized {
-    lru.values().forEach(_.matched.unpersist())
+    // same in-flight discipline as eviction: a base whose derivation is
+    // materializing outside the lock is dropped from the map but NOT
+    // unpersisted (a rare bounded leak beats the mid-job unpersist)
+    lru.values().forEach(e => if (e.inflight.get() == 0) e.matched.unpersist())
     lru.clear()
     totalBytes = 0
     hits = 0; filteredHits = 0; misses = 0; evictions = 0
@@ -250,6 +279,14 @@ object QueryHistory {
   * unpersisting a SQL-cached plan while a query may still be executing
   * corrupted results. An LRU victim is by construction the entry least
   * likely to be referenced by an in-flight query.
+  *
+  * Residual (accepted) hazard: a relation RETURNED to a caller (exact
+  * hit) can still be evicted while the caller's job runs -- the cache
+  * cannot know when a handed-out DataFrame's job completes without
+  * caller-side release(), which no reference-counted design here
+  * justifies. Mitigation: a hit refreshes recency (the victim is the
+  * LRU entry), and the in-flight guard covers the one case the cache
+  * CAN track end-to-end, its own copyAndFilter derivations.
   */
 class IndexQueryCache(maxEntries: Int = 200,
                       maxBytes: Long = QueryHistory.DefaultMaxBytes) {
@@ -267,8 +304,13 @@ class IndexQueryCache(maxEntries: Int = 200,
     * against the budget (the entry pins that much storage) but eviction
     * must not unpersist what another owner may still serve.
     */
+  /** inflight: derivations currently materializing outside the lock from
+    * this entry's relation; eviction skips such entries (see QueryCache).
+    */
   private case class Entry(df: DataFrame, bytes: Long, owned: Boolean,
-                           pinned: Boolean = false)
+                           pinned: Boolean = false,
+                           inflight: java.util.concurrent.atomic.AtomicInteger =
+                             new java.util.concurrent.atomic.AtomicInteger(0))
   private val lru = new java.util.LinkedHashMap[Key, Entry](16, 0.75f, true)
   private var totalBytes = 0L
 
@@ -314,7 +356,7 @@ class IndexQueryCache(maxEntries: Int = 200,
   def atomScored(dir: String, epoch: Long, atom: Atom,
                  compute: Atom => DataFrame): DataFrame = {
     val key = (dir, epoch, atom)
-    val fast: Either[Option[DataFrame], DataFrame] = synchronized {
+    val fast: Either[(Option[DataFrame], Option[Entry]), DataFrame] = synchronized {
       val exact = lru.get(key)
       if (exact != null) { hits += 1; Right(exact.df) }
       else {
@@ -340,20 +382,24 @@ class IndexQueryCache(maxEntries: Int = 200,
           }
           best.map { case (broader, entry) =>
             // deriving from the broader entry is an access: refresh its
-            // recency so the hottest base prefix is not the next LRU victim
+            // recency so the hottest base prefix is not the next LRU
+            // victim, and mark it in flight so eviction cannot unpersist
+            // it while the derived plan materializes outside the lock
             lru.get((dir, epoch, broader))
-            entry.df.filter(pred)
+            entry.inflight.incrementAndGet()
+            (entry.df.filter(pred), entry)
           }
         }
         narrowed match {
-          case Some(df) => filteredHits += 1; Left(Some(df))
-          case None => misses += 1; Left(None)
+          case Some((df, base)) => filteredHits += 1; Left((Some(df), Some(base)))
+          case None => misses += 1; Left((None, None))
         }
       }
     }
     fast match {
       case Right(df) => df
-      case Left(planOpt) =>
+      case Left((planOpt, baseOpt)) =>
+        try {
         // outside the lock: may run driver jobs (block locate, decode,
         // size measurement)
         val plan0 = planOpt.getOrElse(compute(atom))
@@ -379,13 +425,19 @@ class IndexQueryCache(maxEntries: Int = 200,
         synchronized {
           val won = lru.get(key)
           if (won != null) {
-            // Another thread beat us to the insert. Do NOT unpersist our
-            // copy: Spark's cache is keyed by SEMANTIC plan, and the two
-            // threads' plans for one atom are semantically equal -- they
-            // share ONE cache entry, which the winner's eviction will
-            // release. Unpersisting here would yank that shared entry out
-            // from under the winner's possibly in-flight query (the
-            // round-3 corruption scenario).
+            // Another thread beat us to the insert. When the two threads'
+            // plans are semantically equal they share ONE Spark cache
+            // entry, which the winner's eviction will release --
+            // unpersisting here would yank that shared entry out from
+            // under the winner's possibly in-flight query (the round-3
+            // corruption scenario). When they are NOT equal (one raced
+            // through the cold compute, the other filtered a cached
+            // broader prefix), ours is a distinct entry nobody references:
+            // release it (only if WE persisted it) or it pins executor
+            // storage until JVM exit.
+            if (owned && !persisted.queryExecution.analyzed
+                  .sameResult(won.df.queryExecution.analyzed))
+              persisted.unpersist()
             won.df
           } else {
             lru.put(key, Entry(persisted, bytes, owned, pinned = pinInserts))
@@ -394,6 +446,7 @@ class IndexQueryCache(maxEntries: Int = 200,
             persisted
           }
         }
+        } finally baseOpt.foreach(_.inflight.decrementAndGet())
     }
   }
 
@@ -412,7 +465,11 @@ class IndexQueryCache(maxEntries: Int = 200,
         it.hasNext && seen < candidates) {
       val eldest = it.next()
       seen += 1
-      if (!eldest.getValue.pinned) {
+      // skip pinned entries AND bases of in-flight derivations (an
+      // unpersist under a materializing filter-of-base corrupted results
+      // -- round 3); the in-flight skip is transient, the entry is
+      // evictable again once the derivation lands
+      if (!eldest.getValue.pinned && eldest.getValue.inflight.get() == 0) {
         if (eldest.getValue.owned) eldest.getValue.df.unpersist()
         totalBytes -= eldest.getValue.bytes
         evictions += 1
@@ -426,7 +483,9 @@ class IndexQueryCache(maxEntries: Int = 200,
   def size: Int = synchronized(lru.size)
 
   def clear(): Unit = synchronized {
-    lru.values().forEach(e => if (e.owned) e.df.unpersist())
+    // in-flight bases are dropped without unpersist -- see QueryCache.clear
+    lru.values().forEach(e =>
+      if (e.owned && e.inflight.get() == 0) e.df.unpersist())
     lru.clear()
     totalBytes = 0
     hits = 0; filteredHits = 0; misses = 0; evictions = 0
