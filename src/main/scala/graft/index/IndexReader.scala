@@ -79,9 +79,13 @@ class IndexReader(val spark: SparkSession, val dir: String,
   // Rebuild-in-place detection (eager, at construction): a rebuild
   // reproduces the SAME shard names, so this reader's recomputed plans
   // canonicalize equal to the pre-rebuild reader's Spark-cached relations
-  // (root-path identity) even though the epoch differs -- the CacheManager
-  // would substitute the OLD index's data wholesale. The first reader that
-  // observes a NEW epoch for a dir invalidates everything cached under it;
+  // (root-path identity; measured -- a fresh same-path read resolves to a
+  // prior instance's persisted relation) even though the epoch differs.
+  // A rebuild written through THIS session is already covered by Spark's
+  // write-side recacheByPath; this guard covers the production case the
+  // write side cannot see -- a rebuild by a DIFFERENT process (build job
+  // fleet) under a long-lived serving JVM. The first reader that observes
+  // a NEW epoch for a dir invalidates everything cached under it;
   // same-epoch readers (the common serving case) keep sharing warm caches.
   locally {
     val prev = IndexReader.lastEpoch.put(dir, java.lang.Long.valueOf(indexEpoch))

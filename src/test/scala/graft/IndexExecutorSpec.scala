@@ -34,6 +34,33 @@ class IndexExecutorSpec extends AnyFunSuite {
   private def lg(q: String): Set[Long] =
     Executor.topK(corpus, q, 10).collect().map(_.getLong(0)).toSet
 
+  test("rebuild into the same dir: new reader serves the NEW index, caches included") {
+    // a rebuild reproduces identical shard names, so plan root-path
+    // identity alone would let Spark's cache manager substitute the old
+    // index's cached/persisted relations into the new reader's plans.
+    // Same-session rebuilds are covered by Spark's write-side
+    // recacheByPath (which this test exercises); cross-process rebuilds
+    // are covered by the epoch-change refresh at reader construction.
+    val dir = java.nio.file.Files.createTempDirectory("graft_rebuild_ix").toString
+    val c1 = Seq((1L, "alpha beta"), (2L, "alpha gamma")).toDF("doc_id", "text")
+    IndexBuilder.build(spark, c1, dir, numShards = 1)
+    val r1 = new IndexReader(spark, dir) // cacheBlocks default: true
+    val h1 = IndexExecutor.topK(r1, "alpha", 10).collect().map(_.getLong(0)).toSet
+    assert(h1 === Set(1L, 2L))
+
+    Thread.sleep(1100) // dictionary commit mtime granularity can be 1s
+    // a rebuild deletes the old generation first (build itself is
+    // resumable and would skip committed shards), then reproduces the
+    // SAME shard names -- the aliasing scenario
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    val c2 = Seq((7L, "alpha delta"), (8L, "epsilon zeta")).toDF("doc_id", "text")
+    IndexBuilder.build(spark, c2, dir, numShards = 1)
+    val r2 = new IndexReader(spark, dir)
+    assert(r2.indexEpoch !== r1.indexEpoch)
+    val h2 = IndexExecutor.topK(r2, "alpha", 10).collect().map(_.getLong(0)).toSet
+    assert(h2 === Set(7L), "post-rebuild reader served the old index's data")
+  }
+
   test("every grammar shape matches the logical path doc-for-doc") {
     val queries = Seq(
       "aachen", "aachen aargau", "aachen -aargau", "aargau|babylonisch",
