@@ -465,6 +465,21 @@ object IndexBuilder {
     deltas.map(s => (newName, s)).toDF("new_shard", "merged_shard")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$indexDir/compactions/commit=${census.nextCompactId}")
+    // Sidecar with the merged names, written AFTER the parquet commit: a
+    // reader resolves shard visibility driver-side from this file (one
+    // tiny FS read) instead of running a Spark job per reader
+    // construction; the _SUCCESS-then-no-sidecar window (crash exactly
+    // here, or a pre-sidecar index) falls back to the parquet read
+    // (IndexReader.mergedShardsOf).
+    try {
+      val sidecar = new org.apache.hadoop.fs.Path(
+        s"$indexDir/compactions/commit=${census.nextCompactId}/merged.txt")
+      val out = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .create(sidecar, true)
+      try out.write(deltas.mkString("", "\n", "\n").getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
     // GC: merged dirs are invisible from here on; reclaim space best-effort
     val fsPath = new org.apache.hadoop.fs.Path(s"$indexDir/blocks")
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -205,13 +205,20 @@ class IndexReader(val spark: SparkSession, val dir: String,
       .map(_.toLong).getOrElse(IndexReader.CacheBlocksMaxBytes)
     // size through the Hadoop FileSystem API, so hdfs:// and s3a:// indexes
     // (the production case the guard exists for) are measured like local
-    // dirs; an unmeasurable size counts as TOO BIG -- never cache blind
+    // dirs; an unmeasurable size counts as TOO BIG -- never cache blind.
+    // Memoized by (dir, epoch): getContentSummary is a full recursive
+    // listing, and on an object store a serving fleet's reader churn must
+    // not pay it per construction (the epoch already fingerprints the
+    // layout, so a changed dir cannot reuse a stale size).
+    if (IndexReader.dirBytesMemo.size() > 1024) IndexReader.dirBytesMemo.clear()
     def dirBytes: Long =
-      try {
-        val p = new org.apache.hadoop.fs.Path(s"$dir/blocks")
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .getContentSummary(p).getLength
-      } catch { case _: Throwable => Long.MaxValue }
+      IndexReader.dirBytesMemo.computeIfAbsent((dir, indexEpoch), _ =>
+        try {
+          val p = new org.apache.hadoop.fs.Path(s"$dir/blocks")
+          java.lang.Long.valueOf(p.getFileSystem(
+            spark.sparkContext.hadoopConfiguration).getContentSummary(p).getLength)
+        } catch { case _: Throwable => java.lang.Long.valueOf(Long.MaxValue) })
+        .longValue()
     if (cacheBlocks && dirBytes <= maxBytes) b.cache() else b
   }
 
@@ -844,6 +851,53 @@ object IndexReader {
     * (invisible here until its commit dir gains _SUCCESS), so a crash at
     * any point leaves a census that serves exactly the old postings.
     */
+  /** Merged-shard names of ONE committed compaction commit dir, resolved
+    * without a Spark job on the common path: process memo keyed by
+    * (commit path, _SUCCESS mtime) -- a committed commit dir is immutable
+    * (the compact writer only overwrites BEFORE its _SUCCESS lands, and a
+    * rebuild that wipes `compactions/` gives the reused id a new mtime) --
+    * then the `merged.txt` sidecar via one driver-side FS read, then (old
+    * index or crash exactly between _SUCCESS and sidecar) the original
+    * parquet read. Reader construction over a compacted index is
+    * otherwise a per-reader Spark job.
+    */
+  private val mergedMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[String]]()
+
+  /** blocks-dir byte size by (dir, epoch) -- see the cache-guard comment in
+    * [[IndexReader.blocks]]. Entries are 2 machine words; the clear guard
+    * only matters for pathological dir churn.
+    */
+  private[index] val dirBytesMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
+
+  private[index] def mergedShardsOf(spark: SparkSession, commitDir: String): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val success = new org.apache.hadoop.fs.Path(s"$commitDir/_SUCCESS")
+    val fs = success.getFileSystem(conf)
+    val mtime = try fs.getFileStatus(success).getModificationTime
+                catch { case scala.util.control.NonFatal(_) => -1L }
+    val key = (commitDir, mtime)
+    val hit = if (mtime >= 0) mergedMemo.get(key) else null
+    if (hit != null) return hit
+    val sidecar = new org.apache.hadoop.fs.Path(s"$commitDir/merged.txt")
+    val names: Seq[String] =
+      try {
+        val in = fs.open(sidecar)
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+        finally in.close()
+      } catch { case scala.util.control.NonFatal(_) =>
+        spark.read.parquet(commitDir)
+          .select("merged_shard").collect().map(_.getString(0)).toSeq
+      }
+    if (mtime >= 0) {
+      if (mergedMemo.size() > 1024) mergedMemo.clear() // unbounded dirs guard
+      mergedMemo.putIfAbsent(key, names)
+    }
+    names
+  }
+
   def shardCensus(spark: SparkSession, dir: String): ShardCensus = {
     val conf = spark.sparkContext.hadoopConfiguration
     def subdirs(path: String, prefix: String): Seq[String] = {
@@ -862,8 +916,8 @@ object IndexReader {
       .filter(n => committed(s"$dir/compactions/commit=$n"))
     val merged: Set[String] =
       if (commits.isEmpty) Set.empty
-      else spark.read.parquet(commits.map(n => s"$dir/compactions/commit=$n"): _*)
-        .select("merged_shard").collect().map(_.getString(0)).toSet
+      else commits.flatMap(n =>
+        mergedShardsOf(spark, s"$dir/compactions/commit=$n")).toSet
     val committedCompacts = commits.map(n => s"compact-$n").toSet
     // every shard dir is its own job with its own _SUCCESS (batch shards:
     // IndexBuilder per-shard writes; stream-*: appendBatch; compact-*:
