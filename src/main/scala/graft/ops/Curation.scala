@@ -24,13 +24,28 @@ object Curation {
     * 0/1 longs so the relation round-trips bit-exactly through any
     * engine.
     */
-  def audit(docs: DataFrame, minTokens: Long = 20,
-            maxDupBigramFrac: Double = 0.1,
-            keepLang: String = "en"): DataFrame = {
-    val len = TextAnalysis.quality(docs)
-      .select(col("doc_id"), (col("n_tokens") >= minTokens).as("pass_len"))
-    val lang = TextAnalysis.langId(docs)
-      .select(col("doc_id"), (col("lang_pred") === keepLang).as("pass_lang"))
+  /** The audit's joined core: the MAP-ONLY signals (length gate, language
+    * gate, any caller extras like the PII gate) are fused into ONE narrow
+    * projection over the corpus scan -- each fused signal is one fewer
+    * full corpus scan + doc_id shuffle join than the one-relation-per-
+    * signal formulation (at 10^12 docs the joins, not the regexes, are
+    * the cost) -- and only the signals that genuinely aggregate
+    * (repetition grams, exact-dup canonicalization) join on doc_id.
+    */
+  private def auditJoined(docs: DataFrame, minTokens: Long,
+                          maxDupBigramFrac: Double, keepLang: String,
+                          narrowExtra: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    // two projection steps (scores, then argmax over their refs) -- see
+    // the [[TextAnalysis.langScoreCols]] scaladoc for why
+    val narrow = docs.select(
+      col("doc_id").cast("long").as("doc_id") +:
+        (TextAnalysis.nTokensCol >= minTokens).as("pass_len") +:
+        (TextAnalysis.langScoreCols ++
+          narrowExtra.map { case (n, c) => c.as(n) }): _*)
+      .select(
+        col("doc_id") +: col("pass_len") +:
+          (TextAnalysis.langPredFromScores === keepLang).as("pass_lang") +:
+          narrowExtra.map { case (n, _) => col(n) }: _*)
     val rep = TextAnalysis.repetition(docs)
       .select(col("doc_id"),
         (col("dup_bigram_frac") <= maxDupBigramFrac).as("pass_rep"))
@@ -39,7 +54,13 @@ object Curation {
     val canon = hashed
       .join(hashed.groupBy(col("h")).agg(min(col("doc_id")).as("cdoc")), "h")
       .select(col("doc_id"), (col("doc_id") === col("cdoc")).as("is_canonical"))
-    len.join(lang, "doc_id").join(rep, "doc_id").join(canon, "doc_id")
+    narrow.join(rep, "doc_id").join(canon, "doc_id")
+  }
+
+  def audit(docs: DataFrame, minTokens: Long = 20,
+            maxDupBigramFrac: Double = 0.1,
+            keepLang: String = "en"): DataFrame =
+    auditJoined(docs, minTokens, maxDupBigramFrac, keepLang, Nil)
       .select(
         col("doc_id"),
         col("pass_len").cast("long").as("pass_len"),
@@ -48,7 +69,6 @@ object Curation {
         col("is_canonical").cast("long").as("is_canonical"),
         (col("pass_len") && col("pass_lang") && col("pass_rep")
           && col("is_canonical")).cast("long").as("kept"))
-  }
 
   /** The kept set: doc_ids surviving the full chain. */
   def kept(docs: DataFrame, minTokens: Long = 20,
@@ -68,21 +88,25 @@ object Curation {
                 maxDupBigramFrac: Double = 0.1,
                 keepLang: String = "en",
                 maxPerplexity: Double = 30.0): DataFrame = {
-    val base = audit(docs, minTokens, maxDupBigramFrac, keepLang).drop("kept")
+    // PII is map-only: it rides the fused narrow projection (see
+    // auditJoined); only perplexity -- which needs the corpus-wide LM --
+    // adds a join over the base audit
+    val base = auditJoined(docs, minTokens, maxDupBigramFrac, keepLang,
+      Seq("pass_pii" -> TextAnalysis.piiFreeCol))
     val ppl = TextAnalysis.unigramPerplexity(docs)
       .select(col("doc_id"),
         (col("n_tokens") > 0L && col("perplexity") <= maxPerplexity)
-          .cast("long").as("pass_ppl"))
-    val pii = TextAnalysis.pii(docs)
+          .as("pass_ppl"))
+    base.join(ppl, "doc_id")
       .select(col("doc_id"),
-        (col("n_email") + col("n_phone") + col("n_ip") === 0L)
-          .cast("long").as("pass_pii"))
-    base.join(ppl, "doc_id").join(pii, "doc_id")
-      .select(col("doc_id"), col("pass_len"), col("pass_lang"), col("pass_rep"),
-        col("pass_ppl"), col("pass_pii"), col("is_canonical"),
-        (col("pass_len") === 1L && col("pass_lang") === 1L &&
-          col("pass_rep") === 1L && col("pass_ppl") === 1L &&
-          col("pass_pii") === 1L && col("is_canonical") === 1L)
+        col("pass_len").cast("long").as("pass_len"),
+        col("pass_lang").cast("long").as("pass_lang"),
+        col("pass_rep").cast("long").as("pass_rep"),
+        col("pass_ppl").cast("long").as("pass_ppl"),
+        col("pass_pii").cast("long").as("pass_pii"),
+        col("is_canonical").cast("long").as("is_canonical"),
+        (col("pass_len") && col("pass_lang") && col("pass_rep") &&
+          col("pass_ppl") && col("pass_pii") && col("is_canonical"))
           .cast("long").as("kept"))
   }
 
@@ -161,12 +185,17 @@ object Curation {
   def qualityThresholds(docs: DataFrame,
                         ps: Seq[Double] = Seq(0.1, 0.5, 0.9)): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), s"bad ps: $ps")
-    val nt = TextAnalysis.quality(docs).select(col("doc_id"), col("n_tokens"))
-    val lang = TextAnalysis.langId(docs).select(col("doc_id"), col("lang_pred"))
+    // token count and language are both map-only signals over the same
+    // scan: fuse them into one projection pair (no doc_id join before the
+    // languages-sized aggregation); two steps so the regex-heavy score
+    // subtrees stay codegen'd column refs, not an interpreted grouping key
+    val sig = docs
+      .select(TextAnalysis.nTokensCol.as("n_tokens") +: TextAnalysis.langScoreCols: _*)
+      .select(col("n_tokens"), TextAnalysis.langPredFromScores.as("lang_pred"))
     val pcols = ps.map(p =>
       round(percentile(col("n_tokens"), lit(p)), 4)
         .as(s"p${math.round(p * 100)}"))
-    nt.join(lang, "doc_id").groupBy(col("lang_pred"))
+    sig.groupBy(col("lang_pred"))
       .agg(count(lit(1)).as("n_docs"), pcols: _*)
   }
 

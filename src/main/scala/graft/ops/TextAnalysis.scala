@@ -24,18 +24,47 @@ object TextAnalysis {
     // whole-word occurrences; \b matches DuckDB RE2 and Java regex alike
     size(expr(s"regexp_extract_all(lower(text), '\\\\b$token\\\\b', 0)"))
 
+  /** Per-language marker-score columns (`_score_<lang>`), for map-only
+    * consumers ([[graft.ops.Curation]]) that fuse language ID into an
+    * existing projection instead of paying a separate scan + doc_id join.
+    * Kept as a SEPARATE projection step from [[langBestFromScores]]: the
+    * argmax chain references every score several times, and inlining the
+    * regex-heavy score subtrees there re-evaluates them wherever the
+    * consumer's expression lands outside whole-stage codegen (measured:
+    * an ObjectHashAggregate grouping key interpreted the inlined chain
+    * ~1 s slower at sf0.1 than the two-step shape; CollapseProject's
+    * non-cheap-duplication guard preserves the boundary).
+    */
+  private[ops] def langScoreCols: Seq[Column] =
+    LangMarkers.toSeq.sortBy(_._1).map { case (lang, toks) =>
+      toks.map(countToken).reduce(_ + _).cast("long").as(s"_score_$lang")
+    }
+
+  /** argmax (score, lang) struct over already-projected [[langScoreCols]],
+    * lexicographic tie-break.
+    */
+  private[ops] def langBestFromScores: Column =
+    LangMarkers.keys.toSeq.sorted
+      .map(l => struct(col(s"_score_$l").as("s"), lit(l).as("l")))
+      .reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
+
+  /** Predicted language over [[langScoreCols]] ('und' on zero hits). */
+  private[ops] def langPredFromScores: Column = {
+    val best = langBestFromScores
+    when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
+  }
+
+  /** Reference-tokenizer token count as a pure column. */
+  private[ops] def nTokensCol: Column =
+    size(filter(split(col("text"), Dedup.SepClass), t => t =!= "")).cast("long")
+
   /** (doc_id, lang_pred, n_markers): heuristic language identification. */
   def langId(docs: DataFrame): DataFrame = {
-    val scores = LangMarkers.toSeq.sortBy(_._1).map { case (lang, toks) =>
-      toks.map(countToken).reduce(_ + _).cast("long").as(s"score_$lang")
-    }
-    val withScores = docs.select((col("doc_id").cast("long") +: scores): _*)
-    val langs = LangMarkers.keys.toSeq.sorted
-    val best = langs.map(l => struct(col(s"score_$l").as("s"), lit(l).as("l")))
-      .reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
-    withScores.select(col("doc_id"),
-      when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und")).as("lang_pred"),
-      best.getField("s").as("n_markers"))
+    val best = langBestFromScores
+    docs.select(col("doc_id").cast("long").as("doc_id") +: langScoreCols: _*)
+      .select(col("doc_id"),
+        when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und")).as("lang_pred"),
+        best.getField("s").as("n_markers"))
   }
 
   /** Quality metrics per doc: token count, char count, mean token length,
@@ -152,6 +181,14 @@ object TextAnalysis {
   val EmailRe: String = """[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"""
   val PhoneRe: String = """\b\d{3}-\d{3}-\d{4}\b"""
   val Ipv4Re: String = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+
+  /** True iff `text` holds no PII match -- the [[pii]] gate as a pure
+    * column, fusible into an existing map-only projection.
+    */
+  private[ops] def piiFreeCol: Column =
+    regexp_count(col("text"), lit(EmailRe)) +
+      regexp_count(col("text"), lit(PhoneRe)) +
+      regexp_count(col("text"), lit(Ipv4Re)) === 0
 
   /** PII detection + redaction per doc: counts of emails / NANP-style
     * phone numbers / IPv4 addresses, plus the md5 of the text with each
