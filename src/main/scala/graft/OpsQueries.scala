@@ -90,7 +90,11 @@ object OpsQueries {
       valFrac = SplitValFrac, testFrac = SplitTestFrac).orderBy(col("doc_id"))),
     "cu_thresholds" -> ((s, d) => Curation.qualityThresholds(docs(s, d))
       .orderBy(col("lang_pred"))),
-    "ta_top_bigrams" -> ((s, d) => TextAnalysis.topNgrams(docs(s, d), n = 2, k = 20))
+    "ta_top_bigrams" -> ((s, d) => TextAnalysis.topNgrams(docs(s, d), n = 2, k = 20)),
+    "ta_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(docs(s, d), k = 3)
+      .orderBy(col("doc_id"), col("rk"))),
+    "cu_chunks" -> ((s, d) => Curation.chunkByTokens(docs(s, d),
+      maxTokens = 10, overlap = 2).orderBy(col("doc_id"), col("chunk_id")))
   )
 
   /** Train/val/test split gate fractions (10% val, 10% test). */
@@ -691,6 +695,42 @@ object OpsQueries {
          |  CAST(count(*) AS BIGINT) AS n_occurrences
          |FROM bg WHERE g IS NOT NULL GROUP BY 1
          |ORDER BY n_occurrences DESC, gram ASC LIMIT 20""".stripMargin,
+    // per-doc top-k TF-IDF keywords: tfidf = tf * ln(N / df), rounded to
+    // 4dp BEFORE the (tfidf desc, term asc) rank -- BaseCtes already
+    // carries dt/dfs/st
+    "ta_tfidf" ->
+      s"""${Oracles.BaseCtes},
+         |ti AS (
+         |  SELECT dt.doc_id, dt.term,
+         |         round(dt.tf * ln(CAST(st.n AS DOUBLE) / dfs.df), 4) AS tfidf
+         |  FROM dt JOIN dfs USING (term) CROSS JOIN st
+         |), rk AS (
+         |  SELECT doc_id, term, tfidf,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rk
+         |  FROM ti)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, term, tfidf, rk
+         |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    // context-window chunking, maxTokens=10 overlap=2 -> stride 8: chunk
+    // starts 0, 8, 16, ... while < n; hash = md5 of the space-joined slice
+    "cu_chunks" ->
+      s"""${Oracles.BaseCtes},
+         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+         |starts AS (
+         |  SELECT doc_id, n,
+         |         unnest(range(0, CAST(ceil(CAST(n AS DOUBLE) / 8) AS BIGINT))) AS chunk_id
+         |  FROM cnt WHERE n > 0
+         |), chunks AS (
+         |  SELECT s.doc_id, s.chunk_id, s.chunk_id * 8 AS start_pos,
+         |         least(s.n - s.chunk_id * 8, 10) AS n_tokens,
+         |         md5(string_agg(t.term, ' ' ORDER BY t.pos)) AS chunk_hash
+         |  FROM starts s JOIN toks t ON t.doc_id = s.doc_id
+         |    AND t.pos >= s.chunk_id * 8 AND t.pos < s.chunk_id * 8 + 10
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |       CAST(start_pos AS BIGINT) AS start_pos,
+         |       CAST(n_tokens AS BIGINT) AS n_tokens, chunk_hash
+         |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
     // token-budget packing: shard = floor(prefix-sum-before-doc / budget);
     // the oracle's single global window IS the naive plan the Spark side
     // replaces with the two-level bucket prefix sum

@@ -235,6 +235,43 @@ object Curation {
         floor(col("prior") / budget).cast("long").as("shard_id"))
   }
 
+  /** Context-window chunking with overlap — the sequence-prep step between
+    * curation and tokenization: each document's token stream is split into
+    * chunks of at most `maxTokens` tokens, consecutive chunks overlapping
+    * by `overlap` tokens (stride = maxTokens - overlap; chunk starts are
+    * 0, stride, 2*stride, ... while < the doc's token count, so a doc of
+    * n tokens yields ceil(n / stride) chunks, the last possibly short).
+    * Returns (doc_id, chunk_id, start_pos, n_tokens, chunk_hash) with
+    * chunk_hash = md5 of the space-joined chunk tokens — the deterministic
+    * identity downstream packing/dedup keys on.
+    *
+    * Scale shape: ONE narrow projection — token split, chunk-start
+    * sequence and per-chunk slice+hash are all array arithmetic inside the
+    * row (the [[Dedup.gramHashes]] pattern): no shuffle, no window, no
+    * per-chunk join; output size is the chunk count, not tokens × chunks.
+    */
+  def chunkByTokens(docs: DataFrame, maxTokens: Int = 10,
+                    overlap: Int = 2): DataFrame = {
+    require(maxTokens >= 1 && overlap >= 0 && overlap < maxTokens,
+      s"bad chunking: maxTokens=$maxTokens overlap=$overlap")
+    val stride = maxTokens - overlap
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        Dedup.toksArr.as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      .select(col("doc_id"), posexplode(
+        when(col("n") > 0, transform(
+          sequence(lit(0), ceil(col("n").cast("double") / stride).cast("int") - 1),
+          i => struct(
+            (i * stride).cast("long").as("start_pos"),
+            least(col("n") - i * stride, lit(maxTokens)).cast("long").as("n_tokens"),
+            md5(concat_ws(" ",
+              slice(col("toks"), i * stride + 1, lit(maxTokens)))).as("chunk_hash"))))
+          .otherwise(array())).as(Seq("chunk_id", "c")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("c.start_pos").as("start_pos"), col("c.n_tokens").as("n_tokens"),
+        col("c.chunk_hash").as("chunk_hash"))
+  }
+
   /** Benchmark decontamination: per training document, how many of its
     * token n-gram positions also occur in the evaluation set (any doc).
     * The standard pre-training hygiene pass (the GPT-3 appendix / PaLM

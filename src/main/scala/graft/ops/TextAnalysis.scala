@@ -244,6 +244,36 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Per-document top-k TF-IDF keywords — the classic keyword-extraction /
+    * document-representation pass (topic labeling, weak supervision,
+    * per-doc metadata for retrieval mixes). tfidf = tf * ln(N / df) over
+    * the corpus's own document frequencies, rounded to 4dp BEFORE ranking
+    * so the (tfidf desc, term asc) order is total and engine-reproducible
+    * (the exp/ln 4dp parity argument of [[unigramPerplexity]]).
+    *
+    * Scale shape: two hash aggregations (per-(doc, term) tf, per-term df),
+    * a vocabulary-sized equi-join, the 1-row N relation as a cross join
+    * (never a driver scalar in the plan), and ONE window partitioned by
+    * doc_id for the per-doc rank — work spreads with the corpus, no
+    * global sort, no explode beyond the tokenizer's.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1, s"bad k=$k")
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
+      explode(Dedup.toksArr).as("term"))
+    val dt = base.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfs = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
+    dt.join(dfs, "term").crossJoin(n)
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(col("n") / col("df")), 4).as("tfidf"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rk"))
+  }
+
   /** Positional document fingerprint: sum over tokens of
     * (pos+1) * (md5-derived 32-bit token hash), mod 1e9+7. Order-sensitive,
     * pure integer arithmetic -> bit-exact in any engine.

@@ -477,4 +477,45 @@ class OpsSpec extends AnyFunSuite {
     assert(tri.contains("click here to"))
     assert(!tri.exists(_.startsWith("zzz yyy"))) // 2-token doc has no trigram
   }
+
+  test("chunkByTokens: chunk boundaries, overlap, short tail, tiny doc") {
+    import spark.implicits._
+    // 12 tokens, maxTokens=10, overlap=2 -> stride 8: chunks [0,10) and
+    // [8,12); 5-token doc -> one whole-doc chunk; empty doc -> none
+    val d = Seq(
+      (1L, (0 until 12).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c d e"),
+      (3L, "")).toDF("doc_id", "text")
+    val c = Curation.chunkByTokens(d, maxTokens = 10, overlap = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(c.map(t => (t._1, t._2, t._3, t._4)).toSeq ===
+      Seq((1L, 0L, 0L, 10L), (1L, 1L, 8L, 4L), (2L, 0L, 0L, 5L)))
+    // overlap is real: chunk 1 of doc 1 starts at token 8 = "t8 t9 t10 t11"
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(c(1)._5 === md5("t8 t9 t10 t11"))
+    assert(c(0)._5 === md5((0 until 10).map(i => s"t$i").mkString(" ")))
+  }
+
+  test("tfidfTopTerms: rare terms outrank common ones; ties break by term") {
+    import spark.implicits._
+    // 'shared' in all 3 docs (idf = ln(1) = 0); each doc's unique terms
+    // carry idf ln(3); doc 1 repeats 'alpha' so it outranks 'beta'
+    val d = Seq(
+      (1L, "shared alpha alpha beta"),
+      (2L, "shared gamma delta"),
+      (3L, "shared epsilon")).toDF("doc_id", "text")
+    val t = TextAnalysis.tfidfTopTerms(d, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    val d1 = t.filter(_._1 == 1L).sortBy(_._4)
+    assert(d1.map(_._2).toSeq === Seq("alpha", "beta"))
+    assert(d1(0)._3 === BigDecimal(2 * math.log(3.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // doc 2: gamma/delta tie at ln(3); term asc puts delta first
+    val d2 = t.filter(_._1 == 2L).sortBy(_._4)
+    assert(d2.map(_._2).toSeq === Seq("delta", "gamma"))
+    // 'shared' has tfidf 0 and never enters a top-2 over the unique terms
+    assert(!t.exists(r => r._2 == "shared" && r._4 <= 2 && r._1 != 3L))
+  }
 }
