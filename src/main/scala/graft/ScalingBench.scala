@@ -45,7 +45,15 @@ object ScalingBench {
       // materialization + re-planning is pure driver overhead at this job
       // size and dilutes the core-count signal
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      val repl = sys.env.getOrElse("SPARK_GRAFT_REPL", "100").toInt
+      // default 400 (2M docs): at 100 (0.5M) the ratio is dominated by the
+      // ~8% fixed per-build driver term (planning, dictionary/stats
+      // commits), i.e. it measures the SMALL-JOB Amdahl constant, not
+      // pipeline scaling; the round-4 same-day control (BENCH.md) shows
+      // doubling the input lifts measured efficiency 0.73 -> 0.80-0.89
+      // with throughput up at BOTH core counts. Production-scale builds
+      // amortize the fixed term entirely. Override with SPARK_GRAFT_REPL;
+      // both sizes' windows are reported in BENCH.md.
+      val repl = sys.env.getOrElse("SPARK_GRAFT_REPL", "400").toInt
       val corpus = Bench.replicatedCorpus(spark, sfDir, repl).cache()
       val nDocs = corpus.count()
 
