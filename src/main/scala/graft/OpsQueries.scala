@@ -81,6 +81,8 @@ object OpsQueries {
       .orderBy(col("doc_id"))),
     "dd_substr_scrub" -> ((s, d) => Dedup.scrubSpans(docs(s, d), n = 4)
       .orderBy(col("doc_id"))),
+    "dd_substr_keepone" -> ((s, d) => Dedup.scrubSpansKeepOne(docs(s, d), n = 4)
+      .orderBy(col("doc_id"))),
     "cu_sample_mix" -> ((s, d) => Curation.sampleByWeight(docs(s, d),
       SampleMixWeights.toMap, defaultFrac = SampleMixDefault)
       .orderBy(col("doc_id"))),
@@ -652,6 +654,41 @@ object OpsQueries {
          |f AS (SELECT doc_id, pos, md5(g) AS g FROM sh WHERE glen = 4),
          |dup AS (SELECT g FROM f GROUP BY g HAVING count(*) > 1),
          |hits AS (SELECT doc_id, pos FROM f WHERE g IN (SELECT g FROM dup)),
+         |isl AS (SELECT doc_id, pos,
+         |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |        FROM hits),
+         |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 3 AS e
+         |          FROM isl GROUP BY doc_id, grp),
+         |k AS (SELECT t.doc_id, t.pos, t.term FROM toks t
+         |      WHERE NOT EXISTS (SELECT 1 FROM spans s
+         |        WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.s AND s.e)),
+         |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |      string_agg(term, ' ' ORDER BY pos) AS joined FROM k GROUP BY 1),
+         |tt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM toks GROUP BY 1)
+         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         |  COALESCE(tt.n_tokens, 0) AS n_tokens,
+         |  COALESCE(tt.n_tokens, 0) - COALESCE(a.n_kept, 0) AS n_dropped,
+         |  md5(COALESCE(a.joined, '')) AS scrubbed_hash
+         |FROM documents d
+         |LEFT JOIN tt ON d.doc_id = tt.doc_id
+         |LEFT JOIN a ON d.doc_id = a.doc_id""".stripMargin,
+    // keep-one exact-substring scrub: the same chain, minus each
+    // duplicated gram's CANONICAL (globally first by (doc_id, pos))
+    // occurrence, which survives
+    "dd_substr_keepone" ->
+      s"""${Oracles.BaseCtes},
+         |sh AS (SELECT doc_id, pos,
+         |  array_to_string(list(term) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING), ' ') AS g,
+         |  len(list(term) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)) AS glen
+         |  FROM toks),
+         |f AS (SELECT doc_id, pos, md5(g) AS g FROM sh WHERE glen = 4),
+         |dup AS (SELECT g FROM f GROUP BY g HAVING count(*) > 1),
+         |df2 AS (SELECT doc_id, pos, g,
+         |        row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+         |        FROM f WHERE g IN (SELECT g FROM dup)),
+         |hits AS (SELECT doc_id, pos FROM df2 WHERE rn > 1),
          |isl AS (SELECT doc_id, pos,
          |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
          |        FROM hits),

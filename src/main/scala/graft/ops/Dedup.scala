@@ -303,7 +303,16 @@ object Dedup {
     val grams = gramHashes(docs, n)
     val dupGrams = grams.groupBy(col("g")).count()
       .where(col("count") > 1).select(col("g"))
-    val hits = grams.join(dupGrams, Seq("g"), "left_semi")
+    islandsOf(grams.join(dupGrams, Seq("g"), "left_semi"), n)
+  }
+
+  /** Merge overlapping n-gram hit START positions into closed spans (the
+    * pos - row_number island trick), per doc: (doc_id, span_start,
+    * span_end, span_tokens). The window is partitioned by doc_id, never
+    * global. Shared by [[duplicatedSpans]] / [[scrubSpans]] (all
+    * occurrences) and [[scrubSpansKeepOne]] (non-canonical only).
+    */
+  private def islandsOf(hits: DataFrame, n: Int): DataFrame = {
     val wd = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     hits
@@ -318,8 +327,8 @@ object Dedup {
   /** The REMOVE half of exact-substring dedup: drop every token position
     * covered by a duplicated span (aggressive boilerplate scrub — all
     * occurrences go, the common choice for template/boilerplate runs;
-    * Lee et al.'s keep-one variant needs a global canonical-occurrence
-    * pick and is deliberately not conflated here). Returns per doc the
+    * [[scrubSpansKeepOne]] is Lee et al.'s keep-one variant with the
+    * global canonical-occurrence pick). Returns per doc the
     * token counts and the md5 of the space-joined surviving token stream
     * (a token-stream scrub: original separators are not reconstructed).
     *
@@ -328,14 +337,52 @@ object Dedup {
     * the per-key work is bounded; everything else is doc_id-keyed
     * aggregation.
     */
-  def scrubSpans(docs: DataFrame, n: Int = 10): DataFrame = {
+  def scrubSpans(docs: DataFrame, n: Int = 10): DataFrame =
+    scrubAgainst(docs, duplicatedSpans(docs, n))
+
+  /** The KEEP-ONE half of exact-substring dedup (Lee et al. 2022's actual
+    * output: one copy of each duplicated substring survives), at n-gram
+    * granularity: for each duplicated n-gram, its CANONICAL occurrence is
+    * the globally first one (min (doc_id, pos) — a total order, so the
+    * pick is deterministic and engine-reproducible); only NON-canonical
+    * occurrences scrub. Two identical documents keep the lower-doc_id
+    * copy verbatim; a within-doc repeat keeps its first occurrence.
+    * Granularity caveat (documented, spec-pinned): where a canonical
+    * occurrence of one gram overlaps a non-canonical occurrence of
+    * another, the overlap scrubs — the gram-level relational
+    * approximation of Lee et al.'s maximal-substring clusters.
+    *
+    * Scale shape: [[scrubSpans]] plus ONE more gram-keyed aggregation
+    * (the canonical pick, a struct-min — no window over the corpus) and
+    * one equi-join on the gram hash; everything stays keyed on g or
+    * doc_id.
+    */
+  def scrubSpansKeepOne(docs: DataFrame, n: Int = 10): DataFrame = {
+    val grams = gramHashes(docs, n)
+    val dupGrams = grams.groupBy(col("g")).count()
+      .where(col("count") > 1).select(col("g"))
+    val hits = grams.join(dupGrams, Seq("g"), "left_semi")
+    val canon = hits.groupBy(col("g"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("c"))
+    val nonCanon = hits.join(canon, "g")
+      .where(!(col("doc_id") === col("c.doc_id") && col("pos") === col("c.pos")))
+      .select(col("doc_id"), col("pos"))
+    scrubAgainst(docs, islandsOf(nonCanon, n))
+  }
+
+  /** Scrub every token position inside `spans` (doc_id, span_start,
+    * span_end, ...) out of `docs`' token streams: per doc the token
+    * counts and the md5 of the space-joined survivors — the shared tail
+    * of [[scrubSpans]] and [[scrubSpansKeepOne]].
+    */
+  private def scrubAgainst(docs: DataFrame, spans: DataFrame): DataFrame = {
     val toks = toksArr
     val base = docs.select(col("doc_id").cast("long").as("doc_id"),
       posexplode(toks).as(Seq("pos", "term")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("term"))
-    val spans = duplicatedSpans(docs, n).select(
+    val sp = spans.select(
       col("doc_id").as("s_doc"), col("span_start"), col("span_end"))
-    val kept = base.join(spans,
+    val kept = base.join(sp,
       base("doc_id") === col("s_doc") &&
         base("pos") >= col("span_start") && base("pos") <= col("span_end"),
       "left_anti")

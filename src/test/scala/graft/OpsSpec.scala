@@ -478,6 +478,34 @@ class OpsSpec extends AnyFunSuite {
     assert(!tri.exists(_.startsWith("zzz yyy"))) // 2-token doc has no trigram
   }
 
+  test("scrubSpansKeepOne: canonical copy survives; scrubSpans drops both") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // dup of 1
+      (3L, "a b c d x a b c d"), // within-doc repeat
+      (4L, "totally unrelated words appearing only once here")
+    ).toDF("doc_id", "text")
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val keep = Dedup.scrubSpansKeepOne(d, n = 4).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+      .sortBy(_._1)
+    // doc 1 is every gram's canonical occurrence: kept verbatim
+    assert(keep(0) === ((1L, 9L, 0L,
+      md5("the quick brown fox jumps over the lazy dog"))))
+    // doc 2 holds only non-canonical occurrences: fully scrubbed
+    assert(keep(1) === ((2L, 9L, 9L, md5(""))))
+    // within-doc repeat: the FIRST "a b c d" survives, the second scrubs
+    assert(keep(2) === ((3L, 9L, 4L, md5("a b c d x"))))
+    // clean doc untouched
+    assert(keep(3)._3 === 0L)
+    // divergence vs the remove-all scrub: there BOTH copies of doc 1/2 go
+    val all = Dedup.scrubSpans(d, n = 4).collect()
+      .map(x => (x.getLong(0), x.getLong(2))).sortBy(_._1)
+    assert(all(0)._2 === 9L && all(1)._2 === 9L)
+  }
+
   test("chunkByTokens: chunk boundaries, overlap, short tail, tiny doc") {
     import spark.implicits._
     // 12 tokens, maxTokens=10, overlap=2 -> stride 8: chunks [0,10) and
