@@ -209,29 +209,37 @@ object Bench {
       val s = java.util.Locale.ROOT
       String.format(s, s"%.${dp}f", Double.box(v))
     }
-    def jsonFor(qdp: Int): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, qdp) }
+    def jsonFor(qs: Iterable[(String, Double)], qdp: Int): String = {
+      val qj = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v, qdp) }
         .mkString("{", ",", "}")
       val total = if (results.nonEmpty) results.values.sum else 0.0
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_queries":${results.size},""" +
+        s""""queries":$qj,"sf":"$sfDir",""" +
         s""""build_docs_per_sec":${fmt(docsPerSec, 1)},"n_docs":$nDocs,""" +
         s""""bm25_top10_p50_ms":${fmt(p50Ms, 1)},"bm25_top10_p95_ms":${fmt(p95Ms, 1)},""" +
         s""""grammar_top10_p50_ms":${fmt(grammarP50Ms, 1)}}"""
     }
-    // The one-line JSON contract: IDENTICAL bytes to both sinks (1dp per
-    // query keeps the line small enough for any bounded tail-capture
-    // window). The file copy exists because sbt appends its own
-    // `[success] ...` line AFTER our stdout -- a driver that tail-parses
-    // the sbt output should run `./bench.sh`, which cats the file as the
-    // true last stdout line (see README).
-    val line = jsonFor(1)
+    // The one-line JSON contract, two sinks with ONE deliberate size
+    // difference: the FILE (BENCH_LOCAL.json) carries the full per-query
+    // map; the final STDOUT line (and bench.sh's cat of the summary file)
+    // carries only the 10 slowest queries. A 145-entry map is ~2.9 KB and
+    // a bounded tail capture (~2.3 KB) clips its FRONT -- losing `metric`
+    // and `value` and failing the parse -- so the stdout line must stay
+    // well under any plausible tail window (~700 bytes with 10 entries).
+    val fullLine = jsonFor(results, 1)
+    val summaryLine =
+      jsonFor(results.toSeq.sortBy { case (k, v) => (-v, k) }.take(10), 1)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     scala.util.Try(java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(outFile), line + "\n"))
+      java.nio.file.Paths.get(outFile), fullLine + "\n"))
+    scala.util.Try(java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY", "BENCH_SUMMARY.json")),
+      summaryLine + "\n"))
     // stop() can throw on executor shutdown races; the contract line must
     // still go out (all measurements already succeeded)
     scala.util.Try(spark.stop())
-    println(line)
+    println(summaryLine)
     System.out.flush()
   }
 }

@@ -47,6 +47,51 @@ object IndexQueries {
   def bpPrefixDocs(spark: SparkSession, sfDir: String): DataFrame =
     new IndexReader(spark, bpIndexDir(spark, sfDir)).topKPrefixDocs("st", 10)
 
+  /** Index built through the XML INGEST path (reference XmlParserNew.cpp):
+    * the sf documents rendered as one `<docs><doc><text>...` file (in
+    * doc_id order, entities escaped), parsed back by
+    * [[graft.core.XmlIngest.parse]], indexed via
+    * [[IndexBuilder.buildFromWords]]. XML doc ids are 1-based parse
+    * positions, so the oracle maps parquet doc_id -> row_number() over
+    * (ORDER BY doc_id) — a hash match proves render -> StAX parse ->
+    * tokenize -> build serves exactly the logical corpus.
+    */
+  def xmlIndexDir(spark: SparkSession, sfDir: String): String = synchronized {
+    built.getOrElseUpdate(s"$sfDir#xml", {
+      val dir = s"/tmp/graft_index/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}_xml"
+      val srcDir = java.nio.file.Paths.get(s"$dir-src")
+      java.nio.file.Files.createDirectories(srcDir)
+      // fixture render (driver-side, gate-only — the OPERATOR under test
+      // is the distributed parse of the written file, not this writer)
+      def esc(s: String): String =
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      val w = java.nio.file.Files.newBufferedWriter(srcDir.resolve("webdocs.xml"),
+        java.nio.charset.StandardCharsets.UTF_8)
+      try {
+        w.write("<docs>\n")
+        val it = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+          .toLocalIterator()
+        while (it.hasNext) {
+          val r = it.next()
+          w.write(s"<doc><text>${esc(r.getString(1))}</text></doc>\n")
+        }
+        w.write("</docs>\n")
+      } finally w.close()
+      val (words, _) = graft.core.XmlIngest.parse(spark,
+        srcDir.resolve("webdocs.xml").toString,
+        Seq(graft.core.CsvField("text", fulltext = true, show = true)))
+      IndexBuilder.buildFromWords(spark, words, dir)
+      dir
+    })
+  }
+
+  /** Prefix top-10 from the XML-ingested index (oracle: the fixed-width
+    * prefix oracle with parquet doc ids mapped to parse positions).
+    */
+  def xmlPrefixDocs(spark: SparkSession, sfDir: String): DataFrame =
+    new IndexReader(spark, xmlIndexDir(spark, sfDir)).topKPrefixDocs("st", 10)
+
   /** BY_PREFIX_SIZE: boundaries derived as the vocabulary's distinct
     * length-2 prefixes (one bucket per prefix group) instead of a
     * hand-written boundary list.

@@ -35,8 +35,13 @@ object OpsQueries {
       .orderBy(col("doc_id"))),
     "dd_keepset" -> ((s, d) => Dedup.nearDupKeepSet(docs(s, d))
       .orderBy(col("doc_id"))),
-    "dd_jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(docs(s, d), n = 5, threshold = 0.5)),
-    "dd_lsh_pairs" -> ((s, d) => Dedup.lshCandidatePairs(docs(s, d), n = 5, nHashes = 8, bands = 4)),
+    // gate-side orderBy: the operators return UNORDERED pair sets (a
+    // production run never pays a global sort of the output); the sort
+    // here exists only for the deterministic oracle compare
+    "dd_jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(docs(s, d), n = 5, threshold = 0.5)
+      .orderBy(col("a"), col("b"))),
+    "dd_lsh_pairs" -> ((s, d) => Dedup.lshCandidatePairs(docs(s, d), n = 5, nHashes = 8, bands = 4)
+      .orderBy(col("a"), col("b"))),
     "dd_simhash" -> ((s, d) => Dedup.simhash(docs(s, d), bits = 16)),
     "dd_embcos_pairs" -> ((s, d) => Dedup.embeddingCosPairs(embs(s, d), planes = 8, tau = 0.35)),
     "dd_embcos_keep" -> ((s, d) => Dedup.embeddingKeepSet(embs(s, d), planes = 8, tau = 0.35)
@@ -749,13 +754,16 @@ object OpsQueries {
          |SELECT CAST(doc_id AS BIGINT) AS doc_id, term, tfidf, rk
          |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     // context-window chunking, maxTokens=10 overlap=2 -> stride 8: chunk
-    // starts 0, 8, 16, ... while < n; hash = md5 of the space-joined slice
+    // starts 0, 8, 16, ... stopping once a window reaches the doc's end
+    // (1 + ceil(max(0, n-10)/8) chunks -- no redundant tail chunk fully
+    // contained in the previous window); hash = md5 of the joined slice
     "cu_chunks" ->
       s"""${Oracles.BaseCtes},
          |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1),
          |starts AS (
          |  SELECT doc_id, n,
-         |         unnest(range(0, CAST(ceil(CAST(n AS DOUBLE) / 8) AS BIGINT))) AS chunk_id
+         |         unnest(range(0,
+         |           1 + CAST(ceil(CAST(greatest(n - 10, 0) AS DOUBLE) / 8) AS BIGINT))) AS chunk_id
          |  FROM cnt WHERE n > 0
          |), chunks AS (
          |  SELECT s.doc_id, s.chunk_id, s.chunk_id * 8 AS start_pos,

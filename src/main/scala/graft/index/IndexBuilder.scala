@@ -470,16 +470,33 @@ object IndexBuilder {
     // tiny FS read) instead of running a Spark job per reader
     // construction; the _SUCCESS-then-no-sidecar window (crash exactly
     // here, or a pre-sidecar index) falls back to the parquet read
-    // (IndexReader.mergedShardsOf).
+    // (IndexReader.mergedShardsOf). Three durability points: (1) the name
+    // is underscore-prefixed so Spark's parquet file listing skips it and
+    // the commit dir stays a clean parquet directory for the fallback
+    // read; (2) the write is temp-then-rename -- a crash mid-write leaves
+    // only the temp file, never a truncated sidecar a reader would parse
+    // as a valid shorter list (serving duplicate postings); (3) the last
+    // line is a sentinel the reader requires, so even a non-atomic rename
+    // on an exotic FS cannot expose a torn prefix as complete.
+    val commitPath = s"$indexDir/compactions/commit=${census.nextCompactId}"
+    val sidecarTmp = new org.apache.hadoop.fs.Path(
+      s"$commitPath/.${IndexReader.MergedSidecarName}.tmp")
     try {
       val sidecar = new org.apache.hadoop.fs.Path(
-        s"$indexDir/compactions/commit=${census.nextCompactId}/merged.txt")
-      val out = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .create(sidecar, true)
-      try out.write(deltas.mkString("", "\n", "\n").getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
+        s"$commitPath/${IndexReader.MergedSidecarName}")
+      val sfs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = sfs.create(sidecarTmp, true)
+      try out.write(
+        (deltas :+ IndexReader.MergedSidecarSentinel).mkString("", "\n", "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-    } catch { case scala.util.control.NonFatal(_) => () }
+      sfs.delete(sidecar, false) // rename refuses to overwrite on RawLocalFS
+      if (!sfs.rename(sidecarTmp, sidecar)) sfs.delete(sidecarTmp, false)
+    } catch { case scala.util.control.NonFatal(_) =>
+      try sidecarTmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(sidecarTmp, false)
+      catch { case _: Throwable => () }
+    }
     // GC: merged dirs are invisible from here on; reclaim space best-effort
     val fsPath = new org.apache.hadoop.fs.Path(s"$indexDir/blocks")
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -856,13 +856,27 @@ object IndexReader {
     * (commit path, _SUCCESS mtime) -- a committed commit dir is immutable
     * (the compact writer only overwrites BEFORE its _SUCCESS lands, and a
     * rebuild that wipes `compactions/` gives the reused id a new mtime) --
-    * then the `merged.txt` sidecar via one driver-side FS read, then (old
+    * then the `_merged.txt` sidecar via one driver-side FS read, then (old
     * index or crash exactly between _SUCCESS and sidecar) the original
     * parquet read. Reader construction over a compacted index is
     * otherwise a per-reader Spark job.
     */
+  /** Sidecar file name: underscore-prefixed so Spark's parquet file
+    * listing skips it -- the commit dir must stay readable as a plain
+    * parquet directory for the fallback path (and for any external
+    * reader of commit logs).
+    */
+  private[index] val MergedSidecarName = "_merged.txt"
+
+  /** Terminating sentinel line: a sidecar without it is torn/partial and
+    * MUST be ignored (fall back to the parquet commit read) -- a truncated
+    * list would silently resurrect merged shards as visible, serving
+    * duplicate postings.
+    */
+  private[index] val MergedSidecarSentinel = "#end"
+
   private val mergedMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[String]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[String]]()
 
   /** blocks-dir byte size by (dir, epoch) -- see the cache-guard comment in
     * [[IndexReader.blocks]]. Entries are 2 machine words; the clear guard
@@ -871,27 +885,43 @@ object IndexReader {
   private[index] val dirBytesMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
 
-  private[index] def mergedShardsOf(spark: SparkSession, commitDir: String): Seq[String] = {
+  private[graft] def mergedShardsOf(spark: SparkSession, commitDir: String): Seq[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val success = new org.apache.hadoop.fs.Path(s"$commitDir/_SUCCESS")
+    val sidecar = new org.apache.hadoop.fs.Path(
+      s"$commitDir/$MergedSidecarName")
     val fs = success.getFileSystem(conf)
-    val mtime = try fs.getFileStatus(success).getModificationTime
-                catch { case scala.util.control.NonFatal(_) => -1L }
-    val key = (commitDir, mtime)
-    val hit = if (mtime >= 0) mergedMemo.get(key) else null
+    // Memo key carries (mtime, length) of BOTH the _SUCCESS marker and
+    // the sidecar: mtime alone collides when a rebuild wipes
+    // `compactions/` and recreates the same commit id within one
+    // coarse-granularity timestamp tick; the sidecar's own stat makes
+    // that implausible (and naturally invalidates on sidecar arrival).
+    def stat(p: org.apache.hadoop.fs.Path): String =
+      try { val st = fs.getFileStatus(p); s"${st.getModificationTime}:${st.getLen}" }
+      catch { case scala.util.control.NonFatal(_) => "absent" }
+    val successStat = stat(success)
+    val key = (commitDir, s"$successStat|${stat(sidecar)}")
+    val hit = if (successStat != "absent") mergedMemo.get(key) else null
     if (hit != null) return hit
-    val sidecar = new org.apache.hadoop.fs.Path(s"$commitDir/merged.txt")
-    val names: Seq[String] =
+    // Sidecar fast path: valid ONLY if the terminating sentinel is the
+    // last line (a torn/partial write parses as a shorter list otherwise
+    // -- merged shards would stay visible and serve duplicate postings).
+    val fromSidecar: Option[Seq[String]] =
       try {
         val in = fs.open(sidecar)
-        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-          .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
-        finally in.close()
-      } catch { case scala.util.control.NonFatal(_) =>
-        spark.read.parquet(commitDir)
-          .select("merged_shard").collect().map(_.getString(0)).toSeq
-      }
-    if (mtime >= 0) {
+        val lines =
+          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+            .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+          finally in.close()
+        if (lines.lastOption.contains(MergedSidecarSentinel))
+          Some(lines.dropRight(1))
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val names: Seq[String] = fromSidecar.getOrElse {
+      spark.read.parquet(commitDir)
+        .select("merged_shard").collect().map(_.getString(0)).toSeq
+    }
+    if (successStat != "absent") {
       if (mergedMemo.size() > 1024) mergedMemo.clear() // unbounded dirs guard
       mergedMemo.putIfAbsent(key, names)
     }

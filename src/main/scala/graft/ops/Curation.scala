@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation: the composed filter chain a training-data
@@ -177,10 +177,13 @@ object Curation {
     * exact percentiles of `n_tokens` (linear interpolation, the
     * quantile_cont convention both Spark's `percentile` and DuckDB use).
     *
-    * Scale shape: a vocabulary-of-languages-sized aggregation (dozens of
-    * groups). Exact `percentile` keeps the gate deterministic; at 10^12
-    * docs the drop-in swap is `percentile_approx` with the same schema —
-    * the calibration consumer tolerates approximate cuts.
+    * Scale shape: a map-side-combined histogram aggregation keyed on
+    * (language, n_tokens) — cardinality bounded by distinct token
+    * counts, tiny relative to docs — then percentile interpolation off
+    * the cumulative counts. Exact AND bounded-memory: no per-group value
+    * buffer anywhere (Spark's exact `percentile` would buffer every
+    * value of a language in one reducer — the body comment has the
+    * full argument).
     */
   def qualityThresholds(docs: DataFrame,
                         ps: Seq[Double] = Seq(0.1, 0.5, 0.9)): DataFrame = {
@@ -192,11 +195,40 @@ object Curation {
     val sig = docs
       .select(TextAnalysis.nTokensCol.as("n_tokens") +: TextAnalysis.langScoreCols: _*)
       .select(col("n_tokens"), TextAnalysis.langPredFromScores.as("lang_pred"))
-    val pcols = ps.map(p =>
-      round(percentile(col("n_tokens"), lit(p)), 4)
-        .as(s"p${math.round(p * 100)}"))
-    sig.groupBy(col("lang_pred"))
-      .agg(count(lit(1)).as("n_docs"), pcols: _*)
+    // EXACT percentiles in histogram form. Spark's exact `percentile` is
+    // an imperative aggregate that buffers EVERY value per group in
+    // reducer memory, and the group key is a handful of languages -- at
+    // corpus scale that is a full shuffle onto ~5 keys with unbounded
+    // per-key buffers. The same exact answer falls out of the value
+    // HISTOGRAM instead: n_tokens has bounded cardinality (distinct
+    // token counts, tiny relative to docs), so groupBy(lang, n_tokens)
+    // is a map-side-combined hash agg, the per-language cumulative
+    // window runs over histogram rows only, and the interpolation reads
+    // the two order statistics it needs straight off the cumulative
+    // ranges. Same linear-interpolation convention as Spark `percentile`
+    // / DuckDB `quantile_cont`: h = p*(N-1), x[k] + (h-k)*(x[k+1]-x[k]).
+    import org.apache.spark.sql.expressions.Window
+    val hist = sig.groupBy(col("lang_pred"), col("n_tokens"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("lang_pred")).orderBy(col("n_tokens"))
+    // histogram row covers 0-based order-statistic indices [start, end)
+    val cum = hist
+      .select(col("lang_pred"), col("n_tokens").cast("double").as("nt"),
+        col("c"), sum(col("c")).over(w).as("cend"))
+      .withColumn("cstart", col("cend") - col("c"))
+      .withColumn("nd", sum(col("c")).over(
+        Window.partitionBy(col("lang_pred"))))
+    val pcols = ps.map { p =>
+      val h = lit(p) * (col("nd").cast("double") - 1.0)
+      val k = floor(h)
+      def at(i: Column) =
+        max(when(col("cstart") <= i && col("cend") > i, col("nt")))
+      val xk = at(k)
+      val xk1 = coalesce(at(k + 1), at(k)) // k+1 == N only when frac == 0
+      round(xk + max(h - k) * (xk1 - xk), 4).as(s"p${math.round(p * 100)}")
+    }
+    cum.groupBy(col("lang_pred"))
+      .agg(max(col("nd")).as("n_docs"), pcols: _*)
   }
 
   /** Token-budget sequence packing: assign documents (in doc_id order) to
@@ -239,8 +271,13 @@ object Curation {
     * curation and tokenization: each document's token stream is split into
     * chunks of at most `maxTokens` tokens, consecutive chunks overlapping
     * by `overlap` tokens (stride = maxTokens - overlap; chunk starts are
-    * 0, stride, 2*stride, ... while < the doc's token count, so a doc of
-    * n tokens yields ceil(n / stride) chunks, the last possibly short).
+    * 0, stride, 2*stride, ... and the sequence STOPS once a window
+    * reaches the end of the doc: a doc of n > 0 tokens yields
+    * 1 + ceil(max(0, n - maxTokens) / stride) chunks, the last possibly
+    * short. The stop rule matters: "while start < n" would emit a
+    * trailing chunk fully contained in the previous one whenever the
+    * previous window already covered the tail -- duplicated tokens fed
+    * to downstream packing).
     * Returns (doc_id, chunk_id, start_pos, n_tokens, chunk_hash) with
     * chunk_hash = md5 of the space-joined chunk tokens — the deterministic
     * identity downstream packing/dedup keys on.
@@ -260,7 +297,9 @@ object Curation {
       .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
       .select(col("doc_id"), posexplode(
         when(col("n") > 0, transform(
-          sequence(lit(0), ceil(col("n").cast("double") / stride).cast("int") - 1),
+          sequence(lit(0),
+            ceil(greatest(col("n") - maxTokens, lit(0)).cast("double") / stride)
+              .cast("int")),
           i => struct(
             (i * stride).cast("long").as("start_pos"),
             least(col("n") - i * stride, lit(maxTokens)).cast("long").as("n_tokens"),

@@ -83,7 +83,6 @@ object Dedup {
         round(col("common") / (col("na") + col("nb") - col("common")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
-      .orderBy(col("a"), col("b"))
   }
 
   /** The dedup OUTPUT for exact duplicates: one kept doc per distinct
@@ -214,7 +213,6 @@ object Dedup {
     l.join(rt, Seq("band", "bsig"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-      .orderBy(col("a"), col("b"))
   }
 
   /** 16-bit SimHash over terms weighted by tf: bit j of md5(term) votes

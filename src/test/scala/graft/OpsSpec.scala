@@ -513,12 +513,17 @@ class OpsSpec extends AnyFunSuite {
     val d = Seq(
       (1L, (0 until 12).map(i => s"t$i").mkString(" ")),
       (2L, "a b c d e"),
-      (3L, "")).toDF("doc_id", "text")
+      (3L, ""),
+      // 9 tokens < maxTokens=10 but > stride=8: the first window already
+      // covers the whole doc, so NO second chunk -- a "start < n" rule
+      // would emit [8,9) as a redundant subset of [0,9)
+      (4L, (0 until 9).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
     val c = Curation.chunkByTokens(d, maxTokens = 10, overlap = 2).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
       .sortBy(t => (t._1, t._2))
     assert(c.map(t => (t._1, t._2, t._3, t._4)).toSeq ===
-      Seq((1L, 0L, 0L, 10L), (1L, 1L, 8L, 4L), (2L, 0L, 0L, 5L)))
+      Seq((1L, 0L, 0L, 10L), (1L, 1L, 8L, 4L), (2L, 0L, 0L, 5L),
+        (4L, 0L, 0L, 9L)))
     // overlap is real: chunk 1 of doc 1 starts at token 8 = "t8 t9 t10 t11"
     def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

@@ -176,4 +176,51 @@ class StreamingIndexSpec extends AnyFunSuite {
     val hits = r.topKOrFull(Seq("spark"), 10000).collect().map(_.getLong(0)).toSet
     assert(hits.contains(maxDoc + 1))
   }
+
+  test("merged-shard sidecar: sentinel-validated, torn copies fall back to the parquet commit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sidecar_ix").toString
+    val base = WebCorpus.fromDocuments(spark, "/root/testdata/sf0.001")
+    IndexBuilder.build(spark, base, dir, numShards = 1)
+    val maxDoc = base.agg(max(col("doc_id"))).head().getLong(0)
+    StreamingIndexer.appendBatch(spark,
+      Seq((maxDoc + 1, "spark merge")).toDF("doc_id", "text"), dir, "stream-0")
+    StreamingIndexer.appendBatch(spark,
+      Seq((maxDoc + 2, "spark join")).toDF("doc_id", "text"), dir, "stream-1")
+    assert(IndexBuilder.compact(spark, dir) === Some("compact-0"))
+
+    val commitDir = s"$dir/compactions/commit=0"
+    val sidecar = java.nio.file.Paths.get(commitDir, "_merged.txt")
+    // the committed sidecar exists, underscore-prefixed (Spark's parquet
+    // listing skips it: the commit dir stays a clean parquet directory),
+    // sentinel-terminated, and the fast path reads it
+    assert(java.nio.file.Files.exists(sidecar))
+    val lines = java.nio.file.Files.readAllLines(sidecar)
+    assert(lines.get(lines.size - 1) === "#end")
+    val expected = Seq("stream-0", "stream-1")
+    // the memo key carries the sidecar's (mtime, length), so mutating or
+    // deleting the sidecar below invalidates it without any explicit bust
+    def freshMerged(): Seq[String] =
+      IndexReader.mergedShardsOf(spark, commitDir).sorted
+    assert(freshMerged() === expected)
+
+    // TORN sidecar (crash mid-write would leave a prefix; simulate by
+    // truncating past the sentinel): the reader must NOT trust the
+    // shorter list -- it falls back to the parquet commit and still
+    // hides every merged shard
+    java.nio.file.Files.writeString(sidecar, "stream-0\n") // no sentinel
+    assert(freshMerged() === expected)
+    // and the commit dir is still readable as plain parquet despite the
+    // (now invalid) sidecar sitting in it
+    assert(spark.read.parquet(commitDir).select("merged_shard")
+      .collect().map(_.getString(0)).toSet === expected.toSet)
+
+    // sidecar deleted entirely (pre-sidecar crash window): same fallback
+    java.nio.file.Files.delete(sidecar)
+    assert(freshMerged() === expected)
+
+    // end-to-end: with the torn-then-deleted sidecar history, the census
+    // still hides merged shards -- no duplicate postings
+    assert(IndexReader.shardCensus(spark, dir).visible.sorted
+      === Seq("0", "compact-0"))
+  }
 }
