@@ -95,7 +95,19 @@ object Search {
   def searchIndex(reader: graft.index.IndexReader, query: String, k: Int = 10,
                   completionsK: Int = 10, excerptRadius: Int = 2,
                   cache: Option[graft.query.IndexQueryCache] = None,
-                  params: graft.query.QueryParams = graft.query.QueryParams.Default): SearchResult = {
+                  params: graft.query.QueryParams = graft.query.QueryParams.Default): SearchResult =
+    // borrow scope: every history relation handed to this request stays
+    // eviction-guarded until assemble() has fully materialized the
+    // result -- a concurrent request's oversized insert (or our own)
+    // cannot unpersist a relation mid-collect (IndexQueryCache.borrow)
+    cache.getOrElse(graft.query.QueryHistory.default).borrow {
+      searchIndexInner(reader, query, k, completionsK, excerptRadius, cache, params)
+    }
+
+  private def searchIndexInner(reader: graft.index.IndexReader, query: String, k: Int,
+                  completionsK: Int, excerptRadius: Int,
+                  cache: Option[graft.query.IndexQueryCache],
+                  params: graft.query.QueryParams): SearchResult = {
     // serve* facades: the driver-resident grammar path under its guards
     // (zero Spark jobs warm), the distributed plans past them
     val topk = graft.query.IndexExecutor.serveHits(reader, query, k, params, cache)

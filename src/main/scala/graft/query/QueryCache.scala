@@ -280,13 +280,14 @@ object QueryHistory {
   * corrupted results. An LRU victim is by construction the entry least
   * likely to be referenced by an in-flight query.
   *
-  * Residual (accepted) hazard: a relation RETURNED to a caller (exact
-  * hit) can still be evicted while the caller's job runs -- the cache
-  * cannot know when a handed-out DataFrame's job completes without
-  * caller-side release(), which no reference-counted design here
-  * justifies. Mitigation: a hit refreshes recency (the victim is the
-  * LRU entry), and the in-flight guard covers the one case the cache
-  * CAN track end-to-end, its own copyAndFilter derivations.
+  * Hand-out protection is two-layered: the in-flight guard covers the
+  * cache's own copyAndFilter derivations end-to-end, and the
+  * [[IndexQueryCache.borrow]] scope extends the same refcount discipline
+  * to EVERY relation handed out inside a caller-delimited region (the
+  * serving facade wraps each request in one), so an exact hit cannot be
+  * evicted mid-materialization under byte pressure. Outside any borrow
+  * scope the old mitigation still applies: a hit refreshes recency, so
+  * the LRU victim is by construction the entry least likely in flight.
   */
 class IndexQueryCache(maxEntries: Int = 200,
                       maxBytes: Long = QueryHistory.DefaultMaxBytes) {
@@ -331,6 +332,41 @@ class IndexQueryCache(maxEntries: Int = 200,
     try f finally pinInserts = false
   }
 
+  /** Borrow scope: while `f` runs on THIS thread, every entry the cache
+    * hands out (exact hit, filtered-derivation base, fresh insert) holds
+    * an extra in-flight reference, released when the scope exits. This
+    * closes the documented residual hazard of the bare hand-out path: a
+    * returned relation could be evicted -- and its Spark cache entry
+    * unpersisted -- by ANOTHER request's oversized insert (or even this
+    * request's own later insert) while the caller's job was still
+    * materializing it. Wrap one request's parse -> evaluate ->
+    * materialize in `borrow { ... }` (the serving facade
+    * [[graft.api.Search.searchIndex]] does) and eviction skips its
+    * relations until the scope closes; the discipline and the guard are
+    * the same as the copyAndFilter `inflight` path. Scopes nest; the
+    * thread-local frame costs nothing when no scope is active.
+    */
+  def borrow[T](f: => T): T = {
+    val prev = borrowFrame.get()
+    val frame = new java.util.ArrayList[Entry]()
+    borrowFrame.set(frame)
+    try f finally {
+      frame.forEach(e => e.inflight.decrementAndGet())
+      borrowFrame.set(prev)
+    }
+  }
+
+  private val borrowFrame = new ThreadLocal[java.util.ArrayList[Entry]]()
+
+  /** Register a handed-out entry with the active borrow scope, if any.
+    * Called under the monitor (entry liveness) -- the increment lands
+    * before any evictor can next examine the entry.
+    */
+  private def lend(e: Entry): Unit = {
+    val frame = borrowFrame.get()
+    if (frame != null) { e.inflight.incrementAndGet(); frame.add(e) }
+  }
+
   /** Number of pinned entries (spec hook). */
   def pinnedCount: Int = synchronized {
     var n = 0
@@ -358,7 +394,7 @@ class IndexQueryCache(maxEntries: Int = 200,
     val key = (dir, epoch, atom)
     val fast: Either[(Option[DataFrame], Option[Entry]), DataFrame] = synchronized {
       val exact = lru.get(key)
-      if (exact != null) { hits += 1; Right(exact.df) }
+      if (exact != null) { hits += 1; lend(exact); Right(exact.df) }
       else {
         // copyAndFilter: the narrowing predicate for `atom` under a cached
         // broader prefix entry, if either is expressible (plan-only, no jobs)
@@ -387,6 +423,7 @@ class IndexQueryCache(maxEntries: Int = 200,
             // it while the derived plan materializes outside the lock
             lru.get((dir, epoch, broader))
             entry.inflight.incrementAndGet()
+            lend(entry) // base stays guarded for the caller's whole scope
             (entry.df.filter(pred), entry)
           }
         }
@@ -438,10 +475,13 @@ class IndexQueryCache(maxEntries: Int = 200,
             if (owned && !persisted.queryExecution.analyzed
                   .sameResult(won.df.queryExecution.analyzed))
               persisted.unpersist()
+            lend(won)
             won.df
           } else {
-            lru.put(key, Entry(persisted, bytes, owned, pinned = pinInserts))
+            val e = Entry(persisted, bytes, owned, pinned = pinInserts)
+            lru.put(key, e)
             totalBytes += bytes
+            lend(e) // guard our own insert before eviction can see it
             evictOverBudget()
             persisted
           }

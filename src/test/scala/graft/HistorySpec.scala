@@ -146,4 +146,55 @@ class HistorySpec extends AnyFunSuite {
     assert(cache.size <= 50)
     cache.clear()
   }
+
+  test("borrow scope: handed-out relations survive eviction pressure mid-materialization") {
+    // a byte budget smaller than ANY entry: every insert immediately tries
+    // to evict everything else, so any relation handed to a still-running
+    // query is under constant unpersist pressure -- the exact
+    // "recompute-from-evicted" hazard the borrow scope closes. Without the
+    // scope this mix corrupts or recomputes; with it, every result must
+    // be bit-identical to the single-threaded reference answers.
+    val cache = new IndexQueryCache(maxEntries = 3, maxBytes = 1)
+    val queries = Seq("alpha", "alpha beta", "al*", "alp*", "beta gamma",
+      "iota kappa", "tau", "a*")
+    val expected = queries.map { q =>
+      q -> Eval.topK(new graft.query.IndexAtomSource(reader), q, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }.toMap
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    try {
+      val tasks = (0 until 8).map { t =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            try {
+              val order = new scala.util.Random(100 + t)
+                .shuffle(queries ++ queries ++ queries)
+              order.foreach { q =>
+                // one request's hand-out + materialization, scope-guarded
+                // exactly as the serving facade does it
+                val got = cache.borrow {
+                  Eval.topK(new CachedIndexAtomSource(reader, cache), q, 10)
+                    .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+                }
+                if (got != expected(q))
+                  failures.add(s"thread $t query '$q': $got != ${expected(q)}")
+              }
+            } catch { case e: Throwable => failures.add(s"thread $t: $e") }
+        })
+      }
+      tasks.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+    assert(failures.isEmpty, failures.toArray.mkString("; "))
+    // the pressure was real (evictions fired throughout) ...
+    assert(cache.evictions > 0)
+    // ... and the borrow refcounts all released: the next MISS (a term no
+    // thread queried, so its insert must run an eviction pass) reclaims
+    // every entry the pressure phase had to skip as in-flight
+    cache.borrow {
+      Eval.topK(new CachedIndexAtomSource(reader, cache), "omega", 10).collect()
+    }
+    assert(cache.size <= 3)
+    cache.clear()
+  }
 }

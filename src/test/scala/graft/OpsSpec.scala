@@ -455,6 +455,21 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(t("en") === ((3L, 6.0))) // median of 4,6,8
     assert(t("de") === ((1L, 5.0)))
+
+    // interpolated cut (h = p*(N-1) lands between order statistics):
+    // en p90 over [4,6,8] -> h=1.8 -> 6 + 0.8*(8-6) = 7.6
+    val t9 = Curation.qualityThresholds(d, ps = Seq(0.9))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(t9("en") === 7.6)
+    assert(t9("de") === 5.0)
+
+    // scale shape: the histogram form must keep the whole plan in hash
+    // aggregation -- Spark's exact `percentile` would show up as an
+    // ObjectHashAggregate buffering every value of a language in one
+    // reducer (the 100-TB OOM shape this operator specifically avoids)
+    val plan = Curation.qualityThresholds(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("ObjectHashAggregate"), plan.take(500))
+    assert(!plan.toLowerCase.contains("percentile"), plan.take(500))
   }
 
   test("topNgrams: counts, deterministic tie-break, n=3 includes doc-tail grams") {
