@@ -406,23 +406,27 @@ object OpsQueries {
          |SELECT doc_id,
          |  CAST(sum((pos + 1) * CAST('0x' || substr(md5(term), 1, 8) AS BIGINT)) % 1000000007 AS BIGINT) AS fingerprint
          |FROM toks GROUP BY doc_id""".stripMargin,
-    // even-length html rows carry a REAL PNG (Multimodal.makePng: n_bytes =
-    // 68 + height*(1 + 3*width), dims from the html length) decoded by
-    // javax.imageio; odd-length rows are the stubbed "video" path (first
-    // html byte is '<' = 60, so n_frames = 60 % 7 + 1)
+    // even-length html rows carry a REAL image decoded by javax.imageio:
+    // a PNG when length is 0 mod 4 (Multimodal.makePng: n_bytes = 68 +
+    // height*(1 + 3*width), dims from the html length), a baseline JPEG
+    // when 2 mod 4 (Multimodal.makeJpeg: constant 155 bytes, imageio
+    // format name 'JPEG' lowercased); odd-length rows are the stubbed
+    // "video" path (first html byte is '<' = 60, so n_frames = 60 % 7 + 1)
     "mm_decode_meta" ->
       """WITH m AS (
         |  SELECT 'https://example.org/' || source || '/doc/' || doc_id AS url,
         |         33 + octet_length(encode(text)) AS n
         |  FROM documents)
         |SELECT url,
-        |  CAST(CASE WHEN n % 2 = 0
+        |  CAST(CASE WHEN n % 4 = 0
         |       THEN 68 + ((n // 64) % 64 + 1) * (1 + 3 * (n % 64 + 1))
+        |       WHEN n % 4 = 2 THEN 155
         |       ELSE n END AS BIGINT) AS n_bytes,
         |  CAST(n % 64 + 1 AS BIGINT) AS width,
         |  CAST((n // 64) % 64 + 1 AS BIGINT) AS height,
         |  CAST(CASE WHEN n % 2 = 0 THEN 1 ELSE 60 % 7 + 1 END AS BIGINT) AS n_frames,
-        |  CASE WHEN n % 2 = 0 THEN 'png' ELSE 'vid' END AS format
+        |  CASE WHEN n % 4 = 0 THEN 'png' WHEN n % 4 = 2 THEN 'jpeg'
+        |       ELSE 'vid' END AS format
         |FROM m""".stripMargin,
     "mm_frames" ->
       """WITH m AS (

@@ -85,6 +85,46 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** A minimal, deterministic baseline JPEG: grayscale, one component,
+    * flat quant table, two one-code Huffman tables, a single all-zero
+    * entropy byte. Every byte is a pure function of (width, height) and
+    * the total size is CONSTANT -- 155 bytes = 2 (SOI) + 18 (APP0 JFIF) +
+    * 69 (DQT) + 13 (SOF0) + 40 (DHT x2) + 10 (SOS) + 1 (entropy) +
+    * 2 (EOI) -- so the DuckDB oracle predicts n_bytes as a literal while
+    * the Spark side decodes the real file. The header (through SOS) is
+    * fully valid and is what [[imageMeta]] reads; the entropy segment is
+    * only long enough for a header read, not a full pixel decode -- the
+    * same honesty boundary as [[makePng]]'s all-black pixels.
+    */
+  def makeJpeg(width: Int, height: Int): Array[Byte] = {
+    require(width >= 1 && height >= 1 && width <= 65535 && height <= 65535,
+      "jpeg dims must fit SOF0 shorts")
+    val out = new java.io.ByteArrayOutputStream(155)
+    val d = new java.io.DataOutputStream(out)
+    d.writeShort(0xFFD8) // SOI
+    d.writeShort(0xFFE0); d.writeShort(16) // APP0 JFIF
+    d.write("JFIF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    d.writeByte(0); d.writeShort(0x0101); d.writeByte(0)
+    d.writeShort(1); d.writeShort(1); d.writeByte(0); d.writeByte(0)
+    d.writeShort(0xFFDB); d.writeShort(67); d.writeByte(0) // DQT, flat
+    (0 until 64).foreach(_ => d.writeByte(1))
+    d.writeShort(0xFFC0); d.writeShort(11); d.writeByte(8) // SOF0 baseline
+    d.writeShort(height); d.writeShort(width)
+    d.writeByte(1) // one component
+    d.writeByte(1); d.writeByte(0x11); d.writeByte(0) // id, 1x1, qtable 0
+    // DHT: DC table 0 and AC table 0, each one 1-bit code -> symbol 0
+    d.writeShort(0xFFC4); d.writeShort(2 + 2 * (1 + 16 + 1))
+    d.writeByte(0x00); d.writeByte(1); (1 until 16).foreach(_ => d.writeByte(0)); d.writeByte(0x00)
+    d.writeByte(0x10); d.writeByte(1); (1 until 16).foreach(_ => d.writeByte(0)); d.writeByte(0x00)
+    d.writeShort(0xFFDA); d.writeShort(8) // SOS
+    d.writeByte(1); d.writeByte(1); d.writeByte(0x00)
+    d.writeByte(0); d.writeByte(63); d.writeByte(0)
+    d.writeByte(0x00) // entropy: zero bits = DC diff 0 + EOB
+    d.writeShort(0xFFD9) // EOI
+    d.flush()
+    out.toByteArray
+  }
+
   /** Header-only image metadata via javax.imageio: (width, height, format)
     * if any installed ImageReader recognizes the payload (PNG/JPEG/GIF/BMP
     * in a stock JDK). Reads ONLY the header -- no pixel decode, no temp
@@ -108,9 +148,11 @@ object Multimodal {
   }
 
   /** Attach the synthetic binary media column: even-length html rows carry
-    * a REAL PNG (dimensions derived from the html length, so the oracle
-    * can predict what the real decoder will read), odd-length rows carry
-    * the raw html bytes standing in for an undecodable video payload.
+    * a REAL image -- a PNG when the length is 0 mod 4, a baseline JPEG
+    * when 2 mod 4 (both with dimensions derived from the html length, so
+    * the oracle predicts what the real decoder reads); odd-length rows
+    * carry the raw html bytes standing in for an undecodable video
+    * payload.
     */
   def withPayload(corpus: DataFrame): DataFrame = {
     val spark = corpus.sparkSession
@@ -122,7 +164,8 @@ object Multimodal {
         it.map { case (url, html) =>
           val n = if (html == null) 0 else html.length
           val payload =
-            if (n % 2 == 0) makePng((n % 64) + 1, ((n / 64) % 64) + 1)
+            if (n % 4 == 0) makePng((n % 64) + 1, ((n / 64) % 64) + 1)
+            else if (n % 4 == 2) makeJpeg((n % 64) + 1, ((n / 64) % 64) + 1)
             else html
           (url, payload)
         }

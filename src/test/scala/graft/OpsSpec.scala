@@ -148,14 +148,26 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.imageMeta(bytes) === Some((17, 9, "png")))
   }
 
-  test("decodeMeta real-decodes PNG payloads (even html length) via imageio") {
-    // even-length html -> withPayload synthesizes a PNG with dims from the
-    // length rule; decodeMeta must report the REAL decoded dimensions
-    val html = "x" * 130 // n = 130: width 130%64+1 = 3, height (130/64)%64+1 = 3
-    val corpus = Seq(("u1", html.getBytes("UTF-8"))).toDF("url", "html")
-    val m = Multimodal.decodeMeta(corpus).collect().head
-    assert(m.format === "png" && m.width === 3 && m.height === 3 && m.n_frames === 1)
-    assert(m.n_bytes === 68 + 3 * (1 + 3 * 3))
+  test("decodeMeta real-decodes PNG and JPEG payloads via imageio") {
+    // even-length html -> withPayload synthesizes a real image with dims
+    // from the length rule (PNG at 0 mod 4, baseline JPEG at 2 mod 4);
+    // decodeMeta must report the REAL decoded dimensions, odd lengths
+    // fall through to the stub "video" path
+    val corpus = Seq(
+      ("u0", "x" * 132), // 0 mod 4: PNG, width 132%64+1 = 5, height 3
+      ("u2", "x" * 130), // 2 mod 4: JPEG, width 130%64+1 = 3, height 3
+      ("u1", "x" * 131)  // odd: stub
+    ).map { case (u, s) => (u, s.getBytes("UTF-8")) }.toDF("url", "html")
+    val m = Multimodal.decodeMeta(corpus).collect()
+      .map(x => x.url -> x).toMap
+    assert(m("u0").format === "png" && m("u0").width === 5 && m("u0").height === 3)
+    assert(m("u0").n_bytes === 68 + 3 * (1 + 3 * 5) && m("u0").n_frames === 1)
+    // the JPEG really went through the imageio reader (format name JPEG,
+    // lowercased), its header really carries the rule's dimensions, and
+    // its size is makeJpeg's closed-form constant
+    assert(m("u2").format === "jpeg" && m("u2").width === 3 && m("u2").height === 3)
+    assert(m("u2").n_bytes === 155L && m("u2").n_frames === 1)
+    assert(m("u1").format === "vid" && m("u1").n_bytes === 131L)
   }
 
   test("streaming dedup collapses redelivered events to exact counts") {
