@@ -92,6 +92,49 @@ object IndexQueries {
   def xmlPrefixDocs(spark: SparkSession, sfDir: String): DataFrame =
     new IndexReader(spark, xmlIndexDir(spark, sfDir)).topKPrefixDocs("st", 10)
 
+  /** Index built through the CSV INGEST path (reference CsvParser.cpp):
+    * the sf documents rendered as one TSV (header + one line per doc, in
+    * doc_id order — the corpus text carries no tabs/newlines by
+    * construction, asserted at render time), parsed back by
+    * [[graft.core.CsvIngest.parse]] (docId = line number), indexed via
+    * [[IndexBuilder.buildFromWords]]. CSV doc ids are 1-based line
+    * positions, so the SAME positional oracle as the XML gate applies —
+    * a hash match proves render -> line parse -> tokenize -> build
+    * serves exactly the logical corpus through the CSV field-role path.
+    */
+  def csvIndexDir(spark: SparkSession, sfDir: String): String = synchronized {
+    built.getOrElseUpdate(s"$sfDir#csv", {
+      val dir = s"/tmp/graft_index/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}_csv"
+      val srcDir = java.nio.file.Paths.get(s"$dir-src")
+      java.nio.file.Files.createDirectories(srcDir)
+      val w = java.nio.file.Files.newBufferedWriter(srcDir.resolve("webdocs.tsv"),
+        java.nio.charset.StandardCharsets.UTF_8)
+      try {
+        w.write("text\n")
+        val it = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+          .toLocalIterator()
+        while (it.hasNext) {
+          val t = it.next().getString(1)
+          require(!t.exists(c => c == '\t' || c == '\n' || c == '\r'),
+            "TSV fixture needs tab/newline-free text")
+          w.write(t); w.write("\n")
+        }
+      } finally w.close()
+      val (words, _) = graft.core.CsvIngest.parse(spark,
+        srcDir.resolve("webdocs.tsv").toString,
+        Seq(graft.core.CsvField("text", fulltext = true, show = true)))
+      IndexBuilder.buildFromWords(spark, words, dir)
+      dir
+    })
+  }
+
+  /** Prefix top-10 from the CSV-ingested index (same positional oracle
+    * as [[xmlPrefixDocs]] — line numbers and parse positions coincide).
+    */
+  def csvPrefixDocs(spark: SparkSession, sfDir: String): DataFrame =
+    new IndexReader(spark, csvIndexDir(spark, sfDir)).topKPrefixDocs("st", 10)
+
   /** BY_PREFIX_SIZE: boundaries derived as the vocabulary's distinct
     * length-2 prefixes (one bucket per prefix group) instead of a
     * hand-written boundary list.

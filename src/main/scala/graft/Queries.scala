@@ -174,6 +174,20 @@ object Oracles {
        |FROM scored s WHERE s.term = 'spark'
        |GROUP BY s.doc_id ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
 
+  /** The `st*` prefix top-10 with parquet doc ids mapped to 1-based
+    * positions in doc_id order — the id space both file-ingest paths
+    * (XML parse positions, CSV line numbers) assign. Shared by the
+    * `xmlix_prefix_docs` and `csvix_prefix_docs` gates.
+    */
+  val positionalPrefixSql: String =
+    s"""$BaseCtes,
+       |xmap AS (SELECT doc_id,
+       |  CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS xml_id
+       |  FROM documents)
+       |SELECT m.xml_id AS doc_id, round(sum(score), 4) AS score
+       |FROM scored s JOIN xmap m USING (doc_id) WHERE term LIKE 'st%'
+       |GROUP BY 1 ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
+
   def topDocs(where: String, group: String = ""): String =
     s"""$BaseCtes
        |SELECT doc_id, round(sum(score), 4) AS score

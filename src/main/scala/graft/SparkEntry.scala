@@ -48,6 +48,7 @@ object SparkEntry {
     "ixbp_prefix_docs" -> IndexQueries.bpPrefixDocs _,
     "ixbps_prefix_docs" -> IndexQueries.bpsPrefixDocs _,
     "xmlix_prefix_docs" -> IndexQueries.xmlPrefixDocs _,
+    "csvix_prefix_docs" -> IndexQueries.csvPrefixDocs _,
     "ixnp_wand_topk" -> IndexQueries.npWandTopK _,
     "ixc_compact_postings" -> IndexQueries.compactedPostings _,
     "ixcg_decoded_postings" -> IndexQueries.gammaDecodedPostings _,
@@ -82,14 +83,11 @@ object SparkEntry {
     // XML-ingested index: same prefix oracle, with parquet doc ids mapped
     // to the XML parse positions (1-based row_number in doc_id order --
     // XmlIngest's dense-rank id assignment)
-    "xmlix_prefix_docs" ->
-      s"""${Oracles.BaseCtes},
-         |xmap AS (SELECT doc_id,
-         |  CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS xml_id
-         |  FROM documents)
-         |SELECT m.xml_id AS doc_id, round(sum(score), 4) AS score
-         |FROM scored s JOIN xmap m USING (doc_id) WHERE term LIKE 'st%'
-         |GROUP BY 1 ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "xmlix_prefix_docs" -> Oracles.positionalPrefixSql,
+    // CSV-ingested index: line numbers coincide with the XML parse
+    // positions (both are the 1-based doc_id rank), so the SAME oracle
+    // proves the CSV field-role path end to end
+    "csvix_prefix_docs" -> Oracles.positionalPrefixSql,
     // positions-off index: doc-level WAND scoring identical to the full one
     "ixnp_wand_topk" -> Oracles.topDocs("term IN ('spark', 'hash', 'merge')"),
     // partial words (reference partialwords/): dictionary words contained
