@@ -28,14 +28,39 @@ object CsvIngest {
   /** Parse a delimited file into (words, docs).
     * words: (doc_id, term, score, pos) -- pos = -1 for artificial words.
     * docs: (doc_id, <show fields...>).
+    *
+    * `encoding` is the reference's two-charset surface (StringConverter.h
+    * loads utf8.map AND iso8859-1.map): legacy ISO-8859-1 databases
+    * decode through Spark's text source with the charset applied, and
+    * the SAME normalization serves both -- the reference iso8859-1.map's
+    * norm column is codepoint-identical to utf8.map's on all 256 ISO
+    * codepoints (TokenizerSpec pins this against both map files), so no
+    * second fold table exists to diverge.
     */
   def parse(spark: SparkSession, path: String, fields: Seq[CsvField],
-            delimiter: String = "\t"): (DataFrame, DataFrame) = {
+            delimiter: String = "\t",
+            encoding: String = "UTF-8"): (DataFrame, DataFrame) = {
     import spark.implicits._
     // docId = line number (reference semantics) -> zipWithIndex over the
     // text file; deterministic for file sources. One of the few genuinely
-    // RDD-shaped needs (stable line numbering).
-    val lines = spark.sparkContext.textFile(path).zipWithIndex()
+    // RDD-shaped needs (stable line numbering). Non-UTF-8 encodings read
+    // the same splittable TextInputFormat but decode each line's RAW
+    // bytes with the requested charset (Text.toString is UTF-8-only;
+    // ISO-8859-1 is single-byte so split boundaries stay line-aligned)
+    // -- read order, and therefore line numbering, is identical.
+    val lines =
+      (if (encoding.equalsIgnoreCase("UTF-8"))
+        spark.sparkContext.textFile(path)
+      else {
+        val enc = encoding
+        spark.sparkContext.hadoopFile(path,
+            classOf[org.apache.hadoop.mapred.TextInputFormat],
+            classOf[org.apache.hadoop.io.LongWritable],
+            classOf[org.apache.hadoop.io.Text])
+          .map { case (_, t) =>
+            new String(t.getBytes, 0, t.getLength, enc)
+          }
+      }).zipWithIndex()
     val header = lines.filter(_._2 == 0L).map(_._1).collect().head
       .split(java.util.regex.Pattern.quote(delimiter), -1)
     val colIdx = fields.map(f => f -> header.indexOf(f.name))
@@ -81,7 +106,7 @@ object CsvIngest {
     // `:info:` like any other namespace
     val base = new java.io.File(path).getName.split('.').head
     val infoEntries =
-      Seq("encoding" -> "utf-8", "name" -> base) ++
+      Seq("encoding" -> encoding.toLowerCase, "name" -> base) ++
         fields.filter(_.facet).map(f => "facet" -> f.name) ++
         fields.filter(_.withinFieldSep.isDefined).map(f => "multiple" -> f.name)
     val info = infoEntries.map { case (k, v) => (0L, Facets.infoTerm(k, v), 1, -1) }

@@ -327,9 +327,13 @@ object FilterQueriesByVolumeMain {
   * serves the full grammar, facet completions and the completion server
   * with no corpus table.
   *
-  * args: <csv|xml> <inputPath> <indexDir> <fieldSpec>...
+  * args: [-e <encoding>] <csv|xml> <inputPath> <indexDir> <fieldSpec>...
   * fieldSpec = name[:role[,role...]] with roles fulltext|show|facet|
   * filter|ordering (e.g. `Titel:fulltext,show` `Autor:facet`).
+  * `-e` is the reference's legacy-charset surface (StringConverter.h
+  * loads iso8859-1.map beside utf8.map): CSV lines decode with the
+  * given charset (XML reads its own prolog declaration; the flag is
+  * ignored there).
   */
 object BuildFromDatabaseMain {
   private[graft] def parseFieldSpec(s: String): graft.core.CsvField = {
@@ -350,12 +354,17 @@ object BuildFromDatabaseMain {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(format, inputPath, indexDir, fieldSpecs @ _*) = args: @unchecked
+    val (encoding, rest) = args.toSeq match {
+      case Seq("-e", enc, tail @ _*) => (enc, tail)
+      case other => ("UTF-8", other)
+    }
+    val Seq(format, inputPath, indexDir, fieldSpecs @ _*) = rest: @unchecked
     require(fieldSpecs.nonEmpty, "at least one fieldSpec required")
     val fields = fieldSpecs.map(parseFieldSpec)
     val spark = Cli.session("graft-buildFromDatabase")
     val (words, docs) = format match {
-      case "csv" => graft.core.CsvIngest.parse(spark, inputPath, fields)
+      case "csv" => graft.core.CsvIngest.parse(spark, inputPath, fields,
+        encoding = encoding)
       case "xml" => graft.core.XmlIngest.parse(spark, inputPath, fields)
       case other => throw new IllegalArgumentException(s"format must be csv|xml, got $other")
     }

@@ -60,6 +60,65 @@ class CsvIngestSpec extends AnyFunSuite {
     assert(w.contains(":info:multiple:genre"))
   }
 
+  test("ISO-8859-1 ingest: legacy bytes decode, tokenize and normalize correctly") {
+    // a TSV whose accented characters are SINGLE ISO-8859-1 bytes (0xE9 =
+    // é, 0xFC = ü): invalid as UTF-8, so a UTF-8 read would mangle them
+    val f = java.nio.file.Files.createTempFile("graft_iso", ".tsv")
+    java.nio.file.Files.write(f,
+      "Titel\nRené Müller\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val (words, docs) = CsvIngest.parse(spark, f.toString,
+      Seq(CsvField("Titel", fulltext = true, show = true)), encoding = "ISO-8859-1")
+    val w = words.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(w.contains((1L, "rené")))   // é survives the decode
+    assert(w.contains((1L, "müller"))) // ü survives the decode
+    assert(w.contains((0L, ":info:encoding:iso-8859-1")))
+    assert(docs.collect().head.getAs[String]("Titel") === "René Müller")
+    // ... and the SAME normalization the UTF-8 path uses applies (the
+    // reference's iso8859-1.map norm semantics): é -> e, ü stays ü
+    assert(graft.core.Tokenizer.normalize("rené") === "rene")
+    assert(graft.core.Tokenizer.normalize("müller") === "müller")
+  }
+
+  test("normalize matches the reference iso8859-1.map on ALL 256 ISO codepoints") {
+    // StringConverter.h loads utf8.map AND iso8859-1.map; this engine
+    // serves both charsets with ONE fold table. That is only sound if the
+    // iso map's norm column never disagrees -- pin it against the file.
+    val mapFile = new java.io.File("/root/reference/src/utility/iso8859-1.map")
+    assume(mapFile.exists(), "reference map not present in this environment")
+    // the map file itself is ISO-8859-1 (its char columns are raw bytes)
+    val src = scala.io.Source.fromFile(mapFile, "ISO-8859-1")
+    try {
+      var checked = 0
+      src.getLines().foreach { ln =>
+        if (ln.nonEmpty && !ln.startsWith("#")) {
+          val f = ln.split("\t", -1)
+          if (f.length == 9) {
+            val cp = f(0).trim.toInt
+            val normCp = f(3).trim.toInt
+            val got = graft.core.Tokenizer.normalize(
+              new String(Character.toChars(cp)))
+            assert(got === new String(Character.toChars(normCp)),
+              s"iso cp=$cp: got ${got.map(_.toInt).mkString(",")} want $normCp")
+            checked += 1
+          }
+        }
+      }
+      assert(checked === 256)
+    } finally src.close()
+  }
+
+  test("XML ingest honors the document's declared legacy encoding (StAX prolog)") {
+    val f = java.nio.file.Files.createTempFile("graft_iso_xml", ".xml")
+    java.nio.file.Files.write(f,
+      ("<?xml version=\"1.0\" encoding=\"ISO-8859-1\"?>\n" +
+        "<docs><doc><text>René Müller</text></doc></docs>\n")
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val (words, _) = XmlIngest.parse(spark, f.toString,
+      Seq(CsvField("text", fulltext = true)))
+    val terms = words.collect().map(_.getString(1)).toSet
+    assert(terms.contains("rené") && terms.contains("müller"))
+  }
+
   test("field-weighted ranking: a title hit outranks an equal body hit") {
     import org.apache.spark.sql.functions.col
     val docs = spark.createDataFrame(Seq(
