@@ -406,36 +406,45 @@ object OpsQueries {
          |SELECT doc_id,
          |  CAST(sum((pos + 1) * CAST('0x' || substr(md5(term), 1, 8) AS BIGINT)) % 1000000007 AS BIGINT) AS fingerprint
          |FROM toks GROUP BY doc_id""".stripMargin,
-    // even-length html rows carry a REAL image decoded by javax.imageio:
-    // a PNG when length is 0 mod 4 (Multimodal.makePng: n_bytes = 68 +
-    // height*(1 + 3*width), dims from the html length), a baseline JPEG
-    // when 2 mod 4 (Multimodal.makeJpeg: constant 155 bytes, imageio
-    // format name 'JPEG' lowercased); odd-length rows are the stubbed
-    // "video" path (first html byte is '<' = 60, so n_frames = 60 % 7 + 1)
+    // one REAL stock-JDK-decoded format per html-length mod-4 class:
+    // 0 -> PNG via javax.imageio (Multimodal.makePng: n_bytes = 68 +
+    // height*(1 + 3*width), dims from the html length); 2 -> baseline
+    // JPEG (Multimodal.makeJpeg: constant 155 bytes, imageio format name
+    // 'JPEG' lowercased); 1 -> PCM WAV via javax.sound.sampled
+    // (Multimodal.makeWav: n_bytes = 44 + frames*channels*2; width/
+    // height carry sample-rate/channels, type name 'WAVE' lowercased);
+    // 3 -> the stubbed "video" path (first html byte is '<' = 60, so
+    // n_frames = 60 % 7 + 1)
     "mm_decode_meta" ->
       """WITH m AS (
         |  SELECT 'https://example.org/' || source || '/doc/' || doc_id AS url,
         |         33 + octet_length(encode(text)) AS n
         |  FROM documents)
         |SELECT url,
-        |  CAST(CASE WHEN n % 4 = 0
-        |       THEN 68 + ((n // 64) % 64 + 1) * (1 + 3 * (n % 64 + 1))
-        |       WHEN n % 4 = 2 THEN 155
+        |  CAST(CASE n % 4
+        |       WHEN 0 THEN 68 + ((n // 64) % 64 + 1) * (1 + 3 * (n % 64 + 1))
+        |       WHEN 2 THEN 155
+        |       WHEN 1 THEN 44 + (n % 64 + 1) * ((n // 4) % 2 + 1) * 2
         |       ELSE n END AS BIGINT) AS n_bytes,
-        |  CAST(n % 64 + 1 AS BIGINT) AS width,
-        |  CAST((n // 64) % 64 + 1 AS BIGINT) AS height,
-        |  CAST(CASE WHEN n % 2 = 0 THEN 1 ELSE 60 % 7 + 1 END AS BIGINT) AS n_frames,
-        |  CASE WHEN n % 4 = 0 THEN 'png' WHEN n % 4 = 2 THEN 'jpeg'
-        |       ELSE 'vid' END AS format
+        |  CAST(CASE WHEN n % 4 = 1 THEN 8000 + (n % 8) * 1000
+        |       ELSE n % 64 + 1 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN n % 4 = 1 THEN (n // 4) % 2 + 1
+        |       ELSE (n // 64) % 64 + 1 END AS BIGINT) AS height,
+        |  CAST(CASE n % 4 WHEN 1 THEN n % 64 + 1
+        |       WHEN 3 THEN 60 % 7 + 1 ELSE 1 END AS BIGINT) AS n_frames,
+        |  CASE n % 4 WHEN 0 THEN 'png' WHEN 2 THEN 'jpeg'
+        |       WHEN 1 THEN 'wave' ELSE 'vid' END AS format
         |FROM m""".stripMargin,
     "mm_frames" ->
       """WITH m AS (
         |  SELECT 'https://example.org/' || source || '/doc/' || doc_id AS url,
-        |         CASE WHEN (33 + octet_length(encode(text))) % 2 = 0
-        |              THEN 1 ELSE 60 % 7 + 1 END AS nf
-        |  FROM documents)
+        |         33 + octet_length(encode(text)) AS n
+        |  FROM documents), mf AS (
+        |  SELECT url, CASE n % 4 WHEN 1 THEN n % 64 + 1
+        |              WHEN 3 THEN 60 % 7 + 1 ELSE 1 END AS nf
+        |  FROM m)
         |SELECT url, CAST(nf AS BIGINT) AS n_frames, CAST(unnest(range(0, nf, 2)) AS BIGINT) AS frame_idx
-        |FROM m ORDER BY url, frame_idx""".stripMargin,
+        |FROM mf ORDER BY url, frame_idx""".stripMargin,
     "st_window_agg" ->
       """SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS win_start, event_type,
         |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value

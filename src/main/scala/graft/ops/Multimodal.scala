@@ -10,15 +10,17 @@ case class MediaMeta(url: String, n_bytes: Long, width: Int, height: Int,
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, decoded in batched partition functions.
   *
-  * The image path is REAL end to end: [[withPayload]] synthesizes genuine
-  * PNG files (deterministic, size-predictable -- see [[makePng]]) for half
-  * the corpus, and [[decodeMeta]] decodes them with the JDK's
-  * `javax.imageio` -- a header-only metadata read (ImageReader.getWidth/
-  * getHeight without pixel decode), the shape that scales to payloads far
-  * larger than these. Payloads no installed codec recognizes (the "video"
-  * half) fall through to the clearly-marked [[stubDecode]] -- no video
-  * libraries exist in this container; swapping in a real one changes only
-  * that function.
+  * Image AND audio paths are REAL end to end: [[withPayload]] synthesizes
+  * genuine PNG, baseline-JPEG and PCM-WAV files (deterministic,
+  * size-predictable -- [[makePng]]/[[makeJpeg]]/[[makeWav]]), and
+  * [[decodeMeta]] decodes them with stock-JDK parsers -- `javax.imageio`
+  * header reads for images (ImageReader.getWidth/getHeight without pixel
+  * decode) and `javax.sound.sampled` for audio (AudioFileFormat from the
+  * RIFF chunks, no sample decode) -- the header-only shape that scales to
+  * payloads far larger than these. Payloads no installed codec recognizes
+  * (the "video" quarter) fall through to the clearly-marked
+  * [[stubDecode]] -- no video libraries exist in a stock JDK; swapping in
+  * a real one changes only that function.
   */
 object Multimodal {
 
@@ -125,6 +127,46 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** A minimal, deterministic PCM WAV: RIFF/WAVE header + fmt + data
+    * chunks, 16-bit silence. Every byte is a pure function of the
+    * arguments and the total size is closed-form:
+    * n_bytes = 44 + nSamples * channels * 2.
+    */
+  def makeWav(sampleRate: Int, nSamples: Int, channels: Int): Array[Byte] = {
+    require(sampleRate > 0 && nSamples >= 0 && (channels == 1 || channels == 2),
+      "wav args out of range")
+    val dataLen = nSamples * channels * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    b.put("RIFF".getBytes(ascii)).putInt(36 + dataLen).put("WAVE".getBytes(ascii))
+    b.put("fmt ".getBytes(ascii)).putInt(16)
+    b.putShort(1).putShort(channels.toShort) // PCM
+    b.putInt(sampleRate).putInt(sampleRate * channels * 2)
+    b.putShort((channels * 2).toShort).putShort(16)
+    b.put("data".getBytes(ascii)).putInt(dataLen)
+    b.array() // data region stays zero-filled: silence
+  }
+
+  /** Header-only audio metadata via javax.sound.sampled (a stock-JDK
+    * parser, like imageio for images): (sampleRate, channels, frames,
+    * type) if an installed AudioFileReader recognizes the payload
+    * (WAV/AIFF/AU in a stock JDK). Reads only the header -- frame count
+    * comes from the chunk sizes, no sample decode.
+    */
+  def audioMeta(payload: Array[Byte]): Option[(Int, Int, Long, String)] = {
+    if (payload == null || payload.length == 0) return None
+    try {
+      val f = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(payload))
+      Some((f.getFormat.getSampleRate.toInt, f.getFormat.getChannels,
+        f.getFrameLength.toLong, f.getType.toString.toLowerCase))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+  }
+
   /** Header-only image metadata via javax.imageio: (width, height, format)
     * if any installed ImageReader recognizes the payload (PNG/JPEG/GIF/BMP
     * in a stock JDK). Reads ONLY the header -- no pixel decode, no temp
@@ -147,12 +189,12 @@ object Multimodal {
     } finally iis.close()
   }
 
-  /** Attach the synthetic binary media column: even-length html rows carry
-    * a REAL image -- a PNG when the length is 0 mod 4, a baseline JPEG
-    * when 2 mod 4 (both with dimensions derived from the html length, so
-    * the oracle predicts what the real decoder reads); odd-length rows
-    * carry the raw html bytes standing in for an undecodable video
-    * payload.
+  /** Attach the synthetic binary media column, one REAL format per
+    * length-mod-4 class (dimensions/rates derived from the html length,
+    * so the oracle predicts what the real decoders read):
+    * 0 -> PNG, 2 -> baseline JPEG, 1 -> PCM WAV (audio), 3 -> the raw
+    * html bytes standing in for an undecodable video payload (the one
+    * remaining stub -- no video codec exists in a stock JDK).
     */
   def withPayload(corpus: DataFrame): DataFrame = {
     val spark = corpus.sparkSession
@@ -163,10 +205,12 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false) // never spill headers to temp files
         it.map { case (url, html) =>
           val n = if (html == null) 0 else html.length
-          val payload =
-            if (n % 4 == 0) makePng((n % 64) + 1, ((n / 64) % 64) + 1)
-            else if (n % 4 == 2) makeJpeg((n % 64) + 1, ((n / 64) % 64) + 1)
-            else html
+          val payload = (n % 4) match {
+            case 0 => makePng((n % 64) + 1, ((n / 64) % 64) + 1)
+            case 2 => makeJpeg((n % 64) + 1, ((n / 64) % 64) + 1)
+            case 1 => makeWav(8000 + (n % 8) * 1000, (n % 64) + 1, ((n / 4) % 2) + 1)
+            case _ => html
+          }
           (url, payload)
         }
       }.toDF("url", "payload")
@@ -175,7 +219,9 @@ object Multimodal {
   /** Batched decode over partitions: iterator-in/iterator-out with an
     * explicit batch size, mirroring mapInPandas batch semantics. Narrow
     * (no shuffle); scales linearly with input splits. Real codecs first
-    * ([[imageMeta]]); stub for the rest.
+    * ([[imageMeta]], then [[audioMeta]]); stub for the rest. Audio rows
+    * reuse the MediaMeta shape as (width = sample rate Hz,
+    * height = channels, n_frames = audio frames).
     */
   def decodeMeta(corpus: DataFrame, batchSize: Int = 256): Dataset[MediaMeta] = {
     val spark = corpus.sparkSession
@@ -189,9 +235,13 @@ object Multimodal {
             val nBytes = if (payload == null) 0L else payload.length.toLong
             imageMeta(payload) match {
               case Some((w, h, fmt)) => MediaMeta(url, nBytes, w, h, 1, fmt)
-              case None =>
-                val (w, h, f, fmt) = stubDecode(payload)
-                MediaMeta(url, nBytes, w, h, f, fmt)
+              case None => audioMeta(payload) match {
+                case Some((rate, ch, frames, fmt)) =>
+                  MediaMeta(url, nBytes, rate, ch, frames.toInt, fmt)
+                case None =>
+                  val (w, h, f, fmt) = stubDecode(payload)
+                  MediaMeta(url, nBytes, w, h, f, fmt)
+              }
             }
           }
         }

@@ -129,12 +129,13 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("multimodal stub decode is deterministic and batched") {
-    val corpus = Seq(("u1", "hello".getBytes("UTF-8")), ("u2", "worlds!".getBytes("UTF-8")))
+    // 3-mod-4 lengths ride the video stub: "abc" (3) and "worlds!" (7)
+    val corpus = Seq(("u1", "abc".getBytes("UTF-8")), ("u2", "worlds!".getBytes("UTF-8")))
       .toDF("url", "html")
     val m = Multimodal.decodeMeta(corpus, batchSize = 1).collect()
       .map(x => x.url -> x).toMap
-    assert(m("u1").n_bytes === 5 && m("u1").width === 6 && m("u1").format === "vid")
-    assert(m("u2").n_bytes === 7)
+    assert(m("u1").n_bytes === 3 && m("u1").width === 4 && m("u1").format === "vid")
+    assert(m("u2").n_bytes === 7 && m("u2").width === 8 && m("u2").format === "vid")
   }
 
   test("makePng emits a real PNG: javax.imageio decodes it, size is closed-form") {
@@ -148,15 +149,15 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.imageMeta(bytes) === Some((17, 9, "png")))
   }
 
-  test("decodeMeta real-decodes PNG and JPEG payloads via imageio") {
-    // even-length html -> withPayload synthesizes a real image with dims
-    // from the length rule (PNG at 0 mod 4, baseline JPEG at 2 mod 4);
-    // decodeMeta must report the REAL decoded dimensions, odd lengths
-    // fall through to the stub "video" path
+  test("decodeMeta real-decodes PNG, JPEG and WAV payloads via stock-JDK parsers") {
+    // withPayload synthesizes one real format per length-mod-4 class
+    // (PNG at 0, WAV at 1, JPEG at 2); decodeMeta must report the REAL
+    // decoded dimensions/rates, 3 mod 4 falls through to the video stub
     val corpus = Seq(
       ("u0", "x" * 132), // 0 mod 4: PNG, width 132%64+1 = 5, height 3
       ("u2", "x" * 130), // 2 mod 4: JPEG, width 130%64+1 = 3, height 3
-      ("u1", "x" * 131)  // odd: stub
+      ("ua", "x" * 133), // 1 mod 4: WAV, rate 13000, 2 ch, 6 frames
+      ("u1", "x" * 131)  // 3 mod 4: stub
     ).map { case (u, s) => (u, s.getBytes("UTF-8")) }.toDF("url", "html")
     val m = Multimodal.decodeMeta(corpus).collect()
       .map(x => x.url -> x).toMap
@@ -167,6 +168,11 @@ class OpsSpec extends AnyFunSuite {
     // its size is makeJpeg's closed-form constant
     assert(m("u2").format === "jpeg" && m("u2").width === 3 && m("u2").height === 3)
     assert(m("u2").n_bytes === 155L && m("u2").n_frames === 1)
+    // the WAV really went through javax.sound.sampled (type name WAVE,
+    // lowercased): width/height carry sample-rate/channels, n_frames the
+    // RIFF frame count, size is makeWav's closed form 44 + 6*2*2
+    assert(m("ua").format === "wave" && m("ua").width === 13000 && m("ua").height === 2)
+    assert(m("ua").n_frames === 6 && m("ua").n_bytes === 68L)
     assert(m("u1").format === "vid" && m("u1").n_bytes === 131L)
   }
 
