@@ -77,6 +77,9 @@ object ExplainPlans {
       val Some((lo, hi)) = rBp.prefixRange("st")
       rBp.blocksForRange(lo, hi)
     })
+    show("ops: cu_thresholds histogram form (no ObjectHashAggregate)",
+      graft.ops.Curation.qualityThresholds(
+        spark.read.parquet(s"$sfDir/documents.parquet")))
     spark.stop()
   }
 }
