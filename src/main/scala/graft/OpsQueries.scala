@@ -413,8 +413,8 @@ object OpsQueries {
     // 'JPEG' lowercased); 1 -> PCM WAV via javax.sound.sampled
     // (Multimodal.makeWav: n_bytes = 44 + frames*channels*2; width/
     // height carry sample-rate/channels, type name 'WAVE' lowercased);
-    // 3 -> the stubbed "video" path (first html byte is '<' = 60, so
-    // n_frames = 60 % 7 + 1)
+    // 3 -> an AVI container (Multimodal.makeAvi: constant 88 bytes) whose
+    // RIFF avih header really parses to the rule's dims + 5 frames
     "mm_decode_meta" ->
       """WITH m AS (
         |  SELECT 'https://example.org/' || source || '/doc/' || doc_id AS url,
@@ -425,15 +425,15 @@ object OpsQueries {
         |       WHEN 0 THEN 68 + ((n // 64) % 64 + 1) * (1 + 3 * (n % 64 + 1))
         |       WHEN 2 THEN 155
         |       WHEN 1 THEN 44 + (n % 64 + 1) * ((n // 4) % 2 + 1) * 2
-        |       ELSE n END AS BIGINT) AS n_bytes,
+        |       ELSE 88 END AS BIGINT) AS n_bytes,
         |  CAST(CASE WHEN n % 4 = 1 THEN 8000 + (n % 8) * 1000
         |       ELSE n % 64 + 1 END AS BIGINT) AS width,
         |  CAST(CASE WHEN n % 4 = 1 THEN (n // 4) % 2 + 1
         |       ELSE (n // 64) % 64 + 1 END AS BIGINT) AS height,
         |  CAST(CASE n % 4 WHEN 1 THEN n % 64 + 1
-        |       WHEN 3 THEN 60 % 7 + 1 ELSE 1 END AS BIGINT) AS n_frames,
+        |       WHEN 3 THEN 5 ELSE 1 END AS BIGINT) AS n_frames,
         |  CASE n % 4 WHEN 0 THEN 'png' WHEN 2 THEN 'jpeg'
-        |       WHEN 1 THEN 'wave' ELSE 'vid' END AS format
+        |       WHEN 1 THEN 'wave' ELSE 'avi' END AS format
         |FROM m""".stripMargin,
     "mm_frames" ->
       """WITH m AS (
@@ -441,7 +441,7 @@ object OpsQueries {
         |         33 + octet_length(encode(text)) AS n
         |  FROM documents), mf AS (
         |  SELECT url, CASE n % 4 WHEN 1 THEN n % 64 + 1
-        |              WHEN 3 THEN 60 % 7 + 1 ELSE 1 END AS nf
+        |              WHEN 3 THEN 5 ELSE 1 END AS nf
         |  FROM m)
         |SELECT url, CAST(nf AS BIGINT) AS n_frames, CAST(unnest(range(0, nf, 2)) AS BIGINT) AS frame_idx
         |FROM mf ORDER BY url, frame_idx""".stripMargin,

@@ -24,7 +24,10 @@ case class MediaMeta(url: String, n_bytes: Long, width: Int, height: Int,
   */
 object Multimodal {
 
-  /** STUB decoder for non-image payloads: deterministic fake metadata from
+  /** STUB decoder of last resort -- payloads none of the real parsers
+    * ([[imageMeta]], [[audioMeta]], [[aviMeta]]) recognize (unreachable
+    * from the synthetic corpus; kept for arbitrary external payloads):
+    * deterministic fake metadata from
     * payload length and first payload byte. Replace with a real codec
     * (e.g. ffmpeg bindings) in production; signature and batching stay.
     */
@@ -148,6 +151,79 @@ object Multimodal {
     b.array() // data region stays zero-filled: silence
   }
 
+  /** A minimal, deterministic AVI container: RIFF/AVI + LIST/hdrl +
+    * `avih` main header carrying (totalFrames, width, height). Constant
+    * closed-form size: 12 (RIFF) + 12 (LIST/hdrl) + 8 + 56 (avih) = 88
+    * bytes. The header is valid per the AVI spec; there is no movi data
+    * -- [[aviMeta]] reads container metadata only (see its doc).
+    */
+  def makeAvi(width: Int, height: Int, nFrames: Int): Array[Byte] = {
+    require(width >= 1 && height >= 1 && nFrames >= 0, "avi args out of range")
+    val b = java.nio.ByteBuffer.allocate(88)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    b.put("RIFF".getBytes(ascii)).putInt(80).put("AVI ".getBytes(ascii))
+    b.put("LIST".getBytes(ascii)).putInt(68).put("hdrl".getBytes(ascii))
+    b.put("avih".getBytes(ascii)).putInt(56)
+    b.putInt(33333) // usec/frame (30 fps)
+    b.putInt(0).putInt(0).putInt(0) // maxBytesPerSec, padding, flags
+    b.putInt(nFrames)
+    b.putInt(0).putInt(1).putInt(0) // initialFrames, streams, sugBufSize
+    b.putInt(width).putInt(height)
+    // 4 reserved dwords stay zero
+    b.array()
+  }
+
+  /** Video CONTAINER metadata from a RIFF/AVI payload: walk the chunk
+    * tree to the `avih` main header and read (width, height, totalFrames)
+    * -- a real parse of the standard container format, the shape a
+    * training pipeline runs before shipping payloads to an external
+    * codec. This is container-level only: no JDK video codec exists, so
+    * frame PIXEL decode stays external by design (the one remaining
+    * boundary; [[stubDecode]] now covers only payloads no parser here
+    * recognizes).
+    */
+  def aviMeta(payload: Array[Byte]): Option[(Int, Int, Int, String)] = {
+    if (payload == null || payload.length < 24) return None
+    val b = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val a = new Array[Byte](4); b.get(a)
+      new String(a, java.nio.charset.StandardCharsets.US_ASCII)
+    }
+    try {
+      if (fourcc() != "RIFF") return None
+      b.getInt // riff size
+      if (fourcc() != "AVI ") return None
+      // walk top-level chunks; descend into LIST/hdrl for avih
+      def walk(end: Int): Option[(Int, Int, Int)] = {
+        while (b.position() + 8 <= end) {
+          val id = fourcc()
+          val sz = b.getInt
+          val next = b.position() + sz + (sz & 1) // chunks are word-aligned
+          id match {
+            case "LIST" =>
+              val listType = fourcc()
+              if (listType == "hdrl") {
+                val r = walk(math.min(next, end))
+                if (r.isDefined) return r
+              }
+            case "avih" if sz >= 40 =>
+              val base = b.position()
+              val frames = b.getInt(base + 16)
+              val w = b.getInt(base + 32)
+              val h = b.getInt(base + 36)
+              return Some((w, h, frames))
+            case _ => ()
+          }
+          b.position(math.min(next, end))
+        }
+        None
+      }
+      walk(payload.length).map { case (w, h, f) => (w, h, f, "avi") }
+    } catch { case _: RuntimeException => None }
+  }
+
   /** Header-only audio metadata via javax.sound.sampled (a stock-JDK
     * parser, like imageio for images): (sampleRate, channels, frames,
     * type) if an installed AudioFileReader recognizes the payload
@@ -192,9 +268,11 @@ object Multimodal {
   /** Attach the synthetic binary media column, one REAL format per
     * length-mod-4 class (dimensions/rates derived from the html length,
     * so the oracle predicts what the real decoders read):
-    * 0 -> PNG, 2 -> baseline JPEG, 1 -> PCM WAV (audio), 3 -> the raw
-    * html bytes standing in for an undecodable video payload (the one
-    * remaining stub -- no video codec exists in a stock JDK).
+    * 0 -> PNG, 2 -> baseline JPEG, 1 -> PCM WAV (audio), 3 -> an AVI
+    * container whose RIFF header carries the rule's dimensions and a
+    * fixed 5-frame count (container metadata parses for real via
+    * [[aviMeta]]; frame PIXEL decode stays external -- no JDK video
+    * codec).
     */
   def withPayload(corpus: DataFrame): DataFrame = {
     val spark = corpus.sparkSession
@@ -209,7 +287,7 @@ object Multimodal {
             case 0 => makePng((n % 64) + 1, ((n / 64) % 64) + 1)
             case 2 => makeJpeg((n % 64) + 1, ((n / 64) % 64) + 1)
             case 1 => makeWav(8000 + (n % 8) * 1000, (n % 64) + 1, ((n / 4) % 2) + 1)
-            case _ => html
+            case _ => makeAvi((n % 64) + 1, ((n / 64) % 64) + 1, 5)
           }
           (url, payload)
         }
@@ -238,9 +316,13 @@ object Multimodal {
               case None => audioMeta(payload) match {
                 case Some((rate, ch, frames, fmt)) =>
                   MediaMeta(url, nBytes, rate, ch, frames.toInt, fmt)
-                case None =>
-                  val (w, h, f, fmt) = stubDecode(payload)
-                  MediaMeta(url, nBytes, w, h, f, fmt)
+                case None => aviMeta(payload) match {
+                  case Some((w, h, frames, fmt)) =>
+                    MediaMeta(url, nBytes, w, h, frames, fmt)
+                  case None =>
+                    val (w, h, f, fmt) = stubDecode(payload)
+                    MediaMeta(url, nBytes, w, h, f, fmt)
+                }
               }
             }
           }

@@ -128,14 +128,25 @@ class OpsSpec extends AnyFunSuite {
     assert(f(1L) !== f(2L))
   }
 
-  test("multimodal stub decode is deterministic and batched") {
-    // 3-mod-4 lengths ride the video stub: "abc" (3) and "worlds!" (7)
+  test("multimodal video path: real RIFF/AVI container parse; stub only for unknown bytes") {
+    // 3-mod-4 lengths now ride a real AVI container: "abc" (3) -> avih
+    // carries width 3%64+1 = 4, height 1, 5 frames; constant 88 bytes
     val corpus = Seq(("u1", "abc".getBytes("UTF-8")), ("u2", "worlds!".getBytes("UTF-8")))
       .toDF("url", "html")
     val m = Multimodal.decodeMeta(corpus, batchSize = 1).collect()
       .map(x => x.url -> x).toMap
-    assert(m("u1").n_bytes === 3 && m("u1").width === 4 && m("u1").format === "vid")
-    assert(m("u2").n_bytes === 7 && m("u2").width === 8 && m("u2").format === "vid")
+    assert(m("u1").format === "avi" && m("u1").n_bytes === 88L)
+    assert(m("u1").width === 4 && m("u1").height === 1 && m("u1").n_frames === 5)
+    assert(m("u2").format === "avi" && m("u2").width === 8 && m("u2").n_frames === 5)
+    // the parse is a real chunk walk, not a length rule: direct round-trip
+    assert(Multimodal.aviMeta(Multimodal.makeAvi(640, 480, 123))
+      === Some((640, 480, 123, "avi")))
+    // non-RIFF and truncated payloads are rejected, falling to the stub
+    assert(Multimodal.aviMeta("not a riff file at all".getBytes) === None)
+    assert(Multimodal.aviMeta(Multimodal.makeAvi(640, 480, 123).take(20)) === None)
+    // the deterministic stub remains for payloads no parser recognizes
+    assert(Multimodal.stubDecode("hello".getBytes)
+      === ((6, 1, ('h'.toInt % 7) + 1, "vid")))
   }
 
   test("makePng emits a real PNG: javax.imageio decodes it, size is closed-form") {
@@ -157,7 +168,7 @@ class OpsSpec extends AnyFunSuite {
       ("u0", "x" * 132), // 0 mod 4: PNG, width 132%64+1 = 5, height 3
       ("u2", "x" * 130), // 2 mod 4: JPEG, width 130%64+1 = 3, height 3
       ("ua", "x" * 133), // 1 mod 4: WAV, rate 13000, 2 ch, 6 frames
-      ("u1", "x" * 131)  // 3 mod 4: stub
+      ("u1", "x" * 131)  // 3 mod 4: AVI container
     ).map { case (u, s) => (u, s.getBytes("UTF-8")) }.toDF("url", "html")
     val m = Multimodal.decodeMeta(corpus).collect()
       .map(x => x.url -> x).toMap
@@ -173,7 +184,8 @@ class OpsSpec extends AnyFunSuite {
     // RIFF frame count, size is makeWav's closed form 44 + 6*2*2
     assert(m("ua").format === "wave" && m("ua").width === 13000 && m("ua").height === 2)
     assert(m("ua").n_frames === 6 && m("ua").n_bytes === 68L)
-    assert(m("u1").format === "vid" && m("u1").n_bytes === 131L)
+    // 131 mod 4 = 3: AVI container, really parsed (width 131%64+1 = 4)
+    assert(m("u1").format === "avi" && m("u1").n_bytes === 88L && m("u1").width === 4)
   }
 
   test("streaming dedup collapses redelivered events to exact counts") {
