@@ -47,44 +47,56 @@ object IndexQueries {
   def bpPrefixDocs(spark: SparkSession, sfDir: String): DataFrame =
     new IndexReader(spark, bpIndexDir(spark, sfDir)).topKPrefixDocs("st", 10)
 
-  /** Index built through the XML INGEST path (reference XmlParserNew.cpp):
-    * the sf documents rendered as one `<docs><doc><text>...` file (in
-    * doc_id order, entities escaped), parsed back by
-    * [[graft.core.XmlIngest.parse]], indexed via
-    * [[IndexBuilder.buildFromWords]]. XML doc ids are 1-based parse
-    * positions, so the oracle maps parquet doc_id -> row_number() over
-    * (ORDER BY doc_id) — a hash match proves render -> StAX parse ->
-    * tokenize -> build serves exactly the logical corpus.
+  /** Shared fixture-index builder for the file-ingest gates: render the
+    * sf documents (driver-side, in doc_id order — the id-order contract
+    * the shared positional oracle depends on) into one file via
+    * `renderTo`, parse it back with `parseWords`, index with
+    * [[IndexBuilder.buildFromWords]]. The OPERATOR under test is the
+    * distributed parse of the written file, not this writer.
     */
-  def xmlIndexDir(spark: SparkSession, sfDir: String): String = synchronized {
-    built.getOrElseUpdate(s"$sfDir#xml", {
-      val dir = s"/tmp/graft_index/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}_xml"
+  private def ingestIndexDir(spark: SparkSession, sfDir: String,
+      suffix: String, fileName: String)(
+      renderTo: (java.io.BufferedWriter, Iterator[String]) => Unit)(
+      parseWords: String => DataFrame): String = synchronized {
+    built.getOrElseUpdate(s"$sfDir#$suffix", {
+      val dir = s"/tmp/graft_index/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}_$suffix"
       val srcDir = java.nio.file.Paths.get(s"$dir-src")
       java.nio.file.Files.createDirectories(srcDir)
-      // fixture render (driver-side, gate-only — the OPERATOR under test
-      // is the distributed parse of the written file, not this writer)
-      def esc(s: String): String =
-        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-      val w = java.nio.file.Files.newBufferedWriter(srcDir.resolve("webdocs.xml"),
+      val w = java.nio.file.Files.newBufferedWriter(srcDir.resolve(fileName),
         java.nio.charset.StandardCharsets.UTF_8)
       try {
-        w.write("<docs>\n")
         val it = spark.read.parquet(s"$sfDir/documents.parquet")
           .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
           .toLocalIterator()
-        while (it.hasNext) {
-          val r = it.next()
-          w.write(s"<doc><text>${esc(r.getString(1))}</text></doc>\n")
-        }
-        w.write("</docs>\n")
+        renderTo(w, new Iterator[String] {
+          def hasNext: Boolean = it.hasNext
+          def next(): String = it.next().getString(1)
+        })
       } finally w.close()
-      val (words, _) = graft.core.XmlIngest.parse(spark,
-        srcDir.resolve("webdocs.xml").toString,
-        Seq(graft.core.CsvField("text", fulltext = true, show = true)))
-      IndexBuilder.buildFromWords(spark, words, dir)
+      IndexBuilder.buildFromWords(spark,
+        parseWords(srcDir.resolve(fileName).toString), dir)
       dir
     })
   }
+
+  /** Index built through the XML INGEST path (reference XmlParserNew.cpp):
+    * `<docs><doc><text>...` render, entities escaped, distributed StAX
+    * parse back via [[graft.core.XmlIngest.parse]]. XML doc ids are
+    * 1-based parse positions, so the oracle maps parquet doc_id ->
+    * row_number() over (ORDER BY doc_id) — a hash match proves render ->
+    * parse -> tokenize -> build serves exactly the logical corpus.
+    */
+  def xmlIndexDir(spark: SparkSession, sfDir: String): String =
+    ingestIndexDir(spark, sfDir, "xml", "webdocs.xml") { (w, texts) =>
+      def esc(s: String): String =
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      w.write("<docs>\n")
+      texts.foreach(t => w.write(s"<doc><text>${esc(t)}</text></doc>\n"))
+      w.write("</docs>\n")
+    } { path =>
+      graft.core.XmlIngest.parse(spark, path,
+        Seq(graft.core.CsvField("text", fulltext = true, show = true)))._1
+    }
 
   /** Prefix top-10 from the XML-ingested index (oracle: the fixed-width
     * prefix oracle with parquet doc ids mapped to parse positions).
@@ -102,32 +114,18 @@ object IndexQueries {
     * a hash match proves render -> line parse -> tokenize -> build
     * serves exactly the logical corpus through the CSV field-role path.
     */
-  def csvIndexDir(spark: SparkSession, sfDir: String): String = synchronized {
-    built.getOrElseUpdate(s"$sfDir#csv", {
-      val dir = s"/tmp/graft_index/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}_csv"
-      val srcDir = java.nio.file.Paths.get(s"$dir-src")
-      java.nio.file.Files.createDirectories(srcDir)
-      val w = java.nio.file.Files.newBufferedWriter(srcDir.resolve("webdocs.tsv"),
-        java.nio.charset.StandardCharsets.UTF_8)
-      try {
-        w.write("text\n")
-        val it = spark.read.parquet(s"$sfDir/documents.parquet")
-          .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
-          .toLocalIterator()
-        while (it.hasNext) {
-          val t = it.next().getString(1)
-          require(!t.exists(c => c == '\t' || c == '\n' || c == '\r'),
-            "TSV fixture needs tab/newline-free text")
-          w.write(t); w.write("\n")
-        }
-      } finally w.close()
-      val (words, _) = graft.core.CsvIngest.parse(spark,
-        srcDir.resolve("webdocs.tsv").toString,
-        Seq(graft.core.CsvField("text", fulltext = true, show = true)))
-      IndexBuilder.buildFromWords(spark, words, dir)
-      dir
-    })
-  }
+  def csvIndexDir(spark: SparkSession, sfDir: String): String =
+    ingestIndexDir(spark, sfDir, "csv", "webdocs.tsv") { (w, texts) =>
+      w.write("text\n")
+      texts.foreach { t =>
+        require(!t.exists(c => c == '\t' || c == '\n' || c == '\r'),
+          "TSV fixture needs tab/newline-free text")
+        w.write(t); w.write("\n")
+      }
+    } { path =>
+      graft.core.CsvIngest.parse(spark, path,
+        Seq(graft.core.CsvField("text", fulltext = true, show = true)))._1
+    }
 
   /** Prefix top-10 from the CSV-ingested index (same positional oracle
     * as [[xmlPrefixDocs]] — line numbers and parse positions coincide).

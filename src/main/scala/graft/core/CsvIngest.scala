@@ -106,7 +106,8 @@ object CsvIngest {
     // `:info:` like any other namespace
     val base = new java.io.File(path).getName.split('.').head
     val infoEntries =
-      Seq("encoding" -> encoding.toLowerCase, "name" -> base) ++
+      Seq("encoding" -> encoding.toLowerCase(java.util.Locale.ROOT),
+          "name" -> base) ++
         fields.filter(_.facet).map(f => "facet" -> f.name) ++
         fields.filter(_.withinFieldSep.isDefined).map(f => "multiple" -> f.name)
     val info = infoEntries.map { case (k, v) => (0L, Facets.infoTerm(k, v), 1, -1) }

@@ -195,17 +195,24 @@ object Multimodal {
       if (fourcc() != "RIFF") return None
       b.getInt // riff size
       if (fourcc() != "AVI ") return None
-      // walk top-level chunks; descend into LIST/hdrl for avih
-      def walk(end: Int): Option[(Int, Int, Int)] = {
+      // walk top-level chunks; descend into LIST/hdrl for avih. Hostile-
+      // input guards (the doc promises arbitrary external payloads):
+      // a negative or backward chunk size must fail the parse, never
+      // rewind the cursor (infinite loop), and LIST nesting is
+      // depth-capped so crafted deep nesting cannot overflow the stack
+      // (StackOverflowError would escape an Exception catch).
+      def walk(end: Int, depth: Int): Option[(Int, Int, Int)] = {
+        if (depth > 16) return None
         while (b.position() + 8 <= end) {
           val id = fourcc()
           val sz = b.getInt
+          if (sz < 0) return None // negative size would rewind the cursor
           val next = b.position() + sz + (sz & 1) // chunks are word-aligned
           id match {
-            case "LIST" =>
+            case "LIST" if sz >= 4 =>
               val listType = fourcc()
               if (listType == "hdrl") {
-                val r = walk(math.min(next, end))
+                val r = walk(math.min(next, end), depth + 1)
                 if (r.isDefined) return r
               }
             case "avih" if sz >= 40 =>
@@ -220,7 +227,7 @@ object Multimodal {
         }
         None
       }
-      walk(payload.length).map { case (w, h, f) => (w, h, f, "avi") }
+      walk(payload.length, 0).map { case (w, h, f) => (w, h, f, "avi") }
     } catch { case _: RuntimeException => None }
   }
 
@@ -236,7 +243,8 @@ object Multimodal {
       val f = javax.sound.sampled.AudioSystem.getAudioFileFormat(
         new java.io.ByteArrayInputStream(payload))
       Some((f.getFormat.getSampleRate.toInt, f.getFormat.getChannels,
-        f.getFrameLength.toLong, f.getType.toString.toLowerCase))
+        f.getFrameLength.toLong,
+        f.getType.toString.toLowerCase(java.util.Locale.ROOT)))
     } catch {
       case _: javax.sound.sampled.UnsupportedAudioFileException => None
       case _: java.io.IOException => None
@@ -315,10 +323,14 @@ object Multimodal {
               case Some((w, h, fmt)) => MediaMeta(url, nBytes, w, h, 1, fmt)
               case None => audioMeta(payload) match {
                 case Some((rate, ch, frames, fmt)) =>
-                  MediaMeta(url, nBytes, rate, ch, frames.toInt, fmt)
+                  // clamp to [0, MaxInt]: AudioSystem reports
+                  // NOT_SPECIFIED as -1, and >2^31-frame files would
+                  // overflow a bare toInt to negative
+                  MediaMeta(url, nBytes, rate, ch,
+                    math.min(math.max(frames, 0L), Int.MaxValue).toInt, fmt)
                 case None => aviMeta(payload) match {
                   case Some((w, h, frames, fmt)) =>
-                    MediaMeta(url, nBytes, w, h, frames, fmt)
+                    MediaMeta(url, nBytes, w, h, math.max(frames, 0), fmt)
                   case None =>
                     val (w, h, f, fmt) = stubDecode(payload)
                     MediaMeta(url, nBytes, w, h, f, fmt)
@@ -335,7 +347,12 @@ object Multimodal {
     * frame extraction is the stubbed decode.
     */
   def sampleFrames(meta: Dataset[MediaMeta], stride: Int = 2): DataFrame =
+    // zero-frame payloads (empty WAV data chunk, zero-frame AVI header)
+    // contribute zero rows -- a bare sequence(0, n_frames-1) would throw
+    // 'Illegal sequence boundaries' on them and fail the whole job
     meta.toDF().select(col("url"), col("n_frames"),
-        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+        explode(when(col("n_frames") > 0,
+          sequence(lit(0), col("n_frames") - 1, lit(stride)))
+          .otherwise(array())).as("frame_idx"))
       .orderBy(col("url"), col("frame_idx"))
 }

@@ -308,10 +308,25 @@ class IndexQueryCache(maxEntries: Int = 200,
   /** inflight: derivations currently materializing outside the lock from
     * this entry's relation; eviction skips such entries (see QueryCache).
     */
+  /** dropped: the entry left the map (clear) while references were still
+    * out; the LAST reference release performs the deferred unpersist --
+    * without it a clear() during a borrow scope would leak the scope's
+    * whole working set of persisted relations until JVM exit.
+    */
   private case class Entry(df: DataFrame, bytes: Long, owned: Boolean,
                            pinned: Boolean = false,
                            inflight: java.util.concurrent.atomic.AtomicInteger =
-                             new java.util.concurrent.atomic.AtomicInteger(0))
+                             new java.util.concurrent.atomic.AtomicInteger(0),
+                           dropped: java.util.concurrent.atomic.AtomicBoolean =
+                             new java.util.concurrent.atomic.AtomicBoolean(false))
+
+  /** Release one reference; if the entry was dropped from the map while
+    * referenced, the last release unpersists (double-unpersist on a
+    * release race is a harmless no-op in Spark).
+    */
+  private def releaseRef(e: Entry): Unit =
+    if (e.inflight.decrementAndGet() == 0 && e.dropped.get() && e.owned)
+      e.df.unpersist()
   private val lru = new java.util.LinkedHashMap[Key, Entry](16, 0.75f, true)
   private var totalBytes = 0L
 
@@ -351,7 +366,7 @@ class IndexQueryCache(maxEntries: Int = 200,
     val frame = new java.util.ArrayList[Entry]()
     borrowFrame.set(frame)
     try f finally {
-      frame.forEach(e => e.inflight.decrementAndGet())
+      frame.forEach(releaseRef)
       borrowFrame.set(prev)
     }
   }
@@ -486,7 +501,7 @@ class IndexQueryCache(maxEntries: Int = 200,
             persisted
           }
         }
-        } finally baseOpt.foreach(_.inflight.decrementAndGet())
+        } finally baseOpt.foreach(releaseRef)
     }
   }
 
@@ -523,9 +538,16 @@ class IndexQueryCache(maxEntries: Int = 200,
   def size: Int = synchronized(lru.size)
 
   def clear(): Unit = synchronized {
-    // in-flight bases are dropped without unpersist -- see QueryCache.clear
-    lru.values().forEach(e =>
-      if (e.owned && e.inflight.get() == 0) e.df.unpersist())
+    // referenced entries (in-flight derivations, active borrow scopes)
+    // are marked dropped instead of unpersisted here; the LAST reference
+    // release performs the deferred unpersist (releaseRef) -- nothing
+    // leaks, and nothing is yanked from under a materializing query
+    lru.values().forEach { e =>
+      if (e.owned) {
+        e.dropped.set(true)
+        if (e.inflight.get() == 0) e.df.unpersist()
+      }
+    }
     lru.clear()
     totalBytes = 0
     hits = 0; filteredHits = 0; misses = 0; evictions = 0
