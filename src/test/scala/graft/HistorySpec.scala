@@ -197,4 +197,25 @@ class HistorySpec extends AnyFunSuite {
     assert(cache.size <= 3)
     cache.clear()
   }
+
+  test("clear during a borrow scope defers the unpersist to scope exit") {
+    import graft.query.QueryParser.Word
+    val cache = new IndexQueryCache(maxEntries = 10, maxBytes = Long.MaxValue)
+    val src = new CachedIndexAtomSource(reader, cache)
+    val expected = src.atomScored(Word("alpha")).collect()
+      .map(_.toString).toSet
+    var handle: org.apache.spark.sql.DataFrame = null
+    cache.borrow {
+      handle = src.atomScored(Word("alpha")) // exact hit, lent to the scope
+      cache.clear()
+      // the clear must NOT have unpersisted the borrowed relation: a job
+      // materializing it mid-request still reads the persisted data
+      assert(handle.storageLevel !== org.apache.spark.storage.StorageLevel.NONE)
+      assert(handle.collect().map(_.toString).toSet === expected)
+    }
+    // ... and the LAST reference release performed the deferred unpersist
+    // (nothing leaks until JVM exit)
+    assert(handle.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
+    cache.clear()
+  }
 }
