@@ -149,6 +149,46 @@ class OpsSpec extends AnyFunSuite {
       === ((6, 1, ('h'.toInt % 7) + 1, "vid")))
   }
 
+  test("media synthesizers: decode round-trip + closed-form size over random shapes") {
+    // the oracle SQL relies on every synthesized payload's metadata and
+    // byte size being a pure closed-form function of the rule inputs --
+    // pin that over a seeded random sweep, not just the gate's shapes
+    val r = new scala.util.Random(4242)
+    for (_ <- 1 to 50) {
+      val (w, h) = (r.nextInt(64) + 1, r.nextInt(64) + 1)
+      val png = Multimodal.makePng(w, h)
+      assert(png.length === 68 + h * (1 + 3 * w))
+      assert(Multimodal.imageMeta(png) === Some((w, h, "png")))
+      val jpg = Multimodal.makeJpeg(w, h)
+      assert(jpg.length === 155)
+      assert(Multimodal.imageMeta(jpg) === Some((w, h, "jpeg")))
+      val (rate, n, ch) = (8000 + r.nextInt(8) * 1000, r.nextInt(64) + 1, r.nextInt(2) + 1)
+      val wav = Multimodal.makeWav(rate, n, ch)
+      assert(wav.length === 44 + n * ch * 2)
+      assert(Multimodal.audioMeta(wav) === Some((rate, ch, n.toLong, "wave")))
+      val f = r.nextInt(1000)
+      val avi = Multimodal.makeAvi(w, h, f)
+      assert(avi.length === 88)
+      assert(Multimodal.aviMeta(avi) === Some((w, h, f, "avi")))
+      // cross-rejection: each parser refuses the other formats
+      assert(Multimodal.imageMeta(wav).isEmpty && Multimodal.imageMeta(avi).isEmpty)
+      assert(Multimodal.audioMeta(png).isEmpty && Multimodal.audioMeta(jpg).isEmpty)
+      assert(Multimodal.aviMeta(png).isEmpty && Multimodal.aviMeta(wav).isEmpty)
+    }
+    // hostile-RIFF fuzz: random byte soup behind a valid RIFF/AVI magic
+    // must terminate (no infinite loop / stack overflow), returning
+    // None or garbage-but-finite metadata -- never hanging or throwing
+    for (i <- 1 to 200) {
+      val junk = new Array[Byte](12 + r.nextInt(256))
+      r.nextBytes(junk)
+      System.arraycopy("RIFF".getBytes, 0, junk, 0, 4)
+      if (junk.length >= 12) System.arraycopy("AVI ".getBytes, 0, junk, 8, 4)
+      Multimodal.aviMeta(junk) // must return, whatever the value
+      val junk2 = new Array[Byte](r.nextInt(64)); r.nextBytes(junk2)
+      assert(Multimodal.aviMeta(junk2).isEmpty || junk2.length >= 24)
+    }
+  }
+
   test("makePng emits a real PNG: javax.imageio decodes it, size is closed-form") {
     val bytes = Multimodal.makePng(17, 9)
     assert(bytes.length === 68 + 9 * (1 + 3 * 17))
