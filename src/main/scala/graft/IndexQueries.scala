@@ -133,6 +133,36 @@ object IndexQueries {
   def csvPrefixDocs(spark: SparkSession, sfDir: String): DataFrame =
     new IndexReader(spark, csvIndexDir(spark, sfDir)).topKPrefixDocs("st", 10)
 
+  /** Index built through the JSONL INGEST path: docs rendered one JSON
+    * object per line (strings escaped), parsed back by
+    * [[graft.core.JsonlIngest.parse]] (docId = line number + 1 — the
+    * same 1-based position ids as XML/CSV, so the shared positional
+    * oracle applies unchanged).
+    */
+  def jsonlIndexDir(spark: SparkSession, sfDir: String): String =
+    ingestIndexDir(spark, sfDir, "jsonl", "webdocs.jsonl") { (w, texts) =>
+      def esc(s: String): String = {
+        val sb = new StringBuilder
+        s.foreach {
+          case '"' => sb.append("\\\"")
+          case '\\' => sb.append("\\\\")
+          case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+          case c => sb.append(c)
+        }
+        sb.toString
+      }
+      texts.foreach(t => w.write(s"""{"text": "${esc(t)}"}\n"""))
+    } { path =>
+      graft.core.JsonlIngest.parse(spark, path,
+        Seq(graft.core.CsvField("text", fulltext = true, show = true)))._1
+    }
+
+  /** Prefix top-10 from the JSONL-ingested index (shared positional
+    * oracle a third time).
+    */
+  def jsonlPrefixDocs(spark: SparkSession, sfDir: String): DataFrame =
+    new IndexReader(spark, jsonlIndexDir(spark, sfDir)).topKPrefixDocs("st", 10)
+
   /** BY_PREFIX_SIZE: boundaries derived as the vocabulary's distinct
     * length-2 prefixes (one bucket per prefix group) instead of a
     * hand-written boundary list.

@@ -49,6 +49,7 @@ object SparkEntry {
     "ixbps_prefix_docs" -> IndexQueries.bpsPrefixDocs _,
     "xmlix_prefix_docs" -> IndexQueries.xmlPrefixDocs _,
     "csvix_prefix_docs" -> IndexQueries.csvPrefixDocs _,
+    "jsonlix_prefix_docs" -> IndexQueries.jsonlPrefixDocs _,
     "ixnp_wand_topk" -> IndexQueries.npWandTopK _,
     "ixc_compact_postings" -> IndexQueries.compactedPostings _,
     "ixcg_decoded_postings" -> IndexQueries.gammaDecodedPostings _,
@@ -88,6 +89,9 @@ object SparkEntry {
     // positions (both are the 1-based doc_id rank), so the SAME oracle
     // proves the CSV field-role path end to end
     "csvix_prefix_docs" -> Oracles.positionalPrefixSql,
+    // JSONL-ingested index: docId = line number + 1, the same 1-based
+    // position ids, so the shared positional oracle applies a third time
+    "jsonlix_prefix_docs" -> Oracles.positionalPrefixSql,
     // positions-off index: doc-level WAND scoring identical to the full one
     "ixnp_wand_topk" -> Oracles.topDocs("term IN ('spark', 'hash', 'merge')"),
     // partial words (reference partialwords/): dictionary words contained

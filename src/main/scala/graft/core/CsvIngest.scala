@@ -17,6 +17,62 @@ case class CsvField(
     score: Int = 1,
     withinFieldSep: Option[String] = None)
 
+/** The ONE implementation of the reference's field-role word emission
+  * (CsvParser.cpp / CsvParserOptions.h:33-60), shared by the CSV, XML
+  * and JSONL ingests: full-text tokens with positions, and the
+  * artificial `:facet:` / `:filter:` / `:ordering:` namespace words at
+  * pos -1. Each ingest supplies only how a field's VALUES are obtained
+  * from its record shape (cells, repeated elements, JSON arrays).
+  */
+object FieldRoles {
+
+  /** Words-file rows (doc_id, term, score, pos) for one document. */
+  def emit(docId: Long, fields: Seq[CsvField],
+           valuesOf: CsvField => Seq[String]): Iterator[(Long, String, Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Int, Int)]
+    var pos = 0
+    fields.foreach { f =>
+      valuesOf(f).filter(_.nonEmpty).foreach { v =>
+        if (f.fulltext) {
+          Tokenizer.tokenize(v).foreach { t =>
+            out += ((docId, t, f.score, pos)); pos += 1
+          }
+        }
+        if (f.facet) out += ((docId, s":facet:${f.name}:$v", f.score, -1))
+        if (f.filter) Tokenizer.tokenize(v).foreach { t =>
+          out += ((docId, s":filter:${f.name}:$t", f.score, -1))
+        }
+        if (f.ordering) out += ((docId,
+          s":ordering:${f.name}:${Tokenizer.toLowerAscii(v)}", f.score, -1))
+      }
+    }
+    out.iterator
+  }
+
+  /** Split one raw value on the field's within-field separator (CSV/JSONL
+    * multi-value convention; XML uses repeated elements instead and
+    * additionally applies this).
+    */
+  def splitValues(f: CsvField, raw: String): Seq[String] =
+    f.withinFieldSep match {
+      case Some(s) => raw.split(java.util.regex.Pattern.quote(s), -1).toSeq
+      case None => Seq(raw)
+    }
+
+  /** The `:info:` metadata entries on reserved doc 0
+    * (CsvParser.cpp:877-910): build-config echo -- encoding, db name,
+    * facet fields, multiple-value fields.
+    */
+  def infoEntries(path: String, fields: Seq[CsvField],
+                  encoding: String): Seq[(String, String)] = {
+    val base = new java.io.File(path).getName.split('.').head
+    Seq("encoding" -> encoding.toLowerCase(java.util.Locale.ROOT),
+        "name" -> base) ++
+      fields.filter(_.facet).map(f => "facet" -> f.name) ++
+      fields.filter(_.withinFieldSep.isDefined).map(f => "multiple" -> f.name)
+  }
+}
+
 /** CSV/TSV ingest with reference field-role semantics (CsvParser.cpp):
   * one record per line, TAB-separated, header names fields; docId = line
   * number. Emits the words-file relation (term, doc_id, score, pos)
@@ -75,42 +131,17 @@ object CsvIngest {
     }.toDS()
 
     val words = rows.flatMap { case (docId, cells) =>
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Int, Int)]
-      var pos = 0
-      fieldSpecs.foreach { case (f, i) =>
-        val raw = if (i < cells.length) cells(i) else ""
-        val values = f.withinFieldSep match {
-          case Some(s) => raw.split(java.util.regex.Pattern.quote(s), -1).toSeq
-          case None => Seq(raw)
-        }
-        values.filter(_.nonEmpty).foreach { v =>
-          if (f.fulltext) {
-            Tokenizer.tokenize(v).foreach { t =>
-              out += ((docId, t, f.score, pos)); pos += 1
-            }
-          }
-          if (f.facet) out += ((docId, s":facet:${f.name}:$v", f.score, -1))
-          if (f.filter) Tokenizer.tokenize(v).foreach { t =>
-            out += ((docId, s":filter:${f.name}:$t", f.score, -1))
-          }
-          if (f.ordering) out += ((docId,
-            s":ordering:${f.name}:${Tokenizer.toLowerAscii(v)}", f.score, -1))
-        }
-      }
-      out.iterator
+      val byField = fieldSpecs.map { case (f, i) =>
+        f -> (if (i < cells.length) cells(i) else "")
+      }.toMap
+      FieldRoles.emit(docId, fieldSpecs.map(_._1),
+        f => FieldRoles.splitValues(f, byField(f)))
     }.toDF("doc_id", "term", "score", "pos")
 
-    // :info: words (CsvParser.cpp:877-910): global index metadata --
-    // encoding, db name, facet fields, multiple-value fields -- on the
-    // reserved doc_id 0 (the header line), queryable as completions of
-    // `:info:` like any other namespace
-    val base = new java.io.File(path).getName.split('.').head
-    val infoEntries =
-      Seq("encoding" -> encoding.toLowerCase(java.util.Locale.ROOT),
-          "name" -> base) ++
-        fields.filter(_.facet).map(f => "facet" -> f.name) ++
-        fields.filter(_.withinFieldSep.isDefined).map(f => "multiple" -> f.name)
-    val info = infoEntries.map { case (k, v) => (0L, Facets.infoTerm(k, v), 1, -1) }
+    // :info: words (CsvParser.cpp:877-910) on the reserved doc_id 0 (the
+    // header line), queryable as completions of `:info:`
+    val info = FieldRoles.infoEntries(path, fields, encoding)
+      .map { case (k, v) => (0L, Facets.infoTerm(k, v), 1, -1) }
       .toDF("doc_id", "term", "score", "pos")
     val allWords = words.unionByName(info)
 

@@ -99,43 +99,17 @@ object XmlIngest {
 
     val fieldSpecs = fields
     val words = withId.flatMap { case (docId, m) =>
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Int, Int)]
-      var pos = 0
-      fieldSpecs.foreach { f =>
-        val raw = m.getOrElse(f.name, "")
-        // XML multi-values come from repeated elements; an explicit
-        // withinFieldSep additionally splits within each value
-        val values = raw.split(java.util.regex.Pattern.quote(MultiSep), -1).toSeq
-          .flatMap { v =>
-            f.withinFieldSep match {
-              case Some(s) => v.split(java.util.regex.Pattern.quote(s), -1).toSeq
-              case None => Seq(v)
-            }
-          }
-        values.filter(_.nonEmpty).foreach { v =>
-          if (f.fulltext) {
-            Tokenizer.tokenize(v).foreach { t =>
-              out += ((docId, t, f.score, pos)); pos += 1
-            }
-          }
-          if (f.facet) out += ((docId, s":facet:${f.name}:$v", f.score, -1))
-          if (f.filter) Tokenizer.tokenize(v).foreach { t =>
-            out += ((docId, s":filter:${f.name}:$t", f.score, -1))
-          }
-          if (f.ordering) out += ((docId,
-            s":ordering:${f.name}:${Tokenizer.toLowerAscii(v)}", f.score, -1))
-        }
-      }
-      out.iterator
+      // XML multi-values come from repeated elements; an explicit
+      // withinFieldSep additionally splits within each value
+      FieldRoles.emit(docId, fieldSpecs, f =>
+        m.getOrElse(f.name, "")
+          .split(java.util.regex.Pattern.quote(MultiSep), -1).toSeq
+          .flatMap(v => FieldRoles.splitValues(f, v)))
     }.toDF("doc_id", "term", "score", "pos")
 
     // :info: words (CsvParser.cpp:877-910 analog) on reserved doc 0
-    val base = new java.io.File(path).getName.split('.').head
-    val infoEntries =
-      Seq("encoding" -> "utf-8", "name" -> base) ++
-        fields.filter(_.facet).map(f => "facet" -> f.name) ++
-        fields.filter(_.withinFieldSep.isDefined).map(f => "multiple" -> f.name)
-    val info = infoEntries.map { case (k, v) => (0L, Facets.infoTerm(k, v), 1, -1) }
+    val info = FieldRoles.infoEntries(path, fields, "utf-8")
+      .map { case (k, v) => (0L, Facets.infoTerm(k, v), 1, -1) }
       .toDF("doc_id", "term", "score", "pos")
     val allWords = words.unionByName(info)
 

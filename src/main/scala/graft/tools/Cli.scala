@@ -327,7 +327,7 @@ object FilterQueriesByVolumeMain {
   * serves the full grammar, facet completions and the completion server
   * with no corpus table.
   *
-  * args: [-e <encoding>] <csv|xml> <inputPath> <indexDir> <fieldSpec>...
+  * args: [-e <encoding>] <csv|xml|jsonl> <inputPath> <indexDir> <fieldSpec>...
   * fieldSpec = name[:role[,role...]] with roles fulltext|show|facet|
   * filter|ordering (e.g. `Titel:fulltext,show` `Autor:facet`).
   * `-e` is the reference's legacy-charset surface (StringConverter.h
@@ -366,7 +366,8 @@ object BuildFromDatabaseMain {
       case "csv" => graft.core.CsvIngest.parse(spark, inputPath, fields,
         encoding = encoding)
       case "xml" => graft.core.XmlIngest.parse(spark, inputPath, fields)
-      case other => throw new IllegalArgumentException(s"format must be csv|xml, got $other")
+      case "jsonl" => graft.core.JsonlIngest.parse(spark, inputPath, fields)
+      case other => throw new IllegalArgumentException(s"format must be csv|xml|jsonl, got $other")
     }
     val manifest = IndexBuilder.buildFromWords(spark, words, indexDir)
     // docs store from the show fields, so excerpts/urls serve from the

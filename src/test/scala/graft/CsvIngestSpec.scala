@@ -119,6 +119,40 @@ class CsvIngestSpec extends AnyFunSuite {
     assert(terms.contains("rené") && terms.contains("müller"))
   }
 
+  test("JSONL ingest: field roles, array multi-values, skipped junk lines, stable ids") {
+    val f = java.nio.file.Files.createTempFile("graft_jsonl", ".jsonl")
+    java.nio.file.Files.writeString(f, Seq(
+      """{"Titel": "Der Zauberberg", "Autor": "Mann, Thomas", "Jahr": 1924}""",
+      """not json at all""", // skipped; its line number is consumed
+      """{"Titel": "Die Verwandlung", "Autor": ["Kafka; Franz", "K. Franz"], "Jahr": 1915}""",
+      "").mkString("\n"))
+    val fields = Seq(
+      CsvField("Titel", fulltext = true, show = true, score = 2),
+      CsvField("Autor", facet = true, filter = true),
+      CsvField("Jahr", ordering = true, show = true))
+    val (words, docs) = graft.core.JsonlIngest.parse(spark, f.toString, fields)
+    val w = words.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    // doc 1 (line 0): same role output as the CSV fixture
+    assert(w.contains((1L, "der", 2, 0)))
+    assert(w.contains((1L, "zauberberg", 2, 1)))
+    assert(w.contains((1L, ":facet:Autor:Mann, Thomas", 1, -1)))
+    assert(w.contains((1L, ":filter:Autor:mann", 1, -1)))
+    // non-string scalar stringifies; ordering key as in CSV
+    assert(w.contains((1L, ":ordering:Jahr:1924", 1, -1)))
+    // doc 3 (line 2; junk line 1 consumed its id): JSON ARRAY = the
+    // multi-value form, each element a full facet value
+    assert(w.contains((3L, "verwandlung", 2, 1)))
+    assert(w.contains((3L, ":facet:Autor:Kafka; Franz", 1, -1)))
+    assert(w.contains((3L, ":facet:Autor:K. Franz", 1, -1)))
+    // :info: namespace on doc 0
+    assert(w.contains((0L, ":info:encoding:utf-8", 1, -1)))
+    assert(w.contains((0L, ":info:facet:Autor", 1, -1)))
+    val d = docs.orderBy("doc_id").collect()
+    assert(d.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 3L))
+    assert(d.map(_.getAs[String]("Titel")).toSeq === Seq("Der Zauberberg", "Die Verwandlung"))
+    assert(d.map(_.getAs[String]("Jahr")).toSeq === Seq("1924", "1915"))
+  }
+
   test("field-weighted ranking: a title hit outranks an equal body hit") {
     import org.apache.spark.sql.functions.col
     val docs = spark.createDataFrame(Seq(
