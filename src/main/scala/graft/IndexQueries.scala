@@ -163,6 +163,46 @@ object IndexQueries {
   def jsonlPrefixDocs(spark: SparkSession, sfDir: String): DataFrame =
     new IndexReader(spark, jsonlIndexDir(spark, sfDir)).topKPrefixDocs("st", 10)
 
+  /** Index built from a WARC archive: the sf docs rendered as real
+    * `response` records (WebCorpus html wrapper as the HTTP body, in
+    * doc_id order), parsed back by [[graft.core.WarcIngest.corpus]]
+    * (framing parse + extractText inversion + 1-based positional ids),
+    * then the ORDINARY corpus build — unlike the database ingests this
+    * exercises `IndexBuilder.build`, proving the WARC relation is a
+    * drop-in for the parquet corpus.
+    */
+  def warcIndexDir(spark: SparkSession, sfDir: String): String = synchronized {
+    built.getOrElseUpdate(s"$sfDir#warc", {
+      val dir = s"/tmp/graft_index/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}_warc"
+      val srcDir = java.nio.file.Paths.get(s"$dir-src")
+      java.nio.file.Files.createDirectories(srcDir)
+      val os = java.nio.file.Files.newOutputStream(srcDir.resolve("webdocs.warc"))
+      try {
+        val it = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+          .toLocalIterator()
+        while (it.hasNext) {
+          val r = it.next()
+          val html = ("<html><body><p>" + r.getString(1) + "</p></body></html>")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          os.write(graft.core.WarcIngest.renderRecord(
+            s"https://example.org/warc/doc/${r.getLong(0)}",
+            "2024-01-01T00:00:00Z", html))
+        }
+      } finally os.close()
+      IndexBuilder.build(spark,
+        graft.core.WarcIngest.corpus(spark, srcDir.resolve("webdocs.warc").toString),
+        dir, numShards = 1)
+      dir
+    })
+  }
+
+  /** Prefix top-10 from the WARC-built index (shared positional oracle —
+    * WARC record positions are the same 1-based doc_id ranks).
+    */
+  def warcPrefixDocs(spark: SparkSession, sfDir: String): DataFrame =
+    new IndexReader(spark, warcIndexDir(spark, sfDir)).topKPrefixDocs("st", 10)
+
   /** BY_PREFIX_SIZE: boundaries derived as the vocabulary's distinct
     * length-2 prefixes (one bucket per prefix group) instead of a
     * hand-written boundary list.

@@ -50,6 +50,7 @@ object SparkEntry {
     "xmlix_prefix_docs" -> IndexQueries.xmlPrefixDocs _,
     "csvix_prefix_docs" -> IndexQueries.csvPrefixDocs _,
     "jsonlix_prefix_docs" -> IndexQueries.jsonlPrefixDocs _,
+    "warcix_prefix_docs" -> IndexQueries.warcPrefixDocs _,
     "ixnp_wand_topk" -> IndexQueries.npWandTopK _,
     "ixc_compact_postings" -> IndexQueries.compactedPostings _,
     "ixcg_decoded_postings" -> IndexQueries.gammaDecodedPostings _,
@@ -92,6 +93,9 @@ object SparkEntry {
     // JSONL-ingested index: docId = line number + 1, the same 1-based
     // position ids, so the shared positional oracle applies a third time
     "jsonlix_prefix_docs" -> Oracles.positionalPrefixSql,
+    // WARC-built index: record positions are the same 1-based doc_id
+    // ranks; this one additionally exercises the ordinary corpus build
+    "warcix_prefix_docs" -> Oracles.positionalPrefixSql,
     // positions-off index: doc-level WAND scoring identical to the full one
     "ixnp_wand_topk" -> Oracles.topDocs("term IN ('spark', 'hash', 'merge')"),
     // partial words (reference partialwords/): dictionary words contained

@@ -1,0 +1,70 @@
+package graft
+
+import graft.core.{WarcIngest, WebCorpus}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WARC framing parse: real record framing (header block, Content-Length
+  * byte framing, HTTP header strip), non-response skipping, torn-tail
+  * safety, and the corpus relation end to end.
+  */
+class WarcIngestSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val Crlf = "\r\n"
+
+  test("renderRecord/parseRecords round-trip; warcinfo skipped; torn tail dropped") {
+    val html1 = "<html><body><p>hello world</p></body></html>".getBytes("UTF-8")
+    val html2 = "<html><body><p>zwei &amp; drei</p></body></html>".getBytes("UTF-8")
+    val warcinfo = (s"WARC/1.0${Crlf}WARC-Type: warcinfo${Crlf}Content-Length: 4$Crlf$Crlf" +
+      s"described$Crlf$Crlf").getBytes("US-ASCII")
+    // NOTE: warcinfo's Content-Length (4) deliberately under-frames its
+    // body ("desc"); the parser must still resync because it skips by
+    // declared length -- the stray "ribed" then fails the version-line
+    // check and ends the parse at the last whole record. Build a SECOND
+    // stream where framing is correct to check full multi-record parse.
+    val good = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write((s"WARC/1.0${Crlf}WARC-Type: warcinfo${Crlf}Content-Length: 9$Crlf$Crlf" +
+        s"described$Crlf$Crlf").getBytes("US-ASCII"))
+      o.write(WarcIngest.renderRecord("https://a/1", "2024-01-01T00:00:00Z", html1))
+      o.write(WarcIngest.renderRecord("https://a/2", "2024-01-02T00:00:00Z", html2))
+      o.toByteArray
+    }
+    val recs = WarcIngest.parseRecords(good).toList
+    assert(recs.map(_._1) === List("https://a/1", "https://a/2")) // warcinfo skipped
+    assert(recs.head._2 === "2024-01-01T00:00:00Z")
+    assert(recs.head._3.toSeq === html1.toSeq) // HTTP head stripped, body exact
+    assert(recs(1)._3.toSeq === html2.toSeq)
+
+    // torn tail: truncate the last record mid-payload -- the parse must
+    // end at the last WHOLE record, never emit a partial document
+    val torn = java.util.Arrays.copyOfRange(good, 0, good.length - 20)
+    val tornRecs = WarcIngest.parseRecords(torn).toList
+    assert(tornRecs.map(_._1) === List("https://a/1"))
+
+    // under-framed garbage stream still terminates without throwing
+    assert(WarcIngest.parseRecords(warcinfo).toList === Nil)
+    assert(WarcIngest.parseRecords("junk not warc".getBytes).toList === Nil)
+  }
+
+  test("corpus: WARC files become the standard corpus relation, text inverts byte-identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc")
+    val texts = Seq("alpha beta gamma", "delta & <epsilon>")
+    val os = java.nio.file.Files.newOutputStream(dir.resolve("a.warc"))
+    try texts.zipWithIndex.foreach { case (t, i) =>
+      // the WebCorpus wrapper, entity-escaped like real html
+      val esc = t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      os.write(WarcIngest.renderRecord(s"https://w/$i", s"2024-01-0${i + 1}T00:00:00Z",
+        s"<html><body><p>$esc</p></body></html>".getBytes("UTF-8")))
+    } finally os.close()
+    val c = WarcIngest.corpus(spark, dir.toString).orderBy("doc_id").collect()
+    assert(c.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 2L))
+    assert(c.map(_.getAs[String]("url")).toSeq === Seq("https://w/0", "https://w/1"))
+    // extractText inverts the wrapper incl. entities: byte-identical text
+    assert(c.map(_.getAs[String]("text")).toSeq === texts)
+    assert(c.head.getAs[java.sql.Timestamp]("warc_ts") !== null)
+    // html column carries the exact response body bytes
+    assert(new String(c.head.getAs[Array[Byte]]("html"), "UTF-8")
+      .contains("<p>alpha beta gamma</p>"))
+  }
+}
