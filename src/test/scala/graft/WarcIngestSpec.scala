@@ -50,14 +50,26 @@ class WarcIngestSpec extends AnyFunSuite {
   test("corpus: WARC files become the standard corpus relation, text inverts byte-identically") {
     val dir = java.nio.file.Files.createTempDirectory("graft_warc")
     val texts = Seq("alpha beta gamma", "delta & <epsilon>")
-    val os = java.nio.file.Files.newOutputStream(dir.resolve("a.warc"))
-    try texts.zipWithIndex.foreach { case (t, i) =>
+    def record(t: String, i: Int): Array[Byte] = {
       // the WebCorpus wrapper, entity-escaped like real html
       val esc = t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-      os.write(WarcIngest.renderRecord(s"https://w/$i", s"2024-01-0${i + 1}T00:00:00Z",
-        s"<html><body><p>$esc</p></body></html>".getBytes("UTF-8")))
-    } finally os.close()
-    val c = WarcIngest.corpus(spark, dir.toString).orderBy("doc_id").collect()
+      WarcIngest.renderRecord(s"https://w/$i", s"2024-01-0${i + 1}T00:00:00Z",
+        s"<html><body><p>$esc</p></body></html>".getBytes("UTF-8"))
+    }
+    val os = java.nio.file.Files.newOutputStream(dir.resolve("a.warc"))
+    try texts.zipWithIndex.foreach { case (t, i) => os.write(record(t, i)) }
+    finally os.close()
+    // the gzipped twin: CONCATENATED per-record gzip members, the real
+    // Common Crawl .warc.gz layout — must parse identically
+    val gz = java.nio.file.Files.newOutputStream(dir.resolve("b.warc.gz"))
+    try texts.zipWithIndex.foreach { case (t, i) =>
+      val g = new java.util.zip.GZIPOutputStream(gz)
+      g.write(record(t, i + 2)); g.finish() // member per record, stream stays open
+    } finally gz.close()
+    val both = WarcIngest.corpus(spark, dir.toString).orderBy("doc_id").collect()
+    assert(both.length === 4)
+    assert(both.map(_.getAs[String]("text")).toSeq === texts ++ texts)
+    val c = both.take(2)
     assert(c.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 2L))
     assert(c.map(_.getAs[String]("url")).toSeq === Seq("https://w/0", "https://w/1"))
     // extractText inverts the wrapper incl. entities: byte-identical text
