@@ -15,6 +15,37 @@ object IndexQueries {
 
   private val built = scala.collection.mutable.Map.empty[String, String]
 
+  /** Committed-fixture fast path for the file-ingest gates. Their index
+    * dirs are deterministic functions of the sf documents table, but unlike
+    * the other fixture indexes (whose builds already skip via `_SUCCESS`
+    * markers) the ingest gates also pay a DRIVER-SIDE re-render of the
+    * source file (orderBy + toLocalIterator + sequential write) on every
+    * fresh process before the build's skip logic can even run -- exactly
+    * the per-gate fixture cost round-5's verdict flagged (VERDICT.md "Next
+    * round" #5). A sentinel recording the source parquet's (mtime, length),
+    * written only after the full render+build succeeded, proves the
+    * committed dir serves what a rebuild would produce; later processes
+    * (each driver bench sample) skip straight to the query. A changed
+    * source parquet invalidates the sentinel and re-renders.
+    */
+  private def fixtureKey(sfDir: String): String = {
+    val f = new java.io.File(s"$sfDir/documents.parquet")
+    s"${f.lastModified()}:${f.length()}"
+  }
+
+  private def fixtureCommitted(dir: String, sfDir: String): Boolean =
+    scala.util.Try {
+      val p = java.nio.file.Paths.get(dir, "_fixture_complete")
+      java.nio.file.Files.exists(p) &&
+        java.nio.file.Files.readString(p).trim == fixtureKey(sfDir)
+    }.getOrElse(false)
+
+  private def markFixtureCommitted(dir: String, sfDir: String): String = {
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_fixture_complete"), fixtureKey(sfDir))
+    dir
+  }
+
   def indexDir(spark: SparkSession, sfDir: String): String = synchronized {
     built.getOrElseUpdate(sfDir, {
       val dir = s"/tmp/graft_index/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}"
@@ -60,22 +91,25 @@ object IndexQueries {
       parseWords: String => DataFrame): String = synchronized {
     built.getOrElseUpdate(s"$sfDir#$suffix", {
       val dir = s"/tmp/graft_index/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}_$suffix"
-      val srcDir = java.nio.file.Paths.get(s"$dir-src")
-      java.nio.file.Files.createDirectories(srcDir)
-      val w = java.nio.file.Files.newBufferedWriter(srcDir.resolve(fileName),
-        java.nio.charset.StandardCharsets.UTF_8)
-      try {
-        val it = spark.read.parquet(s"$sfDir/documents.parquet")
-          .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
-          .toLocalIterator()
-        renderTo(w, new Iterator[String] {
-          def hasNext: Boolean = it.hasNext
-          def next(): String = it.next().getString(1)
-        })
-      } finally w.close()
-      IndexBuilder.buildFromWords(spark,
-        parseWords(srcDir.resolve(fileName).toString), dir)
-      dir
+      if (fixtureCommitted(dir, sfDir)) dir
+      else {
+        val srcDir = java.nio.file.Paths.get(s"$dir-src")
+        java.nio.file.Files.createDirectories(srcDir)
+        val w = java.nio.file.Files.newBufferedWriter(srcDir.resolve(fileName),
+          java.nio.charset.StandardCharsets.UTF_8)
+        try {
+          val it = spark.read.parquet(s"$sfDir/documents.parquet")
+            .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+            .toLocalIterator()
+          renderTo(w, new Iterator[String] {
+            def hasNext: Boolean = it.hasNext
+            def next(): String = it.next().getString(1)
+          })
+        } finally w.close()
+        IndexBuilder.buildFromWords(spark,
+          parseWords(srcDir.resolve(fileName).toString), dir)
+        markFixtureCommitted(dir, sfDir)
+      }
     })
   }
 
@@ -174,26 +208,29 @@ object IndexQueries {
   def warcIndexDir(spark: SparkSession, sfDir: String): String = synchronized {
     built.getOrElseUpdate(s"$sfDir#warc", {
       val dir = s"/tmp/graft_index/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}_warc"
-      val srcDir = java.nio.file.Paths.get(s"$dir-src")
-      java.nio.file.Files.createDirectories(srcDir)
-      val os = java.nio.file.Files.newOutputStream(srcDir.resolve("webdocs.warc"))
-      try {
-        val it = spark.read.parquet(s"$sfDir/documents.parquet")
-          .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
-          .toLocalIterator()
-        while (it.hasNext) {
-          val r = it.next()
-          val html = ("<html><body><p>" + r.getString(1) + "</p></body></html>")
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          os.write(graft.core.WarcIngest.renderRecord(
-            s"https://example.org/warc/doc/${r.getLong(0)}",
-            "2024-01-01T00:00:00Z", html))
-        }
-      } finally os.close()
-      IndexBuilder.build(spark,
-        graft.core.WarcIngest.corpus(spark, srcDir.resolve("webdocs.warc").toString),
-        dir, numShards = 1)
-      dir
+      if (fixtureCommitted(dir, sfDir)) dir
+      else {
+        val srcDir = java.nio.file.Paths.get(s"$dir-src")
+        java.nio.file.Files.createDirectories(srcDir)
+        val os = java.nio.file.Files.newOutputStream(srcDir.resolve("webdocs.warc"))
+        try {
+          val it = spark.read.parquet(s"$sfDir/documents.parquet")
+            .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+            .toLocalIterator()
+          while (it.hasNext) {
+            val r = it.next()
+            val html = ("<html><body><p>" + r.getString(1) + "</p></body></html>")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            os.write(graft.core.WarcIngest.renderRecord(
+              s"https://example.org/warc/doc/${r.getLong(0)}",
+              "2024-01-01T00:00:00Z", html))
+          }
+        } finally os.close()
+        IndexBuilder.build(spark,
+          graft.core.WarcIngest.corpus(spark, srcDir.resolve("webdocs.warc").toString),
+          dir, numShards = 1)
+        markFixtureCommitted(dir, sfDir)
+      }
     })
   }
 

@@ -16,15 +16,25 @@ object OpsQueries {
     * scale the scan already has >= defaultParallelism splits and this is
     * a no-op — the guard is plan-time, not a data-dependent job.
     */
-  private def spread(df: DataFrame): DataFrame = {
+  private def spread(df: DataFrame, memoKey: String): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    // `.rdd.getNumPartitions` builds (and physically plans) a second
+    // QueryExecution for the scan on every call; the split count of a
+    // fixed file set under a fixed parallelism is a plan-time constant,
+    // so probe it once per (file, parallelism) and reuse (guide §1.2:
+    // don't re-pay per-query work that is invariant across queries)
+    val n = spreadMemo.computeIfAbsent(s"$memoKey#$p",
+      _ => Integer.valueOf(df.rdd.getNumPartitions))
+    if (n < p) df.repartition(p) else df
   }
 
+  private val spreadMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
-    spread(spark.read.parquet(s"$sfDir/documents.parquet"))
+    spread(spark.read.parquet(s"$sfDir/documents.parquet"), s"$sfDir/documents.parquet")
   private def embs(spark: SparkSession, sfDir: String): DataFrame =
-    spread(spark.read.parquet(s"$sfDir/embeddings.parquet"))
+    spread(spark.read.parquet(s"$sfDir/embeddings.parquet"), s"$sfDir/embeddings.parquet")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> ((s, d) => Dedup.exactGroups(docs(s, d))),

@@ -141,13 +141,25 @@ object Dedup {
         .join(labels, "x")
         .select(col("x"), col("lbl").as("old"), least(col("lbl"), col("minn")).as("lbl"))
         .localCheckpoint(true) // self-joined below: materialize once
-      // pointer jumping: follow the label's own label one level
-      val next = propagated
-        .join(propagated.select(col("x").as("lbl"), col("lbl").as("plbl")), Seq("lbl"), "left_outer")
-        .select(col("x"), col("old"), least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
-      converged = next.filter(col("lbl") =!= col("old")).limit(1).count() == 0
-      labels = next.select(col("x"), col("lbl"))
+      // convergence is decidable HERE, before the pointer jump: no change
+      // under propagation means every label is <= all its neighbors'
+      // labels, and edges are symmetric, so labels are constant per
+      // component (and each component's min-id node still holds its own
+      // id, so the constant IS the component min) -- the jump would be an
+      // identity map. Checking on `propagated` instead of after the jump
+      // saves the final round's self-join + materialization (one fewer
+      // shuffle stage + one fewer eager job per clustering call).
+      converged = propagated.filter(col("lbl") =!= col("old")).limit(1).count() == 0
+      if (converged) {
+        labels = propagated.select(col("x"), col("lbl"))
+      } else {
+        // pointer jumping: follow the label's own label one level
+        val next = propagated
+          .join(propagated.select(col("x").as("lbl"), col("lbl").as("plbl")), Seq("lbl"), "left_outer")
+          .select(col("x"), least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
+          .localCheckpoint(true)
+        labels = next.select(col("x"), col("lbl"))
+      }
       i += 1
     }
     require(converged,

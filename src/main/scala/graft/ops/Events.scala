@@ -30,6 +30,47 @@ object Events {
     (sfDir, f.lastModified(), f.length())
   }
 
+  /** Session for the streaming queries with SCALE-ADAPTIVE state
+    * partitioning. AQE cannot coalesce the shuffle feeding a stateful
+    * streaming operator, so `spark.sql.shuffle.partitions` fixes the state
+    * store count for the life of the query: the session constant (sized
+    * for the batch gates) would spin up one state store + per-batch delta
+    * file per partition regardless of stream volume. Derive the partition
+    * count from the source's bytes with the SAME advisory-size rule AQE
+    * uses for batch shuffles (guide §2.2/§2.5: size partitions by bytes,
+    * not core count), clamped to the session's configured partitions —
+    * so a production-scale stream still gets the full configured
+    * parallelism and only a small source gets a small state store set.
+    * Pure parallelism change: aggregation/dedup results are identical.
+    */
+  private def streamSession(spark: SparkSession, srcDir: String): SparkSession = {
+    val bytes = Option(new java.io.File(srcDir).listFiles())
+      .map(_.map(_.length()).sum).getOrElse(0L)
+    val advisory = spark.sessionState.conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
+    val configured = spark.sessionState.conf.numShufflePartitions.toLong
+    val parts = math.max(1L, math.min(configured, bytes / math.max(advisory, 1L) + 1))
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    s
+  }
+
+  /** Checkpoint dir for the drain-synchronously memory-sink queries: state
+    * checkpoints are scratch I/O of the query, so they belong on the fast
+    * local scratch (tmpfs when available — the same placement Bench uses
+    * for spark.local.dir), not the shared disk. Deleted on JVM exit.
+    */
+  private def scratchCheckpointDir(): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val dir = (if (java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, "graft_ckpt")
+    else java.nio.file.Files.createTempDirectory("graft_ckpt")).toString
+    sys.addShutdownHook {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+    dir
+  }
+
   def streamWindowAgg(spark: SparkSession, sfDir: String): DataFrame = {
     val src = staged.computeIfAbsent(stagedKey(sfDir), _ => {
       val dir = java.nio.file.Files.createTempDirectory("graft_events").toString
@@ -37,12 +78,13 @@ object Events {
         .write.mode("overwrite").parquet(dir)
       dir
     })
-    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+    val ss = streamSession(spark, src)
+    val batch = ss.read.parquet(s"$sfDir/events.parquet")
 
     // event-time columns must be TIMESTAMP (LTZ); the synthetic table is
     // NTZ -- round-trip through LTZ under the UTC session tz and hand the
     // wall-clock-identical NTZ back so the oracle compares naively.
-    val stream = spark.readStream.schema(batch.schema).parquet(src)
+    val stream = ss.readStream.schema(batch.schema).parquet(src)
       .withColumn("ts", col("ts").cast("timestamp"))
     val agg = stream
       .withWatermark("ts", "10 minutes")
@@ -52,9 +94,10 @@ object Events {
         col("event_type"), col("n"), col("sum_value"))
 
     val name = s"win_agg_${System.nanoTime()}"
-    val q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .option("checkpointLocation", scratchCheckpointDir()).queryName(name).start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    ss.table(name)
   }
 
   /** At-least-once delivery made exactly-once, as a REAL streaming query:
@@ -72,17 +115,18 @@ object Events {
         .write.mode("overwrite").parquet(dir)
       dir
     })
-    val batch = spark.read.parquet(s"$sfDir/events.parquet")
-    val stream = spark.readStream.schema(batch.schema).parquet(src)
+    val ss = streamSession(spark, src)
+    val batch = ss.read.parquet(s"$sfDir/events.parquet")
+    val stream = ss.readStream.schema(batch.schema).parquet(src)
       .withColumn("ts", col("ts").cast("timestamp"))
     val deduped = stream.unionByName(stream)
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("event_id")
     val name = s"dedup_${System.nanoTime()}"
     val q = deduped.writeStream.outputMode("append").format("memory")
-      .queryName(name).start()
+      .option("checkpointLocation", scratchCheckpointDir()).queryName(name).start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    ss.table(name)
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
   }
 

@@ -20,9 +20,22 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "y", "es", "una"),
     "fr" -> Seq("le", "la", "et", "est", "une"))
 
-  private def countToken(token: String): Column =
-    // whole-word occurrences; \b matches DuckDB RE2 and Java regex alike
-    size(expr(s"regexp_extract_all(lower(text), '\\\\b$token\\\\b', 0)"))
+  /** Whole-word occurrence count of ANY of `tokens`, in ONE regex pass:
+    * `\ba\b|\bb\b|...` (\b matches DuckDB RE2 and Java regex alike).
+    * Counting-equivalent to summing a per-token
+    * `size(regexp_extract_all(lower(text), '\btoken\b'))` — each `\b..\b`
+    * alternative consumes exactly one whole word, so
+    * a text word matches the alternation iff it equals one of the tokens,
+    * and non-overlapping left-to-right matching counts every such word
+    * exactly once regardless of alternative order. One scan of the text
+    * instead of `tokens.length` scans (and `regexp_count` instead of
+    * materializing a match array per row): on a 100 TB map-only curation
+    * pass the regex scans ARE the stage, so this is a direct
+    * `tokens.length`x cut of the per-task work (guide §1.2 step 2).
+    */
+  private def countAnyToken(tokens: Seq[String]): Column =
+    regexp_count(lower(col("text")),
+      lit(tokens.map(t => s"\\b$t\\b").mkString("|")))
 
   /** Per-language marker-score columns (`_score_<lang>`), for map-only
     * consumers ([[graft.ops.Curation]]) that fuse language ID into an
@@ -37,7 +50,7 @@ object TextAnalysis {
     */
   private[ops] def langScoreCols: Seq[Column] =
     LangMarkers.toSeq.sortBy(_._1).map { case (lang, toks) =>
-      toks.map(countToken).reduce(_ + _).cast("long").as(s"_score_$lang")
+      countAnyToken(toks).cast("long").as(s"_score_$lang")
     }
 
   /** argmax (score, lang) struct over already-projected [[langScoreCols]],
@@ -73,7 +86,7 @@ object TextAnalysis {
   def quality(docs: DataFrame, stopwords: Seq[String] = Seq("the", "a", "of")): DataFrame = {
     val toks = split(col("text"), Dedup.SepClass)
     val nTokens = size(filter(toks, t => t =!= ""))
-    val nStop = stopwords.map(countToken).reduce(_ + _)
+    val nStop = countAnyToken(stopwords)
     val nChars = length(col("text"))
     val alphaChars = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
     docs.select(
