@@ -41,6 +41,12 @@ object JsonlIngest {
       : (DataFrame, DataFrame) = {
     import spark.implicits._
     val fieldSpecs = fields
+    // persisted: BOTH outputs (words and docs) consume `rows`, and the
+    // per-line Jackson parse is the heaviest per-record work of this
+    // ingest -- without the persist every line is read and parsed twice
+    // per build. MEMORY_AND_DISK so a corpus-sized ingest spills instead
+    // of evicting; the ContextCleaner frees the blocks once both
+    // consumers' plans are garbage-collected.
     val rows = spark.sparkContext.textFile(path).zipWithIndex()
       .flatMap { case (line, ln) =>
         if (line.trim.isEmpty) None
@@ -63,7 +69,7 @@ object JsonlIngest {
             Some((ln + 1, m))
           }
         }
-      }
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val words = rows.flatMap { case (docId, m) =>
       FieldRoles.emit(docId, fieldSpecs, f =>

@@ -127,19 +127,26 @@ object TextAnalysis {
   def repetition(docs: DataFrame): DataFrame = {
     val toks = Dedup.toksArr
     val base = docs
-      .select(col("doc_id").cast("long").as("doc_id"), posexplode(toks).as(Seq("pos", "term")))
+      .select(col("doc_id").cast("long").as("doc_id"), explode(toks).as("term"))
     val uniAgg = base.groupBy(col("doc_id"), col("term")).count()
       .groupBy(col("doc_id")).agg(
         sum(col("count")).as("n_tokens"),
         sum(when(col("count") > 1, col("count")).otherwise(0L)).as("dup_u"))
-    // bigrams from consecutive positions; the window is partitioned by
-    // doc_id (never a global sort)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val biAgg = base
-      .withColumn("nxt", lead(col("term"), 1).over(w))
-      .where(col("nxt").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("term"), col("nxt")).as("bigram"))
+    // bigrams of consecutive tokens as IN-ROW array arithmetic (the
+    // [[Dedup.gramHashes]] pattern): a narrow explode replaces the old
+    // posexplode + doc_id-partitioned window `lead` -- one fewer shuffle
+    // AND no per-doc sort, since the token array is already in position
+    // order inside the row (a window's (doc_id, pos) sort re-derives what
+    // the array encodes for free). Values are identical: lead over
+    // posexplode positions = the next array element.
+    val biAgg = docs
+      .select(col("doc_id").cast("long").as("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), explode(
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ", element_at(col("toks"), i),
+              element_at(col("toks"), i + 1))))
+          .otherwise(array())).as("bigram"))
       .groupBy(col("doc_id"), col("bigram")).count()
       .groupBy(col("doc_id")).agg(
         sum(col("count")).as("n_bigrams"),
@@ -239,17 +246,20 @@ object TextAnalysis {
   def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 20): DataFrame = {
     require(n >= 1 && k >= 1, s"bad n=$n k=$k")
     val toks = Dedup.toksArr
-    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
-      posexplode(toks).as(Seq("pos", "term")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    // all n-1 leads in ONE window pass over the unfiltered frame (leads
-    // over a filtered frame would skip positions near the doc tail)
-    val parts = col("term") +: (1 until n).map(i => lead(col("term"), i).over(w))
-    val withGram = base
-      .select(col("doc_id"), concat_ws(" ", parts: _*).as("g"),
-        (if (n == 1) lit("") else parts.last).as("tail_part"))
-      .where(col("tail_part").isNotNull).drop("tail_part")
+    // per-doc sliding n-grams as in-row array arithmetic (the
+    // [[Dedup.gramHashes]] pattern) -- replaces the old posexplode +
+    // doc_id-partitioned window with n-1 `lead` passes: one fewer shuffle,
+    // no per-doc sort, and the gram build stays in whole-stage codegen.
+    // Grams are space-joined runs of n consecutive tokens, exactly the
+    // window formulation's output (a window lead beyond the doc tail made
+    // the gram NULL and was filtered; here the sequence simply stops).
+    val withGram = docs
+      .select(col("doc_id").cast("long").as("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), explode(
+        when(size(col("toks")) >= n,
+          transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+            i => concat_ws(" ", slice(col("toks"), i, lit(n)))))
+          .otherwise(array())).as("g"))
     withGram.groupBy(col("g").as("gram"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occurrences"))

@@ -47,6 +47,60 @@ class WarcIngestSpec extends AnyFunSuite {
     assert(WarcIngest.parseRecords("junk not warc".getBytes).toList === Nil)
   }
 
+  test("parseRecordsStream is record-at-a-time: first record costs one buffer, not the file") {
+    // a ~10 MB stream of identical records, served through a COUNTING
+    // stream: after consuming the first record the parser must have read
+    // at most one fixed buffer (64 KB) + one record -- the structural
+    // bounded-memory property that lets a ~1 GiB Common Crawl shard
+    // ingest without whole-file buffering.
+    val rec = WarcIngest.renderRecord("https://s/1", "2024-01-01T00:00:00Z",
+      ("<html><body><p>" + ("x " * 40) + "</p></body></html>").getBytes("UTF-8"))
+    val n = (10 * 1024 * 1024) / rec.length + 1
+    var readCount = 0L
+    val in = new java.io.InputStream {
+      private var i = 0L
+      private val total = n.toLong * rec.length
+      override def read(): Int = {
+        if (i >= total) -1
+        else { val b = rec((i % rec.length).toInt) & 0xff; i += 1; readCount += 1; b }
+      }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        if (i >= total) -1
+        else {
+          var k = 0
+          while (k < len && i < total) {
+            b(off + k) = rec((i % rec.length).toInt); i += 1; k += 1
+          }
+          readCount += k; k
+        }
+      }
+    }
+    val it = WarcIngest.parseRecordsStream(in)
+    val first = it.next()
+    assert(first._1 === "https://s/1")
+    assert(readCount <= (1 << 16) + rec.length,
+      s"read $readCount bytes for the first record -- not streaming")
+    // and the stream parses out completely with the exact record count
+    assert(1 + it.size === n)
+  }
+
+  test("truncated HTTP header block skips the record; non-HTTP payload passes whole") {
+    // payload starts with an HTTP status line but the CRLFCRLF terminator
+    // was torn off by the writer: indexing the header text as document
+    // body would poison the corpus -> the record is skipped
+    val truncated = (s"WARC/1.0${Crlf}WARC-Type: response$Crlf" +
+      s"WARC-Target-URI: https://t/1${Crlf}Content-Length: 21$Crlf$Crlf" +
+      s"HTTP/1.1 200 OK${Crlf}X: y$Crlf$Crlf").getBytes("US-ASCII")
+    assert(WarcIngest.parseRecords(truncated).toList === Nil)
+    // a response payload with no HTTP head at all is taken whole, as before
+    val raw = (s"WARC/1.0${Crlf}WARC-Type: response$Crlf" +
+      s"WARC-Target-URI: https://t/2${Crlf}Content-Length: 5$Crlf$Crlf" +
+      s"plain$Crlf$Crlf").getBytes("US-ASCII")
+    val recs = WarcIngest.parseRecords(raw).toList
+    assert(recs.map(_._1) === List("https://t/2"))
+    assert(new String(recs.head._3, "US-ASCII") === "plain")
+  }
+
   test("corpus: WARC files become the standard corpus relation, text inverts byte-identically") {
     val dir = java.nio.file.Files.createTempDirectory("graft_warc")
     val texts = Seq("alpha beta gamma", "delta & <epsilon>")
