@@ -63,19 +63,39 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.5,
                    maxShingleDf: Long = 1000L): DataFrame = {
     val sh0 = shingles(docs, n)
+    // two-phase head guard, NOT a collect-then-filter: the df pre-count
+    // aggregates counters only (map-side combined), so a pathological
+    // boilerplate shingle with df ~ 10^9 never builds a doc-id list at
+    // all -- the list aggregation below only ever sees shingles with
+    // df <= maxShingleDf, bounding its per-group buffer by the cap
     val rare = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
       .filter(col("sdf") <= maxShingleDf).select(col("shingle"))
-    // re-select: the key join moves `shingle` first, downstream renames
-    // are positional
-    val sh = sh0.join(rare, Seq("shingle"), "left_semi")
-      .select(col("doc_id"), col("shingle")).cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val a = sh.toDF("a", "shingle")
-    val b = sh.toDF("b", "shingle")
-    val common = a.join(b, "shingle")
-      .filter(col("a") < col("b"))
+    // per-shingle POSTING LIST (sorted doc ids), cached: both consumers
+    // (pair generation and per-doc set sizes) read this one row-per-
+    // shingle relation -- smaller than the exploded (doc, shingle)
+    // relation the old shape cached
+    val grouped = sh0.join(rare, Seq("shingle"), "left_semi")
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .cache()
+    // candidate pairs GENERATED IN-ROW from each posting list (every
+    // (i, j>i) combination of the sorted list -- a < b for free) instead
+    // of the shingle-keyed self-join: the d^2 candidate rows come out of
+    // one codegen'd projection per shingle rather than through a second
+    // shuffle of the whole shingle relation plus join machinery; per-row
+    // transient state is bounded by maxShingleDf^2 struct entries (the
+    // head guard above). This is the reference posting-list shape: pair
+    // enumeration walks each (bounded) inverted list, never a join.
+    val common = grouped
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + 2,
+            greatest(size(col("ds")) - i - 1, lit(0))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("common"))
+    val sizes = grouped.select(explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     common
       .join(sizes.toDF("a", "na"), "a")
       .join(sizes.toDF("b", "nb"), "b")
@@ -127,19 +147,28 @@ object Dedup {
     val edges = pairs.select(col("a").as("x"), col("b").as("y"))
       .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
       .distinct().localCheckpoint(true)
-    var labels = edges.select(col("x")).distinct()
-      .select(col("x"), col("x").as("lbl")).localCheckpoint(true)
+    // round 0 derives labels directly from the edge relation (identity
+    // start), so no materialized identity-label table is ever built
+    var labels: DataFrame = null
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       // candidate label = min(own, min over neighbors' labels); the own
       // label rides along as `old` so the convergence check below is a
-      // filter over the materialized result, not another join vs `labels`
-      val propagated = edges
-        .join(labels.withColumnRenamed("x", "y").withColumnRenamed("lbl", "nlbl"), "y")
-        .groupBy(col("x")).agg(min(col("nlbl")).as("minn"))
-        .join(labels, "x")
-        .select(col("x"), col("lbl").as("old"), least(col("lbl"), col("minn")).as("lbl"))
+      // filter over the materialized result, not another join vs `labels`.
+      // Round 0 short-circuits both joins: labels are still the identity
+      // (lbl(x) = x), so min over neighbor labels is just min(y) per x --
+      // one aggregation over the edge relation, no join against a label
+      // table that only restates the keys.
+      val propagated = (if (i == 0)
+        edges.groupBy(col("x")).agg(min(col("y")).as("minn"))
+          .select(col("x"), col("x").as("old"), least(col("x"), col("minn")).as("lbl"))
+      else
+        edges
+          .join(labels.withColumnRenamed("x", "y").withColumnRenamed("lbl", "nlbl"), "y")
+          .groupBy(col("x")).agg(min(col("nlbl")).as("minn"))
+          .join(labels, "x")
+          .select(col("x"), col("lbl").as("old"), least(col("lbl"), col("minn")).as("lbl")))
         .localCheckpoint(true) // self-joined below: materialize once
       // convergence is decidable HERE, before the pointer jump: no change
       // under propagation means every label is <= all its neighbors'
