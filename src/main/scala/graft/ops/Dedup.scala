@@ -398,12 +398,19 @@ object Dedup {
     */
   def scrubSpansKeepOne(docs: DataFrame, n: Int = 10): DataFrame = {
     val grams = gramHashes(docs, n)
-    val dupGrams = grams.groupBy(col("g")).count()
-      .where(col("count") > 1).select(col("g"))
-    val hits = grams.join(dupGrams, Seq("g"), "left_semi")
-    val canon = hits.groupBy(col("g"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("c"))
-    val nonCanon = hits.join(canon, "g")
+    // ONE gram-keyed aggregation carries both the duplicate test (count)
+    // and the canonical pick (min struct) -- the old shape shuffled the
+    // gram relation by g three times (count agg, semi-join back, canon agg
+    // over the hits); the min over ALL occurrences equals the min over
+    // duplicated ones once filtered to count > 1, so folding the pick into
+    // the count agg drops one full aggregation and the semi-join to two
+    // gram-keyed passes (agg + join)
+    val dupCanon = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("c"))
+      .where(col("cnt") > 1)
+      .select(col("g"), col("c"))
+    val nonCanon = grams.join(dupCanon, "g")
       .where(!(col("doc_id") === col("c.doc_id") && col("pos") === col("c.pos")))
       .select(col("doc_id"), col("pos"))
     scrubAgainst(docs, islandsOf(nonCanon, n))

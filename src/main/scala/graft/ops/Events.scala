@@ -73,10 +73,17 @@ object Events {
 
   def streamWindowAgg(spark: SparkSession, sfDir: String): DataFrame = {
     val src = staged.computeIfAbsent(stagedKey(sfDir), _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_events").toString
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .write.mode("overwrite").parquet(dir)
-      dir
+      // a byte-identical copy: the streaming source only needs the
+      // parquet bytes under a directory, so a Spark read+rewrite job here
+      // was pure overhead (the source may be a single file or a
+      // Spark-written parquet directory; copy whichever it is)
+      val dir = java.nio.file.Files.createTempDirectory("graft_events")
+      val srcFile = new java.io.File(s"$sfDir/events.parquet")
+      if (srcFile.isDirectory) // a Spark-written dir: its part files go in the root
+        org.apache.commons.io.FileUtils.copyDirectory(srcFile, dir.toFile)
+      else org.apache.commons.io.FileUtils.copyFile(srcFile,
+        new java.io.File(dir.toFile, "events.parquet"))
+      dir.toString
     })
     val ss = streamSession(spark, src)
     val batch = ss.read.parquet(s"$sfDir/events.parquet")
@@ -110,10 +117,17 @@ object Events {
     */
   def streamDedupCounts(spark: SparkSession, sfDir: String): DataFrame = {
     val src = staged.computeIfAbsent(stagedKey(sfDir), _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_events").toString
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .write.mode("overwrite").parquet(dir)
-      dir
+      // a byte-identical copy: the streaming source only needs the
+      // parquet bytes under a directory, so a Spark read+rewrite job here
+      // was pure overhead (the source may be a single file or a
+      // Spark-written parquet directory; copy whichever it is)
+      val dir = java.nio.file.Files.createTempDirectory("graft_events")
+      val srcFile = new java.io.File(s"$sfDir/events.parquet")
+      if (srcFile.isDirectory) // a Spark-written dir: its part files go in the root
+        org.apache.commons.io.FileUtils.copyDirectory(srcFile, dir.toFile)
+      else org.apache.commons.io.FileUtils.copyFile(srcFile,
+        new java.io.File(dir.toFile, "events.parquet"))
+      dir.toString
     })
     val ss = streamSession(spark, src)
     val batch = ss.read.parquet(s"$sfDir/events.parquet")
