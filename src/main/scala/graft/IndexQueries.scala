@@ -57,8 +57,22 @@ object IndexQueries {
     })
   }
 
+  /** One [[IndexReader]] per (session, index dir): a reader's vocab /
+    * prefix-range / stats memos only pay off if the SAME instance serves
+    * every gate over that index -- a fresh reader per gate re-ran the
+    * stats head job and the first dictionary lookups each time (~30 gates
+    * x 1-2 driver jobs). Readers detect rebuilt dirs via their epoch
+    * check, and gate indexes are immutable within a process anyway.
+    */
+  private val readerMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), IndexReader]()
+
+  private def cachedReader(spark: SparkSession, dir: String): IndexReader =
+    readerMemo.computeIfAbsent((System.identityHashCode(spark), dir),
+      _ => new IndexReader(spark, dir))
+
   def reader(spark: SparkSession, sfDir: String): IndexReader =
-    new IndexReader(spark, indexDir(spark, sfDir))
+    cachedReader(spark, indexDir(spark, sfDir))
 
   /** Separate index built with BY_PREFIXES block formation (boundary
     * buckets instead of fixed term-id width, HYBIndex.cpp:247-264 analog):
@@ -76,7 +90,7 @@ object IndexQueries {
 
   /** Prefix top-10 from a BY_PREFIXES index (oracle: same as ix_prefix_docs). */
   def bpPrefixDocs(spark: SparkSession, sfDir: String): DataFrame =
-    new IndexReader(spark, bpIndexDir(spark, sfDir)).topKPrefixDocs("st", 10)
+    cachedReader(spark, bpIndexDir(spark, sfDir)).topKPrefixDocs("st", 10)
 
   /** Shared fixture-index builder for the file-ingest gates: render the
     * sf documents (driver-side, in doc_id order — the id-order contract
@@ -136,7 +150,7 @@ object IndexQueries {
     * prefix oracle with parquet doc ids mapped to parse positions).
     */
   def xmlPrefixDocs(spark: SparkSession, sfDir: String): DataFrame =
-    new IndexReader(spark, xmlIndexDir(spark, sfDir)).topKPrefixDocs("st", 10)
+    cachedReader(spark, xmlIndexDir(spark, sfDir)).topKPrefixDocs("st", 10)
 
   /** Index built through the CSV INGEST path (reference CsvParser.cpp):
     * the sf documents rendered as one TSV (header + one line per doc, in
@@ -165,7 +179,7 @@ object IndexQueries {
     * as [[xmlPrefixDocs]] — line numbers and parse positions coincide).
     */
   def csvPrefixDocs(spark: SparkSession, sfDir: String): DataFrame =
-    new IndexReader(spark, csvIndexDir(spark, sfDir)).topKPrefixDocs("st", 10)
+    cachedReader(spark, csvIndexDir(spark, sfDir)).topKPrefixDocs("st", 10)
 
   /** Index built through the JSONL INGEST path: docs rendered one JSON
     * object per line (strings escaped), parsed back by
@@ -195,7 +209,7 @@ object IndexQueries {
     * oracle a third time).
     */
   def jsonlPrefixDocs(spark: SparkSession, sfDir: String): DataFrame =
-    new IndexReader(spark, jsonlIndexDir(spark, sfDir)).topKPrefixDocs("st", 10)
+    cachedReader(spark, jsonlIndexDir(spark, sfDir)).topKPrefixDocs("st", 10)
 
   /** Index built from a WARC archive: the sf docs rendered as real
     * `response` records (WebCorpus html wrapper as the HTTP body, in
@@ -238,7 +252,7 @@ object IndexQueries {
     * WARC record positions are the same 1-based doc_id ranks).
     */
   def warcPrefixDocs(spark: SparkSession, sfDir: String): DataFrame =
-    new IndexReader(spark, warcIndexDir(spark, sfDir)).topKPrefixDocs("st", 10)
+    cachedReader(spark, warcIndexDir(spark, sfDir)).topKPrefixDocs("st", 10)
 
   /** BY_PREFIX_SIZE: boundaries derived as the vocabulary's distinct
     * length-2 prefixes (one bucket per prefix group) instead of a
@@ -258,7 +272,7 @@ object IndexQueries {
 
   /** Prefix top-10 from a BY_PREFIX_SIZE index (same oracle again). */
   def bpsPrefixDocs(spark: SparkSession, sfDir: String): DataFrame =
-    new IndexReader(spark, bpsIndexDir(spark, sfDir)).topKPrefixDocs("st", 10)
+    cachedReader(spark, bpsIndexDir(spark, sfDir)).topKPrefixDocs("st", 10)
 
   /** Positions-off index (IndexBuilder storePositions=false — the
     * reference's positions-off words file, WordsFile.h:44-62): doc-level
@@ -275,7 +289,7 @@ object IndexQueries {
 
   /** WAND top-10 from the positions-off index (same oracle as ix_wand_topk). */
   def npWandTopK(spark: SparkSession, sfDir: String): DataFrame =
-    new IndexReader(spark, npIndexDir(spark, sfDir))
+    cachedReader(spark, npIndexDir(spark, sfDir))
       .topKOrWand(Seq("spark", "hash", "merge"), 10)
 
   /** The partial-words gates' secondary dictionary — the reference's
@@ -318,7 +332,7 @@ object IndexQueries {
 
   /** Querying a partial word serves the docs of its containing words. */
   def partialDocs(spark: SparkSession, sfDir: String): DataFrame =
-    new IndexReader(spark, partialIndexDir(spark, sfDir)).topKAnd(Seq("tab"), 10)
+    cachedReader(spark, partialIndexDir(spark, sfDir)).topKAnd(Seq("tab"), 10)
 
   /** Fuzzy word clusters off the shared index's FastSS table
     * (BuildFuzzySearchClusters analog: frequent words are cluster
@@ -374,7 +388,7 @@ object IndexQueries {
     * documented dictionary drift.
     */
   def compactedPostings(spark: SparkSession, sfDir: String): DataFrame = {
-    val r = new IndexReader(spark, compactIndexDir(spark, sfDir))
+    val r = cachedReader(spark, compactIndexDir(spark, sfDir))
     r.decode(r.blocks)
       .join(broadcast(r.dictionary.select(col("term_id"), col("term"))), "term_id")
       .select(col("doc_id"), col("term"), col("tf"))
@@ -384,7 +398,7 @@ object IndexQueries {
     * as ix_decoded_postings).
     */
   def gammaDecodedPostings(spark: SparkSession, sfDir: String): DataFrame = {
-    val r = new IndexReader(spark, codecIndexDir(spark, sfDir, "gamma"))
+    val r = cachedReader(spark, codecIndexDir(spark, sfDir, "gamma"))
     r.decode(r.blocks)
       .join(broadcast(r.dictionary.select(col("term_id"), col("term"))), "term_id")
       .select(col("doc_id"), col("term"), col("tf"))
@@ -392,7 +406,7 @@ object IndexQueries {
 
   /** WAND top-10 from a PForDelta-coded index (oracle: same as ix_wand_topk). */
   def pforWandTopK(spark: SparkSession, sfDir: String): DataFrame =
-    new IndexReader(spark, codecIndexDir(spark, sfDir, "pfor"))
+    cachedReader(spark, codecIndexDir(spark, sfDir, "pfor"))
       .topKOrWand(Seq("spark", "hash", "merge"), 10)
 
   /** Full postings decode from a canonical-Huffman-coded index (oracle:
@@ -400,7 +414,7 @@ object IndexQueries {
     * round-trip every doclist/positionlist byte end to end.
     */
   def huffmanDecodedPostings(spark: SparkSession, sfDir: String): DataFrame = {
-    val r = new IndexReader(spark, codecIndexDir(spark, sfDir, "huffman"))
+    val r = cachedReader(spark, codecIndexDir(spark, sfDir, "huffman"))
     r.decode(r.blocks)
       .join(broadcast(r.dictionary.select(col("term_id"), col("term"))), "term_id")
       .select(col("doc_id"), col("term"), col("tf"))
@@ -430,7 +444,7 @@ object IndexQueries {
   }
 
   def facetReader(spark: SparkSession, sfDir: String): IndexReader =
-    new IndexReader(spark, facetIndexDir(spark, sfDir))
+    cachedReader(spark, facetIndexDir(spark, sfDir))
 
   /** Index over the diacritic fixture with normalized-variant words IN the
     * blocks (parser -s flag analog): `stréam` tokens are indexed alongside
@@ -447,7 +461,7 @@ object IndexQueries {
   }
 
   def normReader(spark: SparkSession, sfDir: String): IndexReader =
-    new IndexReader(spark, normIndexDir(spark, sfDir))
+    cachedReader(spark, normIndexDir(spark, sfDir))
 
   /** Index over the FIELDED corpus (source = title, text = body): the text
     * terms come from the concatenation, and each title token is also
@@ -474,7 +488,7 @@ object IndexQueries {
     */
   def fieldWeightedIx(spark: SparkSession, sfDir: String): DataFrame = {
     val src = new graft.query.IndexAtomSource(
-      new IndexReader(spark, fieldIndexDir(spark, sfDir)))
+      cachedReader(spark, fieldIndexDir(spark, sfDir)))
     import graft.query.QueryParser.Word
     val base = src.atomScored(Word("spark"))
       .groupBy(col("doc_id")).agg(sum(col("score")).as("score"))

@@ -141,15 +141,18 @@ object Analysis {
       .select(col("term_id"), col("term"), col("df"), col("cf"))
   }
 
-  /** Corpus stats: one tokenizing pass, map-side partial agg only. */
+  /** Corpus stats. n_docs is a count over the corpus relation (count-star,
+    * no text read); n_postings is sum(tf) over the SHARED persisted
+    * doc-term relation — the corpus is tokenized at most once per process
+    * (by [[docTermsCached]]), where the previous shape paid a SECOND full
+    * tokenizing scan of every document just to recount what the doc-term
+    * relation already holds. Docs with zero tokens have no doc-term rows,
+    * which is why n_docs cannot come from the same relation.
+    */
   def stats(corpus: DataFrame): CorpusStats = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val dls = corpus.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
-      .map { case (_, text) => Tokenizer.tokenize(text).length.toLong }
-    val row = dls.agg(count(lit(1)).as("n"), sum(col("value")).as("p")).head()
-    val n = row.getLong(0)
-    val p = if (row.isNullAt(1)) 0L else row.getLong(1)
+    val n = corpus.count()
+    val row = docTermsCached(corpus).agg(sum(col("tf")).as("p")).head()
+    val p = if (row.isNullAt(0)) 0L else row.getLong(0)
     CorpusStats(n, p, if (n == 0) 0.0 else p.toDouble / n)
   }
 
