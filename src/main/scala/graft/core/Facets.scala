@@ -39,16 +39,16 @@ object Facets {
     }.reduce(_ unionByName _)
   }
 
-  /** Doc-term relation extended with facet rows. */
-  def withFacets(corpus: DataFrame, fields: Seq[String]): DataFrame =
-    Analysis.docTermsCached(corpus).toDF().unionByName(facetRows(corpus, fields))
-
   /** Facet value counts for a field: completions of `:facet:<field>:`
     * (reference: faceted search = prefix query over facet words).
     */
   def facetCounts(corpus: DataFrame, field: String): DataFrame =
-    withFacets(corpus, Seq(field))
-      .filter(col("term").startsWith(s":facet:$field:"))
+    // over the facet rows ONLY: the tokenized branch of `withFacets`
+    // cannot contribute (':' is a separator, so no real token starts with
+    // ':facet:'), and scanning the whole doc-term relation to count a
+    // metadata projection is pure waste at corpus scale -- the same
+    // projection-only shape `facetCountsFiltered` already uses
+    facetRows(corpus, Seq(field))
       .groupBy(substring_index(col("term"), ":", -1).as("value"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("n_docs").desc, col("value").asc)
