@@ -360,6 +360,14 @@ class IndexQueryCache(maxEntries: Int = 200,
     * relations until the scope closes; the discipline and the guard are
     * the same as the copyAndFilter `inflight` path. Scopes nest; the
     * thread-local frame costs nothing when no scope is active.
+    *
+    * Budget bound while scopes are open: every handed-out entry is
+    * inflight-pinned for the scope's duration, so under a small byte
+    * budget `evictOverBudget` may free nothing and `totalBytes` can
+    * exceed `maxBytes` by up to ONE request's distinct-atom working set
+    * per concurrently open scope. Operators sizing `maxBytes` should
+    * treat the budget as advisory headroom, not a hard cap, while
+    * requests are in flight.
     */
   def borrow[T](f: => T): T = {
     val prev = borrowFrame.get()
