@@ -55,6 +55,42 @@ class OpsSpec extends AnyFunSuite {
     assert(c === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("duplicate clusters: deep chain converges via pointer jumping + early stop") {
+    import spark.implicits._
+    // a 12-node chain (diameter 11) exercises multiple propagation+jump
+    // rounds, the round-0 join-free propagation AND the converged-after-
+    // propagation early stop (r6 optimization): labels must still land on
+    // the component min within the default maxIter via pointer jumping
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    val c = Dedup.duplicateClusters(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c === (1L to 12L).map(_ -> 1L).toMap)
+  }
+
+  test("jaccard pairs: exact counts match a brute-force shingle computation") {
+    import spark.implicits._
+    // r6 rewrote pair generation as in-row posting-list enumeration; pin
+    // the exact (a, b, jaccard) relation against a direct computation of
+    // distinct 3-shingle sets on a corpus with overlapping tails
+    val texts = (0L until 8L).map { i =>
+      val shared = "alpha beta gamma delta"
+      val tail = if (i % 2 == 0) s"even tail $i x" else s"odd tail $i y"
+      (i, s"$shared $tail")
+    }
+    def shingles3(t: String): Set[String] =
+      t.split(" ").toSeq.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    val expected = (for {
+      (a, ta) <- texts; (b, tb) <- texts if a < b
+      sa = shingles3(ta); sb = shingles3(tb)
+      common = (sa intersect sb).size
+      j = common.toDouble / (sa.size + sb.size - common) if j >= 0.1
+    } yield (a, b, BigDecimal(j).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    val got = Dedup.jaccardPairs(texts.toDF("doc_id", "text"), n = 3, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected)
+  }
+
   test("near-dup keep set: one canonical per component plus unpaired docs") {
     import spark.implicits._
     val d = Seq(
