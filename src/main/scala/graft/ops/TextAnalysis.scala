@@ -287,14 +287,23 @@ object TextAnalysis {
     val dt = base.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfs = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).cast("double").as("n"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
+    // per-doc top-k as a HASH aggregation + in-row sort of the doc's own
+    // (tfidf, term) list instead of a row_number window: the window paid
+    // a full per-partition SORT of the corpus-sized scored relation to
+    // rank inside each doc, where the per-doc list is bounded by the
+    // doc's distinct-term count anyway. struct(-tfidf, term) ascending ==
+    // (tfidf desc, term asc) -- negation of the 4dp-rounded double is
+    // exact, so the rank order is bit-identical to the window form.
     dt.join(dfs, "term").crossJoin(n)
       .select(col("doc_id"), col("term"),
         round(col("tf") * log(col("n") / col("df")), 4).as("tfidf"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .where(col("rk") <= k)
-      .select(col("doc_id"), col("term"), col("tfidf"), col("rk"))
+      .groupBy(col("doc_id"))
+      .agg(slice(sort_array(collect_list(
+        struct((-col("tfidf")).as("neg"), col("term"), col("tfidf")))),
+        1, k).as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("doc_id"), col("t.term").as("term"), col("t.tfidf").as("tfidf"),
+        (col("i") + 1).cast("long").as("rk"))
   }
 
   /** Positional document fingerprint: sum over tokens of
