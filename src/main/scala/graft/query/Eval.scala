@@ -109,6 +109,19 @@ class CorpusAtomSource(corpus: DataFrame, normVariants: Boolean = false)
     }
   }
 
+  /** An exact, non-expanding word matches `term === text` — at most ONE
+    * vocabulary term, known from the atom alone (no job), so its scored
+    * relation is already one row per doc and Eval's projection fast path
+    * applies (one fewer groupBy exchange per exact-word query part).
+    * Prefix/fuzzy/synonym/range/OR atoms expand to many terms and answer
+    * false. Mirrors what the index source derives from its candidate
+    * slice; the same [[Eval.partRel]] code path serves both.
+    */
+  override def singleTerm(atom: Atom): Boolean = atom match {
+    case w: Word => !w.prefix && !w.fuzzy && !w.synonym
+    case _ => false
+  }
+
   protected def vocabContains(w: String): Boolean =
     !Analysis.termDfCached(corpus, normVariants).filter(col("term") === w).isEmpty
 
