@@ -96,7 +96,7 @@ object Similarity {
     * cosine rounded to 6dp so float-sum ordering can't flip the argmax
     * across engines. Array form throughout ([[argmaxCosineArr]]): a
     * broadcast crossJoin with the nCells-row centroid relation + one
-    * (vec_id) hash aggregation -- no explode, no window sort.
+    * (vec_id)-keyed aggregation -- no explode, no per-key window.
     */
   def ivfAssign(embeddings: DataFrame, nCells: Int = 16): DataFrame = {
     val vecs = vecArr(embeddings)
@@ -148,8 +148,12 @@ object Similarity {
     * product inside the row (zip_with + aggregate, whole-stage codegen),
     * ONE (vec_id)-keyed aggregation. Cosine rounded to 6dp (so float-sum
     * ordering can't flip the argmax across engines), ties to the lowest
-    * cid, via max_by over the (cos, -cid) struct -- a hash aggregation,
-    * not a row_number window.
+    * cid, via max_by over the (cos, -cid) struct -- ONE keyed
+    * aggregation, not a row_number window. (Physically a SortAggregate:
+    * max_by's struct ordering buffer is not hash-aggregable, and packing
+    * (cos, -cid) into one fixed-width key can't be done safely for
+    * arbitrary 64-bit cids; the partial aggregate still reduces to one
+    * row per (partition, vec_id) before the exchange.)
     */
   private def argmaxCosineArr(vecs: DataFrame, cents: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(cents))
